@@ -1,0 +1,143 @@
+"""Loss terms comparing forward diffraction patterns with measurements.
+
+Parity with reference src/ptyrad/losses.py:17-175 (CombinedLoss +
+get_objp_contrast). All functions are pure; `loss_params` is a plain nested
+dict read at trace time, so disabled terms compile to nothing.
+
+Term summary:
+  loss_single : NRMSE of DP^p (Gaussian statistics, p=0.5 typical)
+  loss_poissn : normalized Poisson NLL of DP^p (low dose, p=1 typical)
+  loss_pacbed : NRMSE of batch-averaged DP^p (diffuse background, p=0.2)
+  loss_sparse : Ln-norm sparsity of object-phase patches, omode-weighted
+  loss_simlar : std across object modes of (blurred/downsampled) patches
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ptyrad_tpu.ops.blur import gaussian_blur_2d
+from ptyrad_tpu.ops.resize import area_downsample
+
+DEFAULT_LOSS_PARAMS = {
+    "loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5},
+    "loss_poissn": {"state": False, "weight": 1.0, "dp_pow": 1.0, "eps": 1e-6},
+    "loss_pacbed": {"state": False, "weight": 1.0, "dp_pow": 0.2},
+    "loss_sparse": {"state": False, "weight": 1.0, "ln_order": 1},
+    "loss_simlar": {
+        "state": False,
+        "weight": 1.0,
+        "obj_type": "phase",
+        "blur_std": None,
+        "scale_factor": None,
+    },
+}
+
+
+def loss_single(model_dp, measured_dp, params):
+    """Normalized RMSE of DP^dp_pow (reference losses.py:36-50)."""
+    p = params.get("dp_pow", 0.5)
+    data_mean = jnp.mean(measured_dp**p)
+    mse = jnp.mean((model_dp**p - measured_dp**p) ** 2)
+    return params["weight"] * jnp.sqrt(mse) / data_mean
+
+
+def loss_poissn(model_dp, measured_dp, params):
+    """Normalized Poisson negative log-likelihood (reference losses.py:52-75)."""
+    p = params.get("dp_pow", 1.0)
+    eps = params.get("eps", 1e-6)
+    data_mean = jnp.mean(measured_dp**p)
+    nll = -jnp.mean(measured_dp**p * jnp.log(model_dp**p + eps) - model_dp**p)
+    return params["weight"] * nll / data_mean
+
+
+def loss_pacbed(model_dp, measured_dp, params):
+    """NRMSE of position-averaged CBED (reference losses.py:77-89)."""
+    p = params.get("dp_pow", 0.2)
+    data_mean = jnp.mean(measured_dp**p)
+    mse = jnp.mean((jnp.mean(model_dp, axis=0) ** p - jnp.mean(measured_dp, axis=0) ** p) ** 2)
+    return params["weight"] * jnp.sqrt(mse) / data_mean
+
+
+def loss_sparse(objp_patches, omode_occu, params):
+    """omode-weighted Ln sparsity of phase patches (reference losses.py:91-104).
+
+    Per-mode voxel-wise mean of |phi|^n over (batch, z, y, x), then ^(1/n),
+    then the omode_occu-weighted sum — invariant to batch/object size/omode.
+    """
+    n = params["ln_order"]
+    per_mode = jnp.mean(jnp.abs(objp_patches) ** n, axis=(0, 2, 3, 4)) ** (1.0 / n)
+    return params["weight"] * jnp.sum(per_mode * omode_occu)
+
+
+def loss_simlar(obja_patches, objp_patches, omode_occu, params):
+    """Cross-omode similarity: std over the omode axis after optional blur and
+    area downsample (reference losses.py:106-141)."""
+    obj_type = params.get("obj_type", "both")
+    blur_std = params.get("blur_std")
+    scale = params.get("scale_factor")
+
+    def term(patches):
+        if blur_std is not None and blur_std != 0:
+            patches = gaussian_blur_2d(patches, kernel_size=5, sigma=blur_std)
+        if scale is not None and any(s != 1 for s in scale):
+            patches = area_downsample(patches, tuple(scale))
+        weighted = patches * omode_occu[:, None, None, None]
+        return jnp.mean(jnp.std(weighted, axis=1))
+
+    total = jnp.float32(0.0)
+    if obj_type in ("amplitude", "both"):
+        total = total + term(obja_patches)
+    if obj_type in ("phase", "both"):
+        total = total + term(objp_patches)
+    return params["weight"] * total
+
+
+def combined_loss(model_dp, measured_dp, obja_patches, objp_patches, omode_occu, loss_params):
+    """Weighted sum of the five terms. Returns (total, per-term dict).
+
+    Disabled terms ('state': False) contribute exact zeros and compile away.
+    """
+    zero = jnp.float32(0.0)
+    terms = {}
+    cfg = {**DEFAULT_LOSS_PARAMS, **(loss_params or {})}
+    terms["loss_single"] = (
+        loss_single(model_dp, measured_dp, cfg["loss_single"]) if cfg["loss_single"]["state"] else zero
+    )
+    terms["loss_poissn"] = (
+        loss_poissn(model_dp, measured_dp, cfg["loss_poissn"]) if cfg["loss_poissn"]["state"] else zero
+    )
+    terms["loss_pacbed"] = (
+        loss_pacbed(model_dp, measured_dp, cfg["loss_pacbed"]) if cfg["loss_pacbed"]["state"] else zero
+    )
+    terms["loss_sparse"] = (
+        loss_sparse(objp_patches, omode_occu, cfg["loss_sparse"]) if cfg["loss_sparse"]["state"] else zero
+    )
+    terms["loss_simlar"] = (
+        loss_simlar(obja_patches, objp_patches, omode_occu, cfg["loss_simlar"])
+        if cfg["loss_simlar"]["state"]
+        else zero
+    )
+    total = sum(terms.values())
+    return total, terms
+
+
+def objp_contrast(objp, crop_pos, probe_shape, indices=None):
+    """Contrast (std/mean) of the z-summed phase inside the scanned region.
+
+    Hypertune objective (reference losses.py:158-175). Host-friendly; operates
+    on concrete arrays.
+    """
+    import numpy as np
+
+    objp_sum = np.asarray(objp).sum(axis=1).squeeze()
+    pos = np.asarray(crop_pos)
+    if indices is not None:
+        pos = pos[np.asarray(indices)]
+    center = pos + np.array(probe_shape) // 2
+    y0, y1 = center[:, 0].min(), center[:, 0].max()
+    x0, x1 = center[:, 1].min(), center[:, 1].max()
+    crop = objp_sum[max(y0 - 1, 0):y1, max(x0 - 1, 0):x1]
+    lo, hi = crop.min(), crop.max()
+    norm = (crop - lo) / (hi - lo) if hi > lo else crop * 0
+    return float(np.std(norm) / (np.mean(norm) + 1e-8))

@@ -1,0 +1,176 @@
+"""Differentiable mixed-state multislice forward model (pure functions).
+
+Physics (parity with reference src/ptyrad/forward.py:20-80 and
+src/ptyrad/models.py:251-435): a batch of probe waves interacts with cropped
+object patches slice by slice; between slices the wave propagates by the
+angular-spectrum propagator H; the exit wave transforms to the detector plane
+with an orthonormal 2D FFT; incoherent probe/object modes sum in intensity.
+
+TPU shape discipline: the wavefield psi is a Cplx (re, im) float32 pair kept
+at (B, pmode, omode, Ny, Nx) throughout, so every DFT (real-arithmetic MXU
+matmuls, see ops/fourier.py) batches over (B, pmode, omode) as one large
+GEMM; the z-loop is a static Python loop (Nz is small), optionally
+rematerialized via jax.checkpoint to trade FLOPs for HBM in the backward
+pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ptyrad_tpu.models.state import Buffers, Geometry, PtychoParams
+from ptyrad_tpu.ops.blur import gaussian_blur_2d
+from ptyrad_tpu.ops.cplx import Cplx, expi, polar, stack
+from ptyrad_tpu.ops.fourier import fft2, fftshift2, ifft2
+from ptyrad_tpu.ops.patches import extract_patches
+from ptyrad_tpu.ops.resize import bilinear_resize_conserve
+from ptyrad_tpu.ops.shift import fourier_shift
+
+
+def get_obj_patches(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp.ndarray):
+    """Gather per-position object patches (amplitude, phase).
+
+    Returns (obja_patches, objp_patches), each (B, omode, Nz, Ny, Nx) float32.
+    Applies the optional lateral pre-blur (reference models.py:267-284).
+    """
+    pos = buffers.crop_pos[indices]
+    obja = extract_patches(params.obja, pos, geom.probe_shape)
+    objp = extract_patches(params.objp, pos, geom.probe_shape)
+    std = geom.obj_preblur_std
+    if std is not None and std != 0:
+        obja = gaussian_blur_2d(obja, kernel_size=5, sigma=std)
+        objp = gaussian_blur_2d(objp, kernel_size=5, sigma=std)
+    return obja, objp
+
+
+def get_probes(params: PtychoParams, geom: Geometry, indices: jnp.ndarray) -> Cplx:
+    """Per-position probes: sub-pixel shifted when optimizing positions.
+
+    Returns Cplx (B, pmode, Ny, Nx) — or (1, pmode, Ny, Nx) when a single
+    shared probe suffices (reference models.py:286-298).
+    """
+    if geom.shift_probes:
+        shifts = params.probe_pos_shifts[indices]
+        return fourier_shift(params.probe, shifts)
+    return params.probe[None]
+
+
+def compute_propagators(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp.ndarray) -> Cplx:
+    """Inter-slice propagators, Cplx of shape (1 or B, Ny, Nx).
+
+    Collapses the 4-case table of reference models.py:300-360 into its two
+    orthogonal degrees of freedom (the reference's case 2B is a host-side
+    caching optimization with identical semantics):
+      base  = exp(i*dz*Kz)  if dz is optimizable else the precomputed H
+      tilt  = exp(i*dz*(Ky*tan(ty) + Kx*tan(tx)))  when tilts active
+    """
+    dz = params.slice_thickness
+    if geom.change_thickness:
+        base = expi(dz * buffers.Kz)
+    else:
+        base = buffers.H
+    if not geom.tilt_obj:
+        return base[None]
+    tilts = params.obj_tilts if geom.global_tilt else params.obj_tilts[indices]
+    ty = jnp.tan(tilts[:, 0, None, None] / 1e3)
+    tx = jnp.tan(tilts[:, 1, None, None] / 1e3)
+    tilt_factor = expi(dz * (buffers.Ky[None] * ty + buffers.Kx[None] * tx))
+    return base[None] * tilt_factor
+
+
+def multislice_dp(
+    obja_patches: jnp.ndarray,
+    objp_patches: jnp.ndarray,
+    probes: Cplx,
+    H: Cplx,
+    omode_occu: jnp.ndarray,
+    eps: float = 1e-10,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Multislice propagation to far-field intensity.
+
+    Args:
+      obja_patches, objp_patches: (B, omode, Nz, Ny, Nx) float32
+      probes: Cplx (B or 1, pmode, Ny, Nx)
+      H: Cplx (B or 1, Ny, Nx) corner-centered propagator
+      omode_occu: (omode,) float32 incoherent object-mode weights
+      remat: checkpoint each slice step (backward recomputes instead of
+        storing every intermediate wavefield).
+
+    Returns (B, Ny, Nx) float32: incoherent sum over (pmode, omode) of
+    |fftshift(fft2(psi, ortho))|^2, weighted by omode_occu, plus eps.
+    """
+    n_slices = obja_patches.shape[2]
+    psi = probes[:, :, None, :, :]  # (B|1, pmode, 1, Ny, Nx) -> broadcasts over omode
+    Hb = H[:, None, None, :, :]     # (B|1, 1, 1, Ny, Nx)
+
+    def slice_step(psi, a_slice, p_slice):
+        obj_slice = polar(a_slice, p_slice)[:, None]  # (B, 1, omode, Ny, Nx)
+        psi = psi * obj_slice
+        return ifft2(Hb * fft2(psi))
+
+    step = jax.checkpoint(slice_step) if remat else slice_step
+    for n in range(n_slices - 1):
+        psi = step(psi, obja_patches[:, :, n], objp_patches[:, :, n])
+
+    obj_last = polar(obja_patches[:, :, n_slices - 1], objp_patches[:, :, n_slices - 1])
+    psi = psi * obj_last[:, None]
+
+    psi_k = fftshift2(fft2(psi, norm="ortho"))
+    intensity = psi_k.abs2()  # (B, pmode, omode, Ny, Nx)
+    dp = jnp.sum(intensity * omode_occu[:, None, None], axis=(1, 2)) + eps
+    return dp
+
+
+def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp.ndarray):
+    """Full forward pass for a batch of scan indices.
+
+    Returns (dp_fwd, (obja_patches, objp_patches)); patches are reused by the
+    object-dependent loss terms (reference models.py:422-435).
+    """
+    obja_p, objp_p = get_obj_patches(params, buffers, geom, indices)
+    probes = get_probes(params, geom, indices)
+    H = compute_propagators(params, buffers, geom, indices)
+    dp = multislice_dp(
+        obja_p, objp_p, probes, H, buffers.omode_occu, eps=geom.eps, remat=geom.fwd_remat
+    )
+    std = geom.detector_blur_std
+    if std is not None and std != 0:
+        dp = gaussian_blur_2d(dp, kernel_size=5, sigma=std)
+    return dp, (obja_p, objp_p)
+
+
+def get_measurements(buffers: Buffers, geom: Geometry, indices: jnp.ndarray) -> jnp.ndarray:
+    """Measured patterns for a batch, with on-the-fly pad/resample.
+
+    Parity with reference models.py:384-416: the batch is embedded into a
+    fitted-background canvas (pad) and/or bilinearly resampled with intensity
+    conservation — done per batch on device so the full padded dataset never
+    materializes in HBM.
+    """
+    meas = buffers.measurements[indices]
+    if geom.meas_pad_idx is not None:
+        h1, h2, w1, w2 = geom.meas_pad_idx
+        canvas = jnp.broadcast_to(
+            buffers.meas_padded, (meas.shape[0], *geom.meas_padded_shape)
+        )
+        meas = canvas.at[..., h1:h2, w1:w2].set(meas)
+    if geom.meas_scale_factors is not None and any(s != 1 for s in geom.meas_scale_factors):
+        meas = bilinear_resize_conserve(meas, geom.meas_scale_factors)
+    return meas
+
+
+def propagated_probe(params: PtychoParams, buffers: Buffers, geom: Geometry, index: jnp.ndarray) -> Cplx:
+    """Probe at each slice depth, for visualization/saving.
+
+    Returns Cplx (Nz, pmode, Ny, Nx) (reference models.py:362-373).
+    """
+    probe = get_probes(params, geom, index)[0]
+    H = compute_propagators(params, buffers, geom, index)[0]
+    slices = []
+    psi = probe
+    for _ in range(geom.n_slices):
+        slices.append(psi)
+        psi = ifft2(H[None] * fft2(psi))
+    return stack(slices, axis=0)

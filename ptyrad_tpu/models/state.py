@@ -1,0 +1,212 @@
+"""Model state: optimizable parameter pytree, constant buffers, static geometry.
+
+This is the functional replacement for the reference's stateful
+torch.nn.Module (src/ptyrad/models.py:30-145, PtychoAD). The six optimizable
+tensors become a `PtychoParams` pytree fed through jax.value_and_grad; the
+registered buffers become a `Buffers` pytree of constants; everything that
+decides *code paths or shapes* lives in the hashable `Geometry` so it is
+static under jit.
+
+All complex quantities (probe, propagator) are Cplx (re, im) float32 pairs —
+the TPU-native representation (see ops/cplx.py); the reference's
+view_as_real workaround for NCCL (models.py:103) is subsumed by design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptyrad_tpu.ops import cplx
+from ptyrad_tpu.ops.cplx import Cplx
+from ptyrad_tpu.physics.propagator import near_field_evolution, propagator_kgrid
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PtychoParams:
+    """The optimizable parameter pytree.
+
+    obja: (omode, Nz, Noy, Nox) float32 object amplitude
+    objp: (omode, Nz, Noy, Nox) float32 object phase
+    probe: (pmode, Ny, Nx) Cplx mixed-state probe
+    probe_pos_shifts: (N, 2) float32 sub-pixel scan-position shifts [px]
+    obj_tilts: (1 or N, 2) float32 crystal tilts [mrad], (tilt_y, tilt_x)
+    slice_thickness: () float32 inter-slice distance [Ang]
+    """
+
+    obja: jax.Array
+    objp: jax.Array
+    probe: Cplx
+    probe_pos_shifts: jax.Array
+    obj_tilts: jax.Array
+    slice_thickness: jax.Array
+
+    @property
+    def n_omode(self) -> int:
+        return self.obja.shape[0]
+
+    @property
+    def n_slices(self) -> int:
+        return self.obja.shape[1]
+
+    @property
+    def n_pmode(self) -> int:
+        return self.probe.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Buffers:
+    """Constant device arrays used by the forward pass (non-optimizable).
+
+    Mirrors the registered buffers of reference models.py:107-116 plus the
+    precomputed propagator grids of models.py:152-223.
+    """
+
+    H: Cplx                    # (Ny, Nx) Cplx base ASM propagator (corner-centered)
+    measurements: jax.Array    # (N, Ky, Kx) float32 diffraction data
+    crop_pos: jax.Array        # (N, 2) int32 top-left patch corners
+    omode_occu: jax.Array      # (omode,) float32, sums to 1
+    Ky: jax.Array              # (Ny, Nx) float32 angular k-grid (corner layout)
+    Kx: jax.Array              # (Ny, Nx) float32
+    Kz: jax.Array              # (Ny, Nx) float32 sqrt(k^2 - Kx^2 - Ky^2)
+    probe_int_sum: jax.Array   # () float32 initial total probe intensity
+    meas_padded: Optional[jax.Array] = None  # (Kp, Kp) on-the-fly pad background
+
+
+@dataclasses.dataclass(frozen=True)
+class Geometry:
+    """Static configuration: shapes, flags, and physical scalars.
+
+    Hashable; a change here triggers (correctly) a re-jit. Scalars that never
+    receive gradients (dx, dk, lambd) are kept here as plain floats so they
+    constant-fold into the compiled program.
+    """
+
+    probe_shape: Tuple[int, int]
+    obj_shape: Tuple[int, int, int, int]   # (omode, Nz, Noy, Nox)
+    n_scans: int
+    n_scan_slow: int
+    n_scan_fast: int
+    dx: float
+    dk: float
+    lambd: float
+    scan_affine: Optional[Tuple[float, float, float, float]] = None
+    # optimization-path flags (reference models.py:119-121, 320-360)
+    shift_probes: bool = False
+    tilt_obj: bool = False
+    global_tilt: bool = True
+    change_thickness: bool = False
+    # forward-model options
+    obj_preblur_std: Optional[float] = None
+    detector_blur_std: Optional[float] = None
+    # on-the-fly measurement transforms (reference models.py:384-416)
+    meas_pad_idx: Optional[Tuple[int, int, int, int]] = None  # (h1, h2, w1, w2)
+    meas_padded_shape: Optional[Tuple[int, int]] = None
+    meas_scale_factors: Optional[Tuple[float, float]] = None
+    eps: float = 1e-10
+    fwd_remat: bool = False  # rematerialize the multislice loop to save HBM
+
+    @property
+    def n_slices(self) -> int:
+        return self.obj_shape[1]
+
+    @property
+    def dp_shape(self) -> Tuple[int, int]:
+        """Shape of the forward diffraction pattern after pad/resample."""
+        shape = self.meas_padded_shape if self.meas_pad_idx is not None else self.probe_shape
+        if self.meas_scale_factors is not None:
+            sy, sx = self.meas_scale_factors
+            shape = (int(round(shape[0] * sy)), int(round(shape[1] * sx)))
+        return shape
+
+
+def make_model(init_variables: dict, model_params: Optional[dict] = None):
+    """Build (params, buffers, geometry) from an init_variables dict.
+
+    `init_variables` carries the same keys the reference Initializer produces
+    (obj, probe, probe_pos_shifts, obj_tilts, slice_thickness, H,
+    measurements, crop_pos, omode_occu, dx, dk, lambd, N_scan_slow,
+    N_scan_fast, ...); `model_params` carries update_params (per-tensor lr +
+    start_iter), obj_preblur_std, detector_blur_std.
+    """
+    model_params = model_params or {}
+    update = model_params.get("update_params", {})
+
+    def lr_of(name):
+        return float(update.get(name, {}).get("lr", 0.0))
+
+    obj = np.asarray(init_variables["obj"])
+    probe = np.asarray(init_variables["probe"], dtype=np.complex64)
+    probe_c = cplx.from_numpy(probe)
+    tilts = np.asarray(init_variables["obj_tilts"], dtype=np.float32).reshape(-1, 2)
+    shifts = np.asarray(init_variables["probe_pos_shifts"], dtype=np.float32)
+    dz = float(np.asarray(init_variables["slice_thickness"]))
+    meas = np.asarray(init_variables["measurements"], dtype=np.float32)
+    crop_pos = np.asarray(init_variables["crop_pos"], dtype=np.int32)
+    omode_occu = np.asarray(init_variables["omode_occu"], dtype=np.float32)
+    dx = float(np.asarray(init_variables["dx"]))
+    dk = float(np.asarray(init_variables.get("dk", 1.0 / (dx * probe.shape[-1]))))
+    lambd = float(np.asarray(init_variables["lambd"]))
+
+    params = PtychoParams(
+        obja=jnp.asarray(np.abs(obj), dtype=jnp.float32),
+        objp=jnp.asarray(np.angle(obj), dtype=jnp.float32),
+        probe=probe_c,
+        probe_pos_shifts=jnp.asarray(shifts),
+        obj_tilts=jnp.asarray(tilts),
+        slice_thickness=jnp.asarray(dz, dtype=jnp.float32),
+    )
+
+    probe_shape = probe.shape[-2:]
+    H = np.asarray(
+        init_variables.get("H", near_field_evolution(probe_shape, dx, dz, lambd)),
+        dtype=np.complex64,
+    )
+    Ky, Kx = propagator_kgrid(probe_shape, dx)
+    k = 2.0 * np.pi / lambd
+    Kz = np.sqrt(np.maximum(k**2 - Kx**2 - Ky**2, 0.0))
+
+    meas_padded = init_variables.get("on_the_fly_meas_padded")
+    meas_pad_idx = init_variables.get("on_the_fly_meas_padded_idx")
+    meas_scale = init_variables.get("on_the_fly_meas_scale_factors")
+
+    buffers = Buffers(
+        H=cplx.from_numpy(H),
+        measurements=jnp.asarray(meas),
+        crop_pos=jnp.asarray(crop_pos),
+        omode_occu=jnp.asarray(omode_occu),
+        Ky=jnp.asarray(Ky, dtype=jnp.float32),
+        Kx=jnp.asarray(Kx, dtype=jnp.float32),
+        Kz=jnp.asarray(Kz, dtype=jnp.float32),
+        probe_int_sum=jnp.sum(params.probe.abs2()).astype(jnp.float32),
+        meas_padded=(jnp.asarray(meas_padded, dtype=jnp.float32) if meas_padded is not None else None),
+    )
+
+    tilt_obj = bool(lr_of("obj_tilts") != 0 or np.any(tilts))
+    geom = Geometry(
+        probe_shape=tuple(probe_shape),
+        obj_shape=tuple(obj.shape),
+        n_scans=int(meas.shape[0]),
+        n_scan_slow=int(np.asarray(init_variables.get("N_scan_slow", meas.shape[0]))),
+        n_scan_fast=int(np.asarray(init_variables.get("N_scan_fast", 1))),
+        dx=dx,
+        dk=dk,
+        lambd=lambd,
+        scan_affine=(tuple(init_variables["scan_affine"]) if init_variables.get("scan_affine") is not None else None),
+        shift_probes=bool(lr_of("probe_pos_shifts") != 0),
+        tilt_obj=tilt_obj,
+        global_tilt=bool(tilts.shape[0] == 1),
+        change_thickness=bool(lr_of("slice_thickness") != 0),
+        obj_preblur_std=model_params.get("obj_preblur_std"),
+        detector_blur_std=model_params.get("detector_blur_std"),
+        meas_pad_idx=(tuple(int(i) for i in meas_pad_idx) if meas_pad_idx is not None else None),
+        meas_padded_shape=(tuple(np.asarray(meas_padded).shape[-2:]) if meas_padded is not None else None),
+        meas_scale_factors=(tuple(float(s) for s in meas_scale) if meas_scale is not None else None),
+    )
+    return params, buffers, geom

@@ -1,0 +1,143 @@
+"""Fourier transforms as MXU matrix products, in real (re, im) arithmetic.
+
+TPUs have no FFT hardware, and the targeted TPU backend lowers neither
+jnp.fft.* nor complex dtypes. Both constraints dissolve with the same move:
+the DFT of a small axis is a dense matrix product,
+
+    FFT2(x) = F_y @ x @ F_x^T,
+
+evaluated in real arithmetic with the 3-multiplication complex-product
+decomposition (see ops/cplx.py). For the transform sizes that dominate
+ptychography (64-256 pixels), the O(N^3) matmul form maps onto the 128x128
+MXU systolic array and batches over (batch, pmode, omode) as one large GEMM —
+on TPU this is faster than a VPU-executed O(N^2 log N) FFT would be, and it
+is exactly differentiable.
+
+The DFT matrices (F_re, F_im, F_re+F_im) are host-precomputed constants per
+(N, direction), cached and closed over into jit.
+
+Replaces torch.fft.fft2/ifft2 in the reference hot loop (src/ptyrad/
+forward.py:63,79, src/ptyrad/utils/image_proc.py:524-532).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptyrad_tpu.ops.cplx import Cplx, matmul_const
+
+_MAX_DFT_N = 4096  # guard against accidentally huge dense DFTs
+
+
+@functools.lru_cache(maxsize=64)
+def _dft_consts(n: int, inverse: bool):
+    """(F_re, F_im, F_re + F_im) float32 for F[j,k] = exp(-+2i*pi*j*k/n)."""
+    if n > _MAX_DFT_N:
+        raise ValueError(f"Dense DFT of size {n} exceeds the {_MAX_DFT_N} guard")
+    j = np.arange(n, dtype=np.float64)
+    phase = 2.0 * np.pi * np.outer(j, j) / n
+    if not inverse:
+        phase = -phase
+    fr = np.cos(phase).astype(np.float32)
+    fi = np.sin(phase).astype(np.float32)
+    return fr, fi, (fr + fi).astype(np.float32)
+
+
+def _as_cplx(x) -> Cplx:
+    if isinstance(x, Cplx):
+        return x
+    x = jnp.asarray(x)
+    return Cplx(x, jnp.zeros_like(x))
+
+
+def _dft_last_axis(x: Cplx, inverse: bool) -> Cplx:
+    fr, fi, frpi = (jnp.asarray(m) for m in _dft_consts(x.shape[-1], inverse))
+    return matmul_const(fr, fi, frpi, x, side="right")
+
+
+def _dft_row_axis(x: Cplx, inverse: bool) -> Cplx:
+    fr, fi, frpi = (jnp.asarray(m) for m in _dft_consts(x.shape[-2], inverse))
+    return matmul_const(fr, fi, frpi, x, side="left")
+
+
+def fft2(x, norm: str | None = None) -> Cplx:
+    """2D DFT over the last two axes. Accepts Cplx or a real array."""
+    x = _as_cplx(x)
+    out = _dft_last_axis(_dft_row_axis(x, False), False)
+    if norm == "ortho":
+        out = out * np.float32(1.0 / np.sqrt(x.shape[-2] * x.shape[-1]))
+    return out
+
+
+def ifft2(x, norm: str | None = None) -> Cplx:
+    """2D inverse DFT over the last two axes."""
+    x = _as_cplx(x)
+    out = _dft_last_axis(_dft_row_axis(x, True), True)
+    if norm == "ortho":
+        out = out * np.float32(1.0 / np.sqrt(x.shape[-2] * x.shape[-1]))
+    else:
+        out = out * np.float32(1.0 / (x.shape[-2] * x.shape[-1]))
+    return out
+
+
+def dft_axis(x: Cplx, axis: int, inverse: bool = False) -> Cplx:
+    """DFT along one arbitrary axis (unnormalized forward, 1/N inverse)."""
+    x = _as_cplx(x)
+    moved = Cplx(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
+    out = _dft_last_axis(moved, inverse)
+    if inverse:
+        out = out * np.float32(1.0 / x.shape[axis])
+    return Cplx(jnp.moveaxis(out.re, -1, axis), jnp.moveaxis(out.im, -1, axis))
+
+
+def fftn3(x, inverse: bool = False) -> Cplx:
+    """3D DFT over the last three axes (kz-filter constraint)."""
+    x = _as_cplx(x)
+    out = dft_axis(x, -3, inverse)
+    out = _dft_row_axis(out, inverse)
+    out = _dft_last_axis(out, inverse)
+    if inverse:
+        out = out * np.float32(1.0 / (x.shape[-2] * x.shape[-1]))
+    return out
+
+
+def fftshift2(x):
+    """fftshift over the last two axes; works on Cplx and real arrays."""
+    if isinstance(x, Cplx):
+        return Cplx(fftshift2(x.re), fftshift2(x.im))
+    return jnp.roll(x, (x.shape[-2] // 2, x.shape[-1] // 2), axis=(-2, -1))
+
+
+def ifftshift2(x):
+    """ifftshift over the last two axes (differs from fftshift for odd N)."""
+    if isinstance(x, Cplx):
+        return Cplx(ifftshift2(x.re), ifftshift2(x.im))
+    return jnp.roll(x, (-(x.shape[-2] // 2), -(x.shape[-1] // 2)), axis=(-2, -1))
+
+
+def mfft2(im: np.ndarray):
+    """Periodic-plus-smooth decomposition FFT (Moisan), host-side NumPy.
+
+    Reduces periodic boundary artifacts in FFTs of full-field images
+    (reference utils/math_ops.py:28-50). Returns (P, S): FFTs of the periodic
+    and smooth components, with fft2(im) = P + S.
+    """
+    rows, cols = im.shape
+    s = np.zeros_like(im, dtype=np.float64)
+    s[0, :] = im[0, :] - im[rows - 1, :]
+    s[rows - 1, :] = -s[0, :]
+    s[:, 0] += im[:, 0] - im[:, cols - 1]
+    s[:, cols - 1] -= im[:, 0] - im[:, cols - 1]
+
+    cx, cy = np.meshgrid(
+        2 * np.pi * np.arange(cols) / cols, 2 * np.pi * np.arange(rows) / rows
+    )
+    denom = 2.0 * (2.0 - np.cos(cx) - np.cos(cy))
+    denom[0, 0] = np.inf  # enforce zero mean
+    S = np.fft.fft2(s) / denom
+    P = np.fft.fft2(im) - S
+    return P, S

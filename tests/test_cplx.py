@@ -1,0 +1,94 @@
+"""Tests for the (re, im) complex-pair arithmetic layer against NumPy complex."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptyrad_tpu.ops import cplx
+from ptyrad_tpu.ops.cplx import Cplx
+
+
+def rand_c(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+
+class TestArithmetic:
+    def test_roundtrip(self, rng):
+        a = rand_c(rng, (3, 4))
+        np.testing.assert_allclose(cplx.to_numpy(cplx.from_numpy(a)), a)
+
+    @pytest.mark.parametrize("op", ["add", "sub", "mul", "div"])
+    def test_binary_ops(self, rng, op):
+        a, b = rand_c(rng, (4, 4)), rand_c(rng, (4, 4))
+        za, zb = cplx.from_numpy(a), cplx.from_numpy(b)
+        got = {
+            "add": lambda: za + zb, "sub": lambda: za - zb,
+            "mul": lambda: za * zb, "div": lambda: za / zb,
+        }[op]()
+        want = {"add": a + b, "sub": a - b, "mul": a * b, "div": a / b}[op]
+        np.testing.assert_allclose(cplx.to_numpy(got), want, atol=1e-4)
+
+    def test_scalar_and_real_array_mul(self, rng):
+        a = rand_c(rng, (4, 4))
+        za = cplx.from_numpy(a)
+        np.testing.assert_allclose(cplx.to_numpy(za * 2.5), a * 2.5, atol=1e-5)
+        r = rng.standard_normal((4, 4)).astype(np.float32)
+        np.testing.assert_allclose(cplx.to_numpy(za * jnp.asarray(r)), a * r, atol=1e-5)
+
+    def test_conj_abs_angle(self, rng):
+        a = rand_c(rng, (5,))
+        za = cplx.from_numpy(a)
+        np.testing.assert_allclose(cplx.to_numpy(za.conj()), np.conj(a), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(za.abs2()), np.abs(a) ** 2, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(za.abs()), np.abs(a), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(za.angle()), np.angle(a), atol=1e-5)
+
+    def test_polar_expi(self, rng):
+        amp = np.abs(rng.standard_normal(8)).astype(np.float32)
+        ph = rng.standard_normal(8).astype(np.float32)
+        np.testing.assert_allclose(
+            cplx.to_numpy(cplx.polar(jnp.asarray(amp), jnp.asarray(ph))),
+            amp * np.exp(1j * ph), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            cplx.to_numpy(cplx.expi(jnp.asarray(ph))), np.exp(1j * ph), atol=1e-6
+        )
+
+    def test_is_pytree(self, rng):
+        z = cplx.from_numpy(rand_c(rng, (2, 2)))
+        leaves = jax.tree_util.tree_leaves(z)
+        assert len(leaves) == 2
+        doubled = jax.tree_util.tree_map(lambda x: x * 2, z)
+        assert isinstance(doubled, Cplx)
+
+
+class TestLinalg:
+    def test_matmul(self, rng):
+        a, b = rand_c(rng, (3, 5)), rand_c(rng, (5, 4))
+        got = cplx.matmul(cplx.from_numpy(a), cplx.from_numpy(b))
+        np.testing.assert_allclose(cplx.to_numpy(got), a @ b, atol=1e-4)
+
+    def test_matmul_const_karatsuba(self, rng):
+        f = rand_c(rng, (6, 6))
+        x = rand_c(rng, (2, 6, 8))
+        fr, fi = jnp.asarray(f.real), jnp.asarray(f.imag)
+        got_l = cplx.matmul_const(fr, fi, fr + fi, cplx.from_numpy(x), side="left")
+        np.testing.assert_allclose(cplx.to_numpy(got_l), np.einsum("jk,bkx->bjx", f, x), atol=1e-4)
+        x2 = rand_c(rng, (2, 5, 6))
+        got_r = cplx.matmul_const(fr, fi, fr + fi, cplx.from_numpy(x2), side="right")
+        np.testing.assert_allclose(cplx.to_numpy(got_r), np.einsum("byk,jk->byj", x2, f), atol=1e-4)
+
+    def test_eigh_hermitian(self, rng):
+        m = rand_c(rng, (6, 20)).astype(np.complex128)
+        a = (m @ m.conj().T).astype(np.complex64)  # Hermitian PSD
+        w, v = cplx.eigh(cplx.from_numpy(a))
+        w_np = np.linalg.eigvalsh(a)
+        np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(w_np), rtol=1e-3, atol=1e-3)
+        # eigenvector property: A v = w v
+        vc = cplx.to_numpy(v)
+        for i in range(6):
+            np.testing.assert_allclose(a @ vc[:, i], np.asarray(w)[i] * vc[:, i], atol=2e-2)
+        # columns are orthonormal
+        gram = vc.conj().T @ vc
+        np.testing.assert_allclose(gram, np.eye(6), atol=1e-3)

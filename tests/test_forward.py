@@ -1,0 +1,240 @@
+"""Forward-model tests: JAX multislice vs an independent NumPy oracle."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptyrad_tpu.ops import cplx
+from ptyrad_tpu.models import (
+    compute_propagators,
+    forward,
+    get_measurements,
+    make_model,
+    multislice_dp,
+    propagated_probe,
+)
+from ptyrad_tpu.physics.propagator import near_field_evolution, propagator_kgrid
+
+
+def numpy_multislice_dp(obja, objp, probes, H, omode_occu, eps=1e-10):
+    """Straight NumPy transcription of the multislice physics, used as oracle.
+
+    obja/objp: (B, omode, Nz, Ny, Nx); probes: (B|1, pmode, Ny, Nx);
+    H: (B|1, Ny, Nx) corner-centered.
+    """
+    B, omode, nz, ny, nx = obja.shape
+    obj = obja * np.exp(1j * objp)
+    if probes.shape[0] == 1:
+        probes = np.broadcast_to(probes, (B, *probes.shape[1:]))
+    if H.shape[0] == 1:
+        H = np.broadcast_to(H, (B, ny, nx))
+    dp = np.zeros((B, ny, nx))
+    for b in range(B):
+        for p in range(probes.shape[1]):
+            for o in range(omode):
+                psi = probes[b, p].astype(np.complex128)
+                for z in range(nz - 1):
+                    psi = psi * obj[b, o, z]
+                    psi = np.fft.ifft2(H[b] * np.fft.fft2(psi))
+                psi = psi * obj[b, o, nz - 1]
+                psi_k = np.fft.fftshift(np.fft.fft2(psi, norm="ortho"))
+                dp[b] += omode_occu[o] * np.abs(psi_k) ** 2
+    return dp + eps
+
+
+def make_toy_init(rng, n_scans=12, npix=16, omode=2, nz=3, pmode=2, canvas=32):
+    probe = (rng.standard_normal((pmode, npix, npix)) + 1j * rng.standard_normal((pmode, npix, npix))).astype(np.complex64)
+    probe /= np.sqrt((np.abs(probe) ** 2).sum())
+    obj = (1.0 + 0.05 * rng.standard_normal((omode, nz, canvas, canvas))) * np.exp(
+        1j * 0.1 * rng.standard_normal((omode, nz, canvas, canvas))
+    )
+    crop_pos = rng.integers(0, canvas - npix, size=(n_scans, 2)).astype(np.int32)
+    lambd = 0.0417
+    dx = 0.15
+    dz = 2.0
+    H = near_field_evolution((npix, npix), dx, dz, lambd)
+    meas = np.abs(rng.standard_normal((n_scans, npix, npix))).astype(np.float32)
+    occu = rng.random(omode).astype(np.float32)
+    occu /= occu.sum()
+    return {
+        "obj": obj.astype(np.complex64),
+        "probe": probe,
+        "probe_pos_shifts": np.zeros((n_scans, 2), np.float32),
+        "obj_tilts": np.zeros((1, 2), np.float32),
+        "slice_thickness": dz,
+        "H": H,
+        "measurements": meas,
+        "crop_pos": crop_pos,
+        "omode_occu": occu,
+        "dx": dx,
+        "lambd": lambd,
+        "N_scan_slow": 4,
+        "N_scan_fast": 3,
+    }
+
+
+@pytest.fixture()
+def toy(rng):
+    init = make_toy_init(rng)
+    params, buffers, geom = make_model(init)
+    return init, params, buffers, geom
+
+
+class TestMultisliceForward:
+    def test_matches_numpy_oracle(self, toy):
+        init, params, buffers, geom = toy
+        idx = jnp.arange(6)
+        dp, _ = forward(params, buffers, geom, idx)
+
+        obja = np.abs(init["obj"])[None].repeat(6, 0)
+        objp = np.angle(init["obj"])[None].repeat(6, 0)
+        # gather patches like the model does
+        ny, nx = geom.probe_shape
+        pos = init["crop_pos"][:6]
+        obja_p = np.stack([obja[i, :, :, y:y + ny, x:x + nx] for i, (y, x) in enumerate(pos)])
+        objp_p = np.stack([objp[i, :, :, y:y + ny, x:x + nx] for i, (y, x) in enumerate(pos)])
+        want = numpy_multislice_dp(
+            obja_p, objp_p, init["probe"][None], init["H"][None], init["omode_occu"]
+        )
+        np.testing.assert_allclose(np.asarray(dp), want, rtol=1e-3, atol=1e-5)
+
+    def test_single_slice_skips_propagation(self, rng):
+        init = make_toy_init(rng, nz=1)
+        params, buffers, geom = make_model(init)
+        dp, _ = forward(params, buffers, geom, jnp.arange(4))
+        # oracle: single multiply + far-field
+        ny, nx = geom.probe_shape
+        pos = init["crop_pos"][:4]
+        obj = init["obj"]
+        want = np.zeros((4, ny, nx))
+        for i, (y, x) in enumerate(pos):
+            for p in range(init["probe"].shape[0]):
+                for o in range(obj.shape[0]):
+                    psi = init["probe"][p] * obj[o, 0, y:y + ny, x:x + nx]
+                    want[i] += init["omode_occu"][o] * np.abs(
+                        np.fft.fftshift(np.fft.fft2(psi, norm="ortho"))
+                    ) ** 2
+        np.testing.assert_allclose(np.asarray(dp), want + 1e-10, rtol=1e-3, atol=1e-5)
+
+    def test_energy_conservation(self, toy):
+        # Unit-modulus object (pure phase), unitary propagators, ortho FFT:
+        # sum(dp) == total probe intensity for each sample
+        init, params, buffers, geom = toy
+        params = dataclasses.replace(params, obja=jnp.ones_like(params.obja))
+        dp, _ = forward(params, buffers, geom, jnp.arange(4))
+        probe_int = float(np.sum(np.abs(init["probe"]) ** 2))
+        np.testing.assert_allclose(np.asarray(dp).sum(axis=(1, 2)), probe_int, rtol=1e-4)
+
+    def test_remat_matches(self, toy):
+        init, params, buffers, geom = toy
+        dp1, _ = forward(params, buffers, geom, jnp.arange(4))
+        geom_r = dataclasses.replace(geom, fwd_remat=True)
+        dp2, _ = forward(params, buffers, geom_r, jnp.arange(4))
+        np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp2), atol=1e-6)
+
+    def test_jit_and_grad_finite(self, toy):
+        init, params, buffers, geom = toy
+        idx = jnp.arange(8)
+
+        @jax.jit
+        def loss(p):
+            dp, _ = forward(p, buffers, geom, idx)
+            meas = get_measurements(buffers, geom, idx)
+            return jnp.mean((jnp.sqrt(dp) - jnp.sqrt(meas)) ** 2)
+
+        g = jax.grad(loss)(params)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+        # object amplitude grad must be nonzero inside scanned area
+        assert float(jnp.abs(g.obja).max()) > 0
+
+
+class TestPropagators:
+    def test_fixed_case_returns_H(self, toy):
+        init, params, buffers, geom = toy
+        H = compute_propagators(params, buffers, geom, jnp.arange(3))
+        assert H.shape == (1, *geom.probe_shape)
+        np.testing.assert_allclose(cplx.to_numpy(H[0]), init["H"], atol=1e-6)
+
+    def test_zero_tilt_matches_H(self, rng):
+        # tilt path with zero tilts should reproduce the base propagator
+        init = make_toy_init(rng)
+        params, buffers, geom = make_model(
+            init, {"update_params": {"obj_tilts": {"lr": 1e-4, "start_iter": 1}}}
+        )
+        assert geom.tilt_obj
+        H = compute_propagators(params, buffers, geom, jnp.arange(3))
+        np.testing.assert_allclose(cplx.to_numpy(H[0]), init["H"], atol=1e-6)
+
+    def test_opt_thickness_matches_H_at_init(self, rng):
+        init = make_toy_init(rng)
+        params, buffers, geom = make_model(
+            init, {"update_params": {"slice_thickness": {"lr": 1e-4, "start_iter": 1}}}
+        )
+        assert geom.change_thickness
+        H = compute_propagators(params, buffers, geom, jnp.arange(1))
+        np.testing.assert_allclose(cplx.to_numpy(H[0]), init["H"], atol=1e-4)
+
+    def test_per_position_tilts(self, rng):
+        init = make_toy_init(rng)
+        init["obj_tilts"] = rng.standard_normal((12, 2)).astype(np.float32)
+        params, buffers, geom = make_model(init)
+        assert geom.tilt_obj and not geom.global_tilt
+        idx = jnp.asarray([0, 5])
+        H = compute_propagators(params, buffers, geom, idx)
+        assert H.shape == (2, *geom.probe_shape)
+        # oracle for sample 5
+        Ky, Kx = propagator_kgrid(geom.probe_shape, geom.dx)
+        t = init["obj_tilts"][5] / 1e3
+        want = init["H"] * np.exp(1j * 2.0 * (Ky * np.tan(t[0]) + Kx * np.tan(t[1])))
+        np.testing.assert_allclose(cplx.to_numpy(H[1]), want, atol=1e-5)
+
+
+class TestSubsystems:
+    def test_shifted_probes_used(self, rng):
+        init = make_toy_init(rng)
+        init["probe_pos_shifts"] = rng.standard_normal((12, 2)).astype(np.float32)
+        params, buffers, geom = make_model(
+            init, {"update_params": {"probe_pos_shifts": {"lr": 1e-4, "start_iter": 1}}}
+        )
+        assert geom.shift_probes
+        dp_shifted, _ = forward(params, buffers, geom, jnp.arange(3))
+        params0 = dataclasses.replace(
+            params, probe_pos_shifts=jnp.zeros_like(params.probe_pos_shifts)
+        )
+        dp_zero, _ = forward(params0, buffers, geom, jnp.arange(3))
+        assert not np.allclose(np.asarray(dp_shifted), np.asarray(dp_zero), atol=1e-6)
+
+    def test_detector_blur_conserves_flux(self, rng):
+        init = make_toy_init(rng)
+        params, buffers, geom = make_model(init, {"detector_blur_std": 1.0})
+        dp_blur, _ = forward(params, buffers, geom, jnp.arange(3))
+        params2, buffers2, geom2 = make_model(init)
+        dp_raw, _ = forward(params2, buffers2, geom2, jnp.arange(3))
+        assert not np.allclose(np.asarray(dp_blur), np.asarray(dp_raw))
+        # reflect padding redistributes edge flux, so conservation is approximate
+        np.testing.assert_allclose(
+            np.asarray(dp_blur).sum(), np.asarray(dp_raw).sum(), rtol=2e-2
+        )
+
+    def test_measurements_pad_and_resample(self, rng):
+        init = make_toy_init(rng, npix=8)
+        init["on_the_fly_meas_padded"] = np.full((12, 12), 0.5, np.float32)
+        init["on_the_fly_meas_padded_idx"] = (2, 10, 2, 10)
+        init["on_the_fly_meas_scale_factors"] = (2.0, 2.0)
+        params, buffers, geom = make_model(init)
+        assert geom.dp_shape == (24, 24)
+        meas = get_measurements(buffers, geom, jnp.arange(2))
+        assert meas.shape == (2, 24, 24)
+        # intensity conserved under resample: sum == padded canvas sum
+        canvas_sum = init["measurements"][0].sum() + 0.5 * (12 * 12 - 8 * 8)
+        np.testing.assert_allclose(np.asarray(meas[0]).sum(), canvas_sum, rtol=2e-2)
+
+    def test_propagated_probe(self, toy):
+        init, params, buffers, geom = toy
+        pp = propagated_probe(params, buffers, geom, jnp.asarray([0]))
+        assert pp.shape == (geom.n_slices, init["probe"].shape[0], *geom.probe_shape)
+        np.testing.assert_allclose(cplx.to_numpy(pp[0]), init["probe"], atol=1e-6)

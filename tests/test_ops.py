@@ -1,0 +1,178 @@
+"""Unit tests for device ops: FFTs (matmul vs XLA), shifts, patches, blurs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptyrad_tpu.ops import cplx, fourier
+from ptyrad_tpu.ops.blur import gaussian_blur_1d, gaussian_blur_2d, gaussian_kernel_1d
+from ptyrad_tpu.ops.masks import make_sigmoid_mask
+from ptyrad_tpu.ops.patches import extract_patches, scatter_add_patches
+from ptyrad_tpu.ops.resize import area_downsample, bilinear_resize_conserve
+from ptyrad_tpu.ops.shift import fourier_shift
+
+
+class TestMatmulDFT:
+    @pytest.mark.parametrize("shape", [(8, 8), (16, 16), (7, 9), (4, 16)])
+    @pytest.mark.parametrize("norm", [None, "ortho"])
+    def test_fft2_matches_numpy(self, rng, shape, norm):
+        x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        got = fourier.fft2(cplx.from_numpy(x), norm=norm)
+        want = np.fft.fft2(x, norm=norm)
+        np.testing.assert_allclose(cplx.to_numpy(got), want, atol=1e-4)
+
+    @pytest.mark.parametrize("norm", [None, "ortho"])
+    def test_ifft2_matches_numpy(self, rng, norm):
+        x = (rng.standard_normal((3, 16, 16)) + 1j * rng.standard_normal((3, 16, 16))).astype(np.complex64)
+        got = fourier.ifft2(cplx.from_numpy(x), norm=norm)
+        want = np.fft.ifft2(x, norm=norm)
+        np.testing.assert_allclose(cplx.to_numpy(got), want, atol=1e-5)
+
+    def test_roundtrip(self, rng):
+        x = (rng.standard_normal((2, 3, 32, 32)) + 1j * rng.standard_normal((2, 3, 32, 32))).astype(np.complex64)
+        xj = cplx.from_numpy(x)
+        np.testing.assert_allclose(cplx.to_numpy(fourier.ifft2(fourier.fft2(xj))), x, atol=1e-4)
+
+    def test_real_input_promoted(self, rng):
+        x = rng.standard_normal((8, 8)).astype(np.float32)
+        got = fourier.fft2(jnp.asarray(x))
+        np.testing.assert_allclose(cplx.to_numpy(got), np.fft.fft2(x), atol=1e-4)
+
+    def test_fftn3_matches_numpy(self, rng):
+        x = (rng.standard_normal((2, 4, 8, 8)) + 1j * rng.standard_normal((2, 4, 8, 8))).astype(np.complex64)
+        got = fourier.fftn3(cplx.from_numpy(x))
+        np.testing.assert_allclose(cplx.to_numpy(got), np.fft.fftn(x, axes=(-3, -2, -1)), atol=1e-3)
+        back = fourier.fftn3(fourier.fftn3(cplx.from_numpy(x)), inverse=True)
+        np.testing.assert_allclose(cplx.to_numpy(back), x, atol=1e-4)
+
+    def test_fftshift_matches_numpy(self, rng):
+        for n in (8, 9):
+            x = rng.standard_normal((n, n)).astype(np.float32)
+            np.testing.assert_array_equal(np.asarray(fourier.fftshift2(jnp.asarray(x))), np.fft.fftshift(x))
+            np.testing.assert_array_equal(np.asarray(fourier.ifftshift2(jnp.asarray(x))), np.fft.ifftshift(x))
+
+    def test_gradients_flow(self, rng):
+        x = jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32))
+
+        def f(v):
+            return jnp.sum(fourier.fft2(v).abs2())
+
+        g = jax.grad(f)(x)
+        # Parseval: sum|F(v)|^2 = N * sum v^2, so grad = 2*N*v
+        np.testing.assert_allclose(np.asarray(g), 2 * 64 * np.asarray(x), rtol=1e-4)
+
+
+class TestFourierShift:
+    def test_integer_shift_is_roll(self, rng):
+        img = rng.standard_normal((16, 16)).astype(np.float32)
+        shifts = jnp.asarray([[3.0, -2.0]])
+        out = np.asarray(fourier_shift(jnp.asarray(img), shifts).re)[0]
+        want = np.roll(img, (3, -2), axis=(0, 1))
+        np.testing.assert_allclose(out, want, atol=1e-4)
+
+    def test_shift_inverse(self, rng):
+        img = (rng.standard_normal((16, 16)) + 1j * rng.standard_normal((16, 16))).astype(np.complex64)
+        fwd = fourier_shift(cplx.from_numpy(img), jnp.asarray([[0.37, -1.21]]))[0]
+        back = fourier_shift(fwd, jnp.asarray([[-0.37, 1.21]]))[0]
+        np.testing.assert_allclose(cplx.to_numpy(back), img, atol=1e-4)
+
+    def test_batch_and_leading_dims(self, rng):
+        img = (rng.standard_normal((2, 16, 16)) + 1j * rng.standard_normal((2, 16, 16))).astype(np.complex64)
+        shifts = jnp.asarray([[0.5, 0.0], [0.0, 0.5], [1.5, -0.5]])
+        out = fourier_shift(cplx.from_numpy(img), shifts)
+        assert out.shape == (3, 2, 16, 16)
+
+    def test_subpixel_against_scipy(self, rng):
+        from scipy.ndimage import fourier_shift as scipy_fshift
+
+        img = rng.standard_normal((32, 32)).astype(np.float64)
+        sy, sx = 0.3, -0.7
+        want = np.fft.ifft2(scipy_fshift(np.fft.fft2(img), (sy, sx))).real
+        got = np.asarray(fourier_shift(jnp.asarray(img, jnp.float32), jnp.asarray([[sy, sx]])).re)[0]
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestPatches:
+    def test_matches_numpy_slicing(self, rng):
+        canvas = rng.standard_normal((2, 3, 20, 24)).astype(np.float32)
+        pos = np.array([[0, 0], [5, 7], [12, 16]], dtype=np.int32)
+        got = np.asarray(extract_patches(jnp.asarray(canvas), jnp.asarray(pos), (8, 8)))
+        for i, (y, x) in enumerate(pos):
+            np.testing.assert_array_equal(got[i], canvas[:, :, y:y + 8, x:x + 8])
+
+    def test_grad_is_overlap_count(self):
+        canvas = jnp.zeros((10, 10), jnp.float32)
+        pos = jnp.asarray([[0, 0], [2, 2], [2, 2]], dtype=jnp.int32)
+
+        def f(c):
+            return jnp.sum(extract_patches(c, pos, (4, 4)))
+
+        g = np.asarray(jax.grad(f)(canvas))
+        want = np.zeros((10, 10), np.float32)
+        want[0:4, 0:4] += 1
+        want[2:6, 2:6] += 2
+        np.testing.assert_array_equal(g, want)
+
+    def test_scatter_add_matches_vjp(self, rng):
+        canvas_shape = (2, 12, 12)
+        pos = jnp.asarray([[1, 2], [3, 4], [0, 0]], dtype=jnp.int32)
+        patches = jnp.asarray(rng.standard_normal((3, 2, 5, 5)).astype(np.float32))
+
+        _, vjp = jax.vjp(lambda c: extract_patches(c, pos, (5, 5)), jnp.zeros(canvas_shape))
+        via_ad = np.asarray(vjp(patches)[0])
+        via_explicit = np.asarray(scatter_add_patches(canvas_shape, patches, pos))
+        np.testing.assert_allclose(via_ad, via_explicit, atol=1e-6)
+
+
+class TestBlur:
+    def test_kernel_normalized(self):
+        k = np.asarray(gaussian_kernel_1d(5, 0.7))
+        assert k.sum() == pytest.approx(1.0, rel=1e-6)
+        assert k[2] == k.max()
+        np.testing.assert_allclose(k, k[::-1])  # symmetric
+
+    def test_blur2d_constant_preserved(self):
+        x = jnp.full((1, 9, 9), 3.25, jnp.float32)
+        out = np.asarray(gaussian_blur_2d(x, 5, 1.0))
+        np.testing.assert_allclose(out, 3.25, rtol=1e-6)
+
+    def test_blur2d_matches_direct_convolution(self, rng):
+        from scipy.signal import convolve2d
+
+        x = rng.standard_normal((12, 12)).astype(np.float32)
+        k = np.asarray(gaussian_kernel_1d(5, 0.8))
+        k2d = np.outer(k, k)
+        xp = np.pad(x, 2, mode="reflect")
+        want = convolve2d(xp, k2d[::-1, ::-1], mode="valid")
+        got = np.asarray(gaussian_blur_2d(jnp.asarray(x), 5, 0.8))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_blur1d_replicate_edges(self):
+        # A step at the boundary should not ring below the edge value
+        x = jnp.concatenate([jnp.ones(5), jnp.zeros(5)]).reshape(1, 10)
+        out = np.asarray(gaussian_blur_1d(x, 5, 1.0))[0]
+        assert out[0] == pytest.approx(1.0, abs=1e-3)
+        assert out[-1] == pytest.approx(0.0, abs=1e-3)
+
+
+class TestMasksResize:
+    def test_sigmoid_mask_profile(self):
+        mask = np.asarray(make_sigmoid_mask(64, relative_radius=0.5, relative_width=0.02))
+        assert mask[32, 32] == pytest.approx(1.0, abs=1e-3)   # center open
+        assert mask[32, 63] < 0.01                            # edge closed
+        # 0.5 crossing at radius = Npix*relative_radius/2 = 16 px
+        assert mask[32, 32 + 16] == pytest.approx(0.5, abs=0.05)
+
+    def test_bilinear_conserves_intensity(self, rng):
+        x = jnp.asarray(np.abs(rng.standard_normal((2, 16, 16))).astype(np.float32))
+        out = bilinear_resize_conserve(x, (2.0, 2.0))
+        assert out.shape == (2, 32, 32)
+        np.testing.assert_allclose(np.asarray(out).sum(axis=(1, 2)),
+                                   np.asarray(x).sum(axis=(1, 2)), rtol=2e-2)
+
+    def test_area_downsample_exact(self, rng):
+        x = rng.standard_normal((1, 8, 8)).astype(np.float32)
+        got = np.asarray(area_downsample(jnp.asarray(x), (0.5, 0.5)))
+        want = x.reshape(1, 4, 2, 4, 2).mean(axis=(2, 4))
+        np.testing.assert_allclose(got, want, atol=1e-6)
