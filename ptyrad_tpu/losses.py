@@ -4,6 +4,11 @@ Parity with reference src/ptyrad/losses.py:17-175 (CombinedLoss +
 get_objp_contrast). All functions are pure; `loss_params` is a plain nested
 dict read at trace time, so disabled terms compile to nothing.
 
+All data terms accept an optional per-sample `mask` (B,) so that batches
+padded to a uniform jit-stable size (compact/sparse grouping yields ragged
+batches, reference reconstruction.py:520) contribute weighted means that are
+exactly the unpadded values.
+
 Term summary:
   loss_single : NRMSE of DP^p (Gaussian statistics, p=0.5 typical)
   loss_poissn : normalized Poisson NLL of DP^p (low dose, p=1 typical)
@@ -34,43 +39,68 @@ DEFAULT_LOSS_PARAMS = {
 }
 
 
-def loss_single(model_dp, measured_dp, params):
+def _bmean(x, mask):
+    """Mean over all axes, weighting the batch (first) axis by mask."""
+    if mask is None:
+        return jnp.mean(x)
+    w = mask.reshape(mask.shape[0], *([1] * (x.ndim - 1)))
+    per_px = x.shape[0] / jnp.sum(mask)  # renormalize batch weighting
+    return jnp.mean(x * w) * per_px
+
+
+def _bavg_dp(dp, mask):
+    """Batch-averaged pattern with mask weighting (PACBED)."""
+    if mask is None:
+        return jnp.mean(dp, axis=0)
+    w = mask.reshape(-1, 1, 1)
+    return jnp.sum(dp * w, axis=0) / jnp.sum(mask)
+
+
+def loss_single(model_dp, measured_dp, params, mask=None):
     """Normalized RMSE of DP^dp_pow (reference losses.py:36-50)."""
     p = params.get("dp_pow", 0.5)
-    data_mean = jnp.mean(measured_dp**p)
-    mse = jnp.mean((model_dp**p - measured_dp**p) ** 2)
+    data_mean = _bmean(measured_dp**p, mask)
+    mse = _bmean((model_dp**p - measured_dp**p) ** 2, mask)
     return params["weight"] * jnp.sqrt(mse) / data_mean
 
 
-def loss_poissn(model_dp, measured_dp, params):
+def loss_poissn(model_dp, measured_dp, params, mask=None):
     """Normalized Poisson negative log-likelihood (reference losses.py:52-75)."""
     p = params.get("dp_pow", 1.0)
     eps = params.get("eps", 1e-6)
-    data_mean = jnp.mean(measured_dp**p)
-    nll = -jnp.mean(measured_dp**p * jnp.log(model_dp**p + eps) - model_dp**p)
+    data_mean = _bmean(measured_dp**p, mask)
+    nll = -_bmean(measured_dp**p * jnp.log(model_dp**p + eps) - model_dp**p, mask)
     return params["weight"] * nll / data_mean
 
 
-def loss_pacbed(model_dp, measured_dp, params):
+def loss_pacbed(model_dp, measured_dp, params, mask=None):
     """NRMSE of position-averaged CBED (reference losses.py:77-89)."""
     p = params.get("dp_pow", 0.2)
-    data_mean = jnp.mean(measured_dp**p)
-    mse = jnp.mean((jnp.mean(model_dp, axis=0) ** p - jnp.mean(measured_dp, axis=0) ** p) ** 2)
+    data_mean = _bmean(measured_dp**p, mask)
+    mse = jnp.mean((_bavg_dp(model_dp, mask) ** p - _bavg_dp(measured_dp, mask) ** p) ** 2)
     return params["weight"] * jnp.sqrt(mse) / data_mean
 
 
-def loss_sparse(objp_patches, omode_occu, params):
+def loss_sparse(objp_patches, omode_occu, params, mask=None):
     """omode-weighted Ln sparsity of phase patches (reference losses.py:91-104).
 
     Per-mode voxel-wise mean of |phi|^n over (batch, z, y, x), then ^(1/n),
     then the omode_occu-weighted sum — invariant to batch/object size/omode.
     """
     n = params["ln_order"]
-    per_mode = jnp.mean(jnp.abs(objp_patches) ** n, axis=(0, 2, 3, 4)) ** (1.0 / n)
+    absn = jnp.abs(objp_patches) ** n
+    if mask is None:
+        per_mode = jnp.mean(absn, axis=(0, 2, 3, 4)) ** (1.0 / n)
+    else:
+        w = mask.reshape(-1, 1, 1, 1, 1)
+        per_mode = (
+            jnp.sum(absn * w, axis=(0, 2, 3, 4))
+            / (jnp.sum(mask) * absn.shape[2] * absn.shape[3] * absn.shape[4])
+        ) ** (1.0 / n)
     return params["weight"] * jnp.sum(per_mode * omode_occu)
 
 
-def loss_simlar(obja_patches, objp_patches, omode_occu, params):
+def loss_simlar(obja_patches, objp_patches, omode_occu, params, mask=None):
     """Cross-omode similarity: std over the omode axis after optional blur and
     area downsample (reference losses.py:106-141)."""
     obj_type = params.get("obj_type", "both")
@@ -83,7 +113,7 @@ def loss_simlar(obja_patches, objp_patches, omode_occu, params):
         if scale is not None and any(s != 1 for s in scale):
             patches = area_downsample(patches, tuple(scale))
         weighted = patches * omode_occu[:, None, None, None]
-        return jnp.mean(jnp.std(weighted, axis=1))
+        return _bmean(jnp.std(weighted, axis=1), mask)
 
     total = jnp.float32(0.0)
     if obj_type in ("amplitude", "both"):
@@ -93,28 +123,29 @@ def loss_simlar(obja_patches, objp_patches, omode_occu, params):
     return params["weight"] * total
 
 
-def combined_loss(model_dp, measured_dp, obja_patches, objp_patches, omode_occu, loss_params):
+def combined_loss(model_dp, measured_dp, obja_patches, objp_patches, omode_occu, loss_params, mask=None):
     """Weighted sum of the five terms. Returns (total, per-term dict).
 
     Disabled terms ('state': False) contribute exact zeros and compile away.
+    `mask` (B,) float weights handle padded batches (0 = padding sample).
     """
     zero = jnp.float32(0.0)
     terms = {}
     cfg = {**DEFAULT_LOSS_PARAMS, **(loss_params or {})}
     terms["loss_single"] = (
-        loss_single(model_dp, measured_dp, cfg["loss_single"]) if cfg["loss_single"]["state"] else zero
+        loss_single(model_dp, measured_dp, cfg["loss_single"], mask) if cfg["loss_single"]["state"] else zero
     )
     terms["loss_poissn"] = (
-        loss_poissn(model_dp, measured_dp, cfg["loss_poissn"]) if cfg["loss_poissn"]["state"] else zero
+        loss_poissn(model_dp, measured_dp, cfg["loss_poissn"], mask) if cfg["loss_poissn"]["state"] else zero
     )
     terms["loss_pacbed"] = (
-        loss_pacbed(model_dp, measured_dp, cfg["loss_pacbed"]) if cfg["loss_pacbed"]["state"] else zero
+        loss_pacbed(model_dp, measured_dp, cfg["loss_pacbed"], mask) if cfg["loss_pacbed"]["state"] else zero
     )
     terms["loss_sparse"] = (
-        loss_sparse(objp_patches, omode_occu, cfg["loss_sparse"]) if cfg["loss_sparse"]["state"] else zero
+        loss_sparse(objp_patches, omode_occu, cfg["loss_sparse"], mask) if cfg["loss_sparse"]["state"] else zero
     )
     terms["loss_simlar"] = (
-        loss_simlar(obja_patches, objp_patches, omode_occu, cfg["loss_simlar"])
+        loss_simlar(obja_patches, objp_patches, omode_occu, cfg["loss_simlar"], mask)
         if cfg["loss_simlar"]["state"]
         else zero
     )

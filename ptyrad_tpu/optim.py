@@ -1,0 +1,155 @@
+"""Optimizer construction: per-tensor learning rates, start-iter gating, optax.
+
+Functional replacement for reference src/ptyrad/reconstruction.py:285-368
+(create_optimizer) and :783-790 (toggle_grad_requires):
+
+  - the reference builds one torch.optim param-group per optimizable tensor,
+    each with its own lr; here optax.multi_transform assigns one inner
+    optimizer per parameter label
+  - the reference toggles requires_grad per tensor when niter reaches its
+    start_iter; here gradients of not-yet-started leaves are zeroed inside the
+    jitted step (dynamic in niter, so no recompilation per iteration). With
+    zero gradients, Adam-family moments stay exactly zero, so updates are
+    exactly zero until the start iteration. (Sole deviation: optax's
+    bias-correction step count advances during the frozen phase, a second-
+    order difference from torch's per-param step counts.)
+  - leaves with lr == 0 are frozen permanently (optax.set_to_zero), matching
+    requires_grad=False in the reference.
+  - gradient accumulation uses optax.MultiSteps (reference
+    reconstruction.py:739-760 normalizes the loss by grad_accumulation and
+    steps every k batches; MultiSteps averages accumulated gradients, which is
+    the same update).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ptyrad_tpu.models.state import PtychoParams
+
+# torch.optim names (used by reference configs) -> optax constructors
+OPTIMIZER_REGISTRY = {
+    "Adam": optax.adam,
+    "AdamW": optax.adamw,
+    "SGD": optax.sgd,
+    "RMSprop": optax.rmsprop,
+    "Adagrad": optax.adagrad,
+    "Adamax": optax.adamax,
+    "NAdam": optax.nadam,
+    "RAdam": optax.radam,
+    "Adadelta": optax.adadelta,
+    "LBFGS": optax.lbfgs,
+    # optax-native lowercase aliases
+    "adam": optax.adam,
+    "adamw": optax.adamw,
+    "sgd": optax.sgd,
+    "rmsprop": optax.rmsprop,
+    "lbfgs": optax.lbfgs,
+}
+
+PARAM_NAMES = ("obja", "objp", "probe", "probe_pos_shifts", "obj_tilts", "slice_thickness")
+
+
+def _label_tree(params: PtychoParams) -> PtychoParams:
+    """A pytree of string labels congruent with PtychoParams (both Cplx leaves
+    of the probe share the 'probe' label)."""
+    from ptyrad_tpu.ops.cplx import Cplx
+
+    return PtychoParams(
+        obja="obja",
+        objp="objp",
+        probe=Cplx(re="probe", im="probe"),
+        probe_pos_shifts="probe_pos_shifts",
+        obj_tilts="obj_tilts",
+        slice_thickness="slice_thickness",
+    )
+
+
+def parse_update_params(update_params: Optional[dict]):
+    """Extract {name: lr} and {name: start_iter} from the update_params dict
+    (reference params/model_params.py:34-95 schema: {name: {start_iter, lr}})."""
+    update_params = update_params or {}
+    lr = {name: 0.0 for name in PARAM_NAMES}
+    start = {name: 1 for name in PARAM_NAMES}
+    for name, cfg in update_params.items():
+        if name not in PARAM_NAMES:
+            raise ValueError(f"Unknown optimizable tensor '{name}'; choose from {PARAM_NAMES}")
+        lr[name] = float(cfg.get("lr", 0.0) or 0.0)
+        si = cfg.get("start_iter", 1)
+        start[name] = int(si) if si is not None else -1  # -1 = never
+    return lr, start
+
+
+def create_optimizer(
+    optimizer_params: Optional[dict],
+    update_params: Optional[dict],
+    params: PtychoParams,
+    grad_accumulation: int = 1,
+):
+    """Build (optax optimizer, opt_state, lr_dict, start_iter_dict).
+
+    optimizer_params: {'name': 'Adam', 'configs': {...}} (reference schema).
+    update_params: per-tensor {'lr', 'start_iter'}.
+    """
+    optimizer_params = optimizer_params or {"name": "Adam"}
+    name = optimizer_params.get("name", "Adam")
+    configs = dict(optimizer_params.get("configs") or {})
+    if name not in OPTIMIZER_REGISTRY:
+        raise ValueError(f"Optimizer '{name}' not supported; choose from {sorted(set(OPTIMIZER_REGISTRY))}")
+    ctor = OPTIMIZER_REGISTRY[name]
+
+    lr_dict, start_dict = parse_update_params(update_params)
+
+    if name in ("LBFGS", "lbfgs"):
+        # LBFGS has a single global learning rate: the minimum nonzero lr
+        # (reference reconstruction.py:348-352)
+        nonzero = [v for v in lr_dict.values() if v != 0]
+        global_lr = min(nonzero) if nonzero else 1.0
+        configs.setdefault("learning_rate", global_lr)
+        tx = ctor(**configs)
+        zero_mask = _label_tree(params)
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), jax.tree_util.tree_map(
+                lambda lbl: lr_dict[lbl] == 0, zero_mask)),
+            tx,
+        )
+    else:
+        transforms: Dict[str, Any] = {}
+        for pname in PARAM_NAMES:
+            if lr_dict[pname] == 0:
+                transforms[pname] = optax.set_to_zero()
+            else:
+                transforms[pname] = ctor(learning_rate=lr_dict[pname], **configs)
+        tx = optax.multi_transform(transforms, _label_tree(params))
+
+    if grad_accumulation > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(grad_accumulation))
+
+    opt_state = tx.init(params)
+    return tx, opt_state, lr_dict, start_dict
+
+
+def mask_unstarted_grads(grads: PtychoParams, niter, start_dict: Dict[str, int]) -> PtychoParams:
+    """Zero gradients of tensors whose start_iter has not been reached.
+
+    niter may be a traced scalar; start_iter == -1 means 'never optimize'
+    (reference toggle_grad_requires, reconstruction.py:783-790).
+    """
+    def gate(name):
+        si = start_dict[name]
+        if si < 0:
+            return jnp.float32(0.0)
+        return (niter >= si).astype(jnp.float32)
+
+    return PtychoParams(
+        obja=grads.obja * gate("obja"),
+        objp=grads.objp * gate("objp"),
+        probe=grads.probe * gate("probe"),
+        probe_pos_shifts=grads.probe_pos_shifts * gate("probe_pos_shifts"),
+        obj_tilts=grads.obj_tilts * gate("obj_tilts"),
+        slice_thickness=grads.slice_thickness * gate("slice_thickness"),
+    )

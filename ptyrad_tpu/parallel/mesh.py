@@ -1,0 +1,94 @@
+"""Device mesh and sharding for data-parallel reconstruction.
+
+TPU-native equivalent of the reference's DDP-over-NCCL (SURVEY.md §2.9;
+reference utils/common.py:58-90, reconstruction.py:115-141): a 1D
+jax.sharding.Mesh over the 'data' axis shards the diffraction-pattern batch
+(and optionally the measurement store) across chips, while the parameter
+pytree stays replicated. Gradients reduce across the mesh inside the jitted
+step — XLA's SPMD partitioner inserts the psum over ICI where the loss means
+over the sharded batch axis, which is exactly DDP's allreduce, minus the
+reference's complex-tensor workaround and MIG restrictions.
+
+Beyond the reference: `shard_model(..., shard_measurements=True)` splits the
+measurement array itself over the mesh (the reference keeps the entire 4D
+dataset resident on every GPU, models.py:109 — its memory ceiling).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ptyrad_tpu.models.state import Buffers, PtychoParams
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1D mesh over the batch ('data') axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding."""
+    return NamedSharding(mesh, P())
+
+
+def shard_model(
+    params: PtychoParams,
+    buffers: Buffers,
+    mesh: Mesh,
+    shard_measurements: bool = True,
+):
+    """Place model state on the mesh: params replicated, measurements sharded.
+
+    With shard_measurements=True the (N, Ky, Kx) measurement array is split
+    along the scan axis, so per-chip HBM holds 1/n_devices of the dataset; the
+    batched gather measurements[indices] is partitioned by XLA (batches built
+    from shard-local index blocks keep it collective-free, but any index
+    pattern stays correct). N is zero-padded up to a device-count multiple;
+    valid scan indices never reference the padding.
+    """
+    rep = replicate(mesh)
+    params = jax.device_put(params, rep)
+    meas_sharding = data_sharding(mesh) if shard_measurements else rep
+    if shard_measurements:
+        n = buffers.measurements.shape[0]
+        n_dev = mesh.devices.size
+        if n % n_dev:
+            pad = n_dev - (n % n_dev)
+            buffers = Buffers(
+                **{
+                    **{f: getattr(buffers, f) for f in (
+                        "H", "crop_pos", "omode_occu", "Ky", "Kx", "Kz",
+                        "probe_int_sum", "meas_padded")},
+                    "measurements": jax.numpy.pad(
+                        buffers.measurements, ((0, pad), (0, 0), (0, 0))
+                    ),
+                }
+            )
+
+    buffers = Buffers(
+        H=jax.device_put(buffers.H, rep),
+        measurements=jax.device_put(buffers.measurements, meas_sharding),
+        crop_pos=jax.device_put(buffers.crop_pos, rep),
+        omode_occu=jax.device_put(buffers.omode_occu, rep),
+        Ky=jax.device_put(buffers.Ky, rep),
+        Kx=jax.device_put(buffers.Kx, rep),
+        Kz=jax.device_put(buffers.Kz, rep),
+        probe_int_sum=jax.device_put(buffers.probe_int_sum, rep),
+        meas_padded=(jax.device_put(buffers.meas_padded, rep) if buffers.meas_padded is not None else None),
+    )
+    return params, buffers

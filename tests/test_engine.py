@@ -1,0 +1,292 @@
+"""Engine tests: batching, optimizer gating, solver convergence, sharding parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptyrad_tpu.engine.batching import make_batches, pad_batches, select_scan_indices
+from ptyrad_tpu.engine.solver import PtyRADSolver, build_train_step
+from ptyrad_tpu.models import forward, make_model
+from ptyrad_tpu.optim import create_optimizer, mask_unstarted_grads, parse_update_params
+from ptyrad_tpu.parallel.mesh import data_sharding, make_mesh, shard_model
+from ptyrad_tpu.physics import make_stem_probe, near_field_evolution
+from ptyrad_tpu.physics.constants import electron_wavelength
+
+
+# ---------------------------------------------------------------------------
+# Synthetic workload: simulate measurements from a known object
+# ---------------------------------------------------------------------------
+
+def make_synthetic(rng, grid=6, npix=32, step=3, phase_amp=0.3):
+    lam = electron_wavelength(80.0)
+    dx = 0.3
+    probe = make_stem_probe({"kv": 80.0, "conv_angle": 24.9, "Npix": npix, "dx": dx, "df": 30.0})
+    canvas = grid * step + npix + 6
+    ys, xs = np.meshgrid(np.arange(grid) * step, np.arange(grid) * step, indexing="ij")
+    crop_pos = np.stack([ys.ravel() + 3, xs.ravel() + 3], -1).astype(np.int32)
+
+    yy, xx = np.mgrid[0:canvas, 0:canvas].astype(np.float64)
+    true_phase = np.zeros((canvas, canvas))
+    for _ in range(15):
+        cy, cx = rng.integers(8, canvas - 8, 2)
+        true_phase += phase_amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 6.0)
+    true_obj = np.exp(1j * true_phase)[None, None].astype(np.complex64)
+
+    base = {
+        "obj": true_obj,
+        "probe": probe[None],
+        "probe_pos_shifts": np.zeros((grid * grid, 2), np.float32),
+        "obj_tilts": np.zeros((1, 2), np.float32),
+        "slice_thickness": 2.0,
+        "H": near_field_evolution((npix, npix), dx, 2.0, lam),
+        "measurements": np.zeros((grid * grid, npix, npix), np.float32),
+        "crop_pos": crop_pos,
+        "omode_occu": np.ones(1, np.float32),
+        "dx": dx,
+        "lambd": lam,
+        "N_scan_slow": grid,
+        "N_scan_fast": grid,
+    }
+    params, buffers, geom = make_model(base)
+    dp, _ = jax.jit(lambda p, i: forward(p, buffers, geom, i))(
+        params, jnp.arange(grid * grid)
+    )
+    meas = np.asarray(dp)
+    recon_init = dict(base)
+    recon_init["obj"] = np.ones_like(true_obj)
+    recon_init["measurements"] = meas
+    return recon_init, true_phase
+
+
+class TestIndices:
+    def test_full(self):
+        assert np.array_equal(select_scan_indices(4, 5), np.arange(20))
+
+    def test_center(self):
+        idx = select_scan_indices(4, 4, 2, 2, mode="center")
+        assert np.array_equal(idx, [5, 6, 9, 10])
+
+    def test_sub(self):
+        idx = select_scan_indices(4, 4, 2, 2, mode="sub")
+        assert np.array_equal(idx, [0, 3, 12, 15])
+
+    def test_bad_mode(self):
+        with pytest.raises(ValueError):
+            select_scan_indices(4, 4, mode="bogus")
+
+
+class TestBatches:
+    @pytest.mark.parametrize("mode", ["random", "compact", "sparse"])
+    def test_partition_property(self, rng, mode):
+        pos = rng.random((64, 2)) * 100
+        indices = np.arange(64)
+        batches = make_batches(indices, pos, 8, mode=mode, seed=0)
+        flat = np.sort(np.concatenate(batches))
+        assert np.array_equal(flat, indices)
+
+    def test_compact_is_spatially_tight(self, rng):
+        # compact groups should have smaller intra-group spread than random
+        pos = rng.random((128, 2)) * 100
+        indices = np.arange(128)
+
+        def mean_spread(batches):
+            return np.mean([np.linalg.norm(pos[b] - pos[b].mean(0), axis=1).mean() for b in batches])
+
+        compact = make_batches(indices, pos, 16, mode="compact", seed=0)
+        random_b = make_batches(indices, pos, 16, mode="random", seed=0)
+        assert mean_spread(compact) < 0.6 * mean_spread(random_b)
+
+    def test_sparse_is_spread_out(self, rng):
+        pos = rng.random((64, 2)) * 100
+        indices = np.arange(64)
+        sparse = make_batches(indices, pos, 8, mode="sparse", seed=0)
+        compact = make_batches(indices, pos, 8, mode="compact", seed=0)
+
+        def min_intra_dist(batches):
+            vals = []
+            for b in batches:
+                if len(b) > 1:
+                    d = np.linalg.norm(pos[b][:, None] - pos[b][None], axis=-1)
+                    np.fill_diagonal(d, np.inf)
+                    vals.append(d.min())
+            return np.mean(vals)
+
+        assert min_intra_dist(sparse) > min_intra_dist(compact)
+
+    def test_pad_batches(self):
+        batches = [np.array([1, 2, 3]), np.array([4, 5]), np.array([6])]
+        idx, mask = pad_batches(batches, multiple_of=4)
+        assert idx.shape == (3, 4)
+        np.testing.assert_array_equal(mask.sum(axis=1), [3, 2, 1])
+        np.testing.assert_array_equal(idx[2], [6, 6, 6, 6])
+
+
+class TestOptim:
+    def test_parse_update_params(self):
+        lr, start = parse_update_params({"obja": {"lr": 1e-3, "start_iter": 5}})
+        assert lr["obja"] == 1e-3 and start["obja"] == 5
+        assert lr["probe"] == 0.0
+
+    def test_zero_lr_leaves_frozen(self, rng):
+        init, _ = make_synthetic(rng)
+        params, buffers, geom = make_model(init)
+        tx, state, _, start = create_optimizer(
+            {"name": "Adam"}, {"objp": {"lr": 1e-2, "start_iter": 1}}, params
+        )
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        assert float(jnp.abs(updates.obja).max()) == 0.0       # frozen
+        assert float(jnp.abs(updates.probe.re).max()) == 0.0   # frozen
+        assert float(jnp.abs(updates.objp).max()) > 0.0        # active
+
+    def test_start_iter_gating(self, rng):
+        init, _ = make_synthetic(rng)
+        params, _, _ = make_model(init)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        _, start = parse_update_params(
+            {"objp": {"lr": 1, "start_iter": 10}, "obja": {"lr": 1, "start_iter": 1}}
+        )
+        g5 = mask_unstarted_grads(grads, jnp.asarray(5), start)
+        assert float(jnp.abs(g5.objp).max()) == 0.0
+        assert float(jnp.abs(g5.obja).max()) == 1.0
+        g10 = mask_unstarted_grads(grads, jnp.asarray(10), start)
+        assert float(jnp.abs(g10.objp).max()) == 1.0
+
+    def test_never_start(self, rng):
+        init, _ = make_synthetic(rng)
+        params, _, _ = make_model(init)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        _, start = parse_update_params({"objp": {"lr": 1, "start_iter": None}})
+        g = mask_unstarted_grads(grads, jnp.asarray(100), start)
+        assert float(jnp.abs(g.objp).max()) == 0.0
+
+    def test_unknown_optimizer_rejected(self, rng):
+        init, _ = make_synthetic(rng)
+        params, _, _ = make_model(init)
+        with pytest.raises(ValueError):
+            create_optimizer({"name": "Bogus"}, {}, params)
+
+
+def solver_params(niter=30, lr=5e-3, group="random", batch=12, optimizer="Adam", extra=None):
+    d = {
+        "model_params": {
+            "optimizer_params": {"name": optimizer},
+            "update_params": {"objp": {"lr": lr, "start_iter": 1},
+                              "obja": {"lr": lr, "start_iter": 1}},
+        },
+        "loss_params": {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}},
+        "constraint_params": {"objp_postiv": {"freq": 1, "relax": 0.0}},
+        "recon_params": {"NITER": niter, "BATCH_SIZE": {"size": batch}, "GROUP_MODE": group},
+    }
+    if extra:
+        d.update(extra)
+    return d
+
+
+class TestSolverEndToEnd:
+    def phase_corr(self, params, true_phase, margin=10):
+        rec = np.asarray(params.objp)[0, 0, margin:-margin, margin:-margin].ravel()
+        tru = true_phase[margin:-margin, margin:-margin].ravel()
+        return np.corrcoef(rec, tru)[0, 1]
+
+    def test_reconstruction_converges(self, rng):
+        init, true_phase = make_synthetic(rng)
+        solver = PtyRADSolver(solver_params(niter=40), init_variables=init, mesh=None, verbose=False)
+        params, history = solver.run()
+        losses = [v for _, v in history.loss_iters]
+        assert losses[-1] < 0.6 * losses[0]
+        assert self.phase_corr(params, true_phase) > 0.7
+
+    @pytest.mark.parametrize("group", ["compact", "sparse"])
+    def test_grouped_batching_converges(self, rng, group):
+        init, true_phase = make_synthetic(rng)
+        solver = PtyRADSolver(
+            solver_params(niter=25, group=group), init_variables=init, mesh=None, verbose=False
+        )
+        params, history = solver.run()
+        losses = [v for _, v in history.loss_iters]
+        assert losses[-1] < 0.75 * losses[0]
+
+    def test_lbfgs_converges(self, rng):
+        init, true_phase = make_synthetic(rng)
+        solver = PtyRADSolver(
+            solver_params(niter=15, optimizer="LBFGS"), init_variables=init, mesh=None, verbose=False
+        )
+        params, history = solver.run()
+        losses = [v for _, v in history.loss_iters]
+        assert losses[-1] < 0.6 * losses[0]
+
+    def test_grad_accumulation_matches_big_batch(self, rng):
+        # One step over 2 accumulated half-batches == one step over the full batch
+        init, _ = make_synthetic(rng)
+        params, buffers, geom = make_model(init)
+        upd = {"objp": {"lr": 1e-2, "start_iter": 1}}
+        idx_full = jnp.arange(12)
+        mask_full = jnp.ones(12, jnp.float32)
+
+        def clone(tree):
+            # train_step donates params; keep pristine copies for reuse
+            return jax.tree_util.tree_map(lambda x: jnp.array(x), tree)
+
+        tx1, st1, _, start1 = create_optimizer({"name": "SGD"}, upd, params)
+        step1, _ = build_train_step(buffers, geom, None, tx1, start1)
+        p_full, *_ = step1(clone(params), st1, idx_full, mask_full, jnp.asarray(1))
+
+        tx2, st2, _, start2 = create_optimizer({"name": "SGD"}, upd, params, grad_accumulation=2)
+        step2, _ = build_train_step(buffers, geom, None, tx2, start2)
+        p_acc, st2b, *_ = step2(clone(params), st2, idx_full[:6], mask_full[:6], jnp.asarray(1))
+        p_acc, *_ = step2(p_acc, st2b, idx_full[6:], mask_full[6:], jnp.asarray(1))
+
+        # MultiSteps averages grads over the 2 microbatches; the full-batch loss
+        # is the mean of the two half-batch losses only approximately (NRMSE is
+        # nonlinear), so compare loosely but require same scale of update
+        d_full = np.asarray(p_full.objp) - np.asarray(params.objp)
+        d_acc = np.asarray(p_acc.objp) - np.asarray(params.objp)
+        assert np.corrcoef(d_full.ravel(), d_acc.ravel())[0, 1] > 0.95
+
+
+class TestSharding:
+    def test_sharded_matches_single_device(self, rng):
+        """DDP-equivalence: one train step on an 8-device mesh must match the
+        single-device step to float tolerance."""
+        init, _ = make_synthetic(rng)
+        params, buffers, geom = make_model(init)
+        upd = {"objp": {"lr": 1e-2, "start_iter": 1}, "obja": {"lr": 1e-2, "start_iter": 1}}
+        idx = jnp.arange(16)
+        mask = jnp.ones(16, jnp.float32)
+
+        def clone(tree):
+            return jax.tree_util.tree_map(lambda x: jnp.array(x), tree)
+
+        tx, st, _, start = create_optimizer({"name": "Adam"}, upd, params)
+        step, _ = build_train_step(buffers, geom, None, tx, start)
+        p_single, _, loss_single_dev, _ = step(clone(params), st, idx, mask, jnp.asarray(1))
+
+        mesh = make_mesh(8)
+        params_s, buffers_s = shard_model(clone(params), buffers, mesh, shard_measurements=True)
+        tx2, st2, _, _ = create_optimizer({"name": "Adam"}, upd, params)
+        step_s, _ = build_train_step(buffers_s, geom, None, tx2, start)
+        idx_s = jax.device_put(idx, data_sharding(mesh))
+        mask_s = jax.device_put(mask, data_sharding(mesh))
+        p_shard, _, loss_shard, _ = step_s(params_s, st2, idx_s, mask_s, jnp.asarray(1))
+
+        assert float(loss_single_dev) == pytest.approx(float(loss_shard), rel=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(p_single.objp), np.asarray(p_shard.objp), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_single.probe.re), np.asarray(p_shard.probe.re), atol=1e-6
+        )
+
+    def test_solver_on_mesh_converges(self, rng):
+        init, true_phase = make_synthetic(rng)
+        mesh = make_mesh(8)
+        solver = PtyRADSolver(
+            solver_params(niter=20, batch=16), init_variables=init, mesh=mesh, verbose=False
+        )
+        params, history = solver.run()
+        losses = [v for _, v in history.loss_iters]
+        assert losses[-1] < 0.7 * losses[0]
