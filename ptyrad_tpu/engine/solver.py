@@ -49,28 +49,40 @@ def build_train_step(
     is in-place in HBM.
     """
 
-    def loss_fn(params, indices, mask):
-        dp, (obja_p, objp_p) = forward(params, buffers, geom, indices)
-        meas = get_measurements(buffers, geom, indices)
+    # NOTE: buffers is an explicit argument of the jitted functions (not a
+    # closure) so the measurement store is a runtime parameter — closing over
+    # a multi-GB array would embed it as a jaxpr constant, which remote-
+    # compilation backends serialize into the program.
+
+    def loss_fn(params, bufs, indices, mask):
+        dp, (obja_p, objp_p) = forward(params, bufs, geom, indices)
+        meas = get_measurements(bufs, geom, indices)
         total, terms = combined_loss(
-            dp, meas, obja_p, objp_p, buffers.omode_occu, loss_params, mask
+            dp, meas, obja_p, objp_p, bufs.omode_occu, loss_params, mask
         )
         return total, terms
 
     @jax.jit
-    def eval_loss(params, indices, mask):
-        return loss_fn(params, indices, mask)
+    def _eval_loss(params, bufs, indices, mask):
+        return loss_fn(params, bufs, indices, mask)
 
-    def _step(params, opt_state, indices, mask, niter):
+    def eval_loss(params, indices, mask):
+        return _eval_loss(params, buffers, indices, mask)
+
+    def _step(params, opt_state, bufs, indices, mask, niter):
         (total, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, indices, mask
+            params, bufs, indices, mask
         )
         grads = mask_unstarted_grads(grads, niter, start_iters)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, total, terms
 
-    train_step = jax.jit(_step, donate_argnums=(0, 1))
+    _jitted = jax.jit(_step, donate_argnums=(0, 1))
+
+    def train_step(params, opt_state, indices, mask, niter):
+        return _jitted(params, opt_state, buffers, indices, mask, niter)
+
     return train_step, eval_loss
 
 
@@ -88,25 +100,28 @@ def build_lbfgs_step(
     low-noise full-batch gradients).
     """
 
-    def value_fn_of(indices, mask):
+    def value_fn_of(bufs, indices, mask):
         def value_fn(params):
-            dp, (obja_p, objp_p) = forward(params, buffers, geom, indices)
-            meas = get_measurements(buffers, geom, indices)
+            dp, (obja_p, objp_p) = forward(params, bufs, geom, indices)
+            meas = get_measurements(bufs, geom, indices)
             total, _ = combined_loss(
-                dp, meas, obja_p, objp_p, buffers.omode_occu, loss_params, mask
+                dp, meas, obja_p, objp_p, bufs.omode_occu, loss_params, mask
             )
             return total
         return value_fn
 
     @jax.jit
-    def lbfgs_step(params, opt_state, indices, mask):
-        value_fn = value_fn_of(indices, mask)
+    def _lbfgs_step(params, opt_state, bufs, indices, mask):
+        value_fn = value_fn_of(bufs, indices, mask)
         value, grad = optax.value_and_grad_from_state(value_fn)(params, state=opt_state)
         updates, opt_state = optimizer.update(
             grad, opt_state, params, value=value, grad=grad, value_fn=value_fn
         )
         params = optax.apply_updates(params, updates)
         return params, opt_state, value
+
+    def lbfgs_step(params, opt_state, indices, mask):
+        return _lbfgs_step(params, opt_state, buffers, indices, mask)
 
     return lbfgs_step
 
