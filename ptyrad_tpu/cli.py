@@ -1,0 +1,124 @@
+"""Command-line interface.
+
+Parity with reference src/ptyrad/cli.py:99-143:
+  run               -- full reconstruction (or hypertune if enabled in params)
+  check-tpu         -- device detection report (the reference's check-gpu)
+  print-system-info -- platform/package/device report
+  export-meas-init  -- run the Initializer and export processed measurements
+  validate-params   -- validate a params file against the schema
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def cmd_run(args):
+    from ptyrad_tpu.engine.solver import PtyRADSolver
+    from ptyrad_tpu.load import load_params
+    from ptyrad_tpu.utils.logging import CustomLogger, vprint
+    from ptyrad_tpu.utils.system import print_system_info, resolve_devices
+
+    logger = CustomLogger(
+        log_file="ptyrad_tpu_log.txt",
+        prefix_jobid=args.jobid or "",
+        append_to_file=True,
+        show_timestamp=True,
+    )
+    print_system_info()
+    params = load_params(args.params_path, validate=not args.skip_validate)
+    mesh = resolve_devices(args.n_devices)
+
+    ht = params.get("hypertune_params") or {}
+    if ht.get("if_hypertune"):
+        from ptyrad_tpu.engine.hypertune import run_hypertune
+
+        run_hypertune(params, mesh=mesh, logger=logger, jobid=args.jobid)
+    else:
+        from ptyrad_tpu.engine.workflow import run_reconstruction
+
+        run_reconstruction(params, mesh=mesh, logger=logger)
+
+
+def cmd_check_tpu(args):
+    from ptyrad_tpu.utils.system import print_device_info
+
+    print_device_info()
+
+
+def cmd_print_system_info(args):
+    from ptyrad_tpu.utils.system import print_system_info
+
+    print_system_info()
+
+
+def cmd_export_meas_init(args):
+    from ptyrad_tpu.initialization import Initializer
+    from ptyrad_tpu.load import load_params
+
+    params = load_params(args.params_path, validate=not args.skip_validate)
+    init_params = dict(params["init_params"])
+    if not init_params.get("meas_export"):
+        init_params["meas_export"] = True
+    init = Initializer(init_params)
+    init.init_measurements()
+    print("Exported processed measurements.")
+
+
+def cmd_validate_params(args):
+    from ptyrad_tpu.load import load_params
+
+    load_params(args.params_path, validate=True)
+    print(f"Params file '{args.params_path}' is valid.")
+
+
+def cmd_bench(args):
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="ptyrad-tpu",
+        description="TPU-native ptychographic reconstruction with automatic differentiation",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="Run reconstruction or hypertune")
+    p_run.add_argument("--params_path", required=True, help="Path to params file (.yml/.toml/.json/.py)")
+    p_run.add_argument("--n_devices", type=int, default=None, help="Number of devices for the data mesh")
+    p_run.add_argument("--jobid", default="0", help="Job id label for logs (multi-worker hypertune)")
+    p_run.add_argument("--skip_validate", action="store_true", help="Skip params validation")
+    p_run.set_defaults(func=cmd_run)
+
+    p_check = sub.add_parser("check-tpu", help="Report detected accelerator devices")
+    p_check.set_defaults(func=cmd_check_tpu)
+
+    p_info = sub.add_parser("print-system-info", help="Print system/package/device info")
+    p_info.set_defaults(func=cmd_print_system_info)
+
+    p_export = sub.add_parser("export-meas-init", help="Export initialized measurements")
+    p_export.add_argument("--params_path", required=True)
+    p_export.add_argument("--skip_validate", action="store_true")
+    p_export.set_defaults(func=cmd_export_meas_init)
+
+    p_val = sub.add_parser("validate-params", help="Validate a params file")
+    p_val.add_argument("--params_path", required=True)
+    p_val.set_defaults(func=cmd_validate_params)
+
+    p_bench = sub.add_parser("bench", help="Run the throughput benchmark")
+    p_bench.set_defaults(func=cmd_bench)
+    return parser
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    args.func(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

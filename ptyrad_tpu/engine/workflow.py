@@ -1,0 +1,80 @@
+"""End-to-end reconstruction workflow: params dict -> solver -> saved results.
+
+Orchestrates what reference PtyRADSolver.reconstruct (reconstruction.py:104-143)
+plus recon_loop's save hooks (589-656) do: initialize, build the solver,
+create the self-describing output folder, copy the params file for
+provenance, and register a SAVE_ITERS callback that writes checkpoints,
+result images, and summary plots on process 0.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ptyrad_tpu.engine.solver import PtyRADSolver
+from ptyrad_tpu.save import copy_params_to_dir, make_output_folder, save_results
+from ptyrad_tpu.utils.logging import vprint
+
+
+def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[bool] = None):
+    """Full reconstruction from a validated params dict. Returns the solver."""
+    recon_params = params.get("recon_params", {})
+    if verbose is None:
+        verbose = not recon_params.get("if_quiet", False)
+
+    solver = PtyRADSolver(params, mesh=mesh, logger=logger, verbose=verbose)
+    solver.prepare()
+
+    output_dir = recon_params.get("output_dir", "output/")
+    output_path = make_output_folder(
+        output_dir, solver.indices, params, solver.params, solver.geom,
+        recon_dir_affixes=recon_params.get("recon_dir_affixes"),
+    )
+    vprint(f"Output folder: {output_path}", verbose=verbose)
+    if recon_params.get("copy_params", True):
+        copy_params_to_dir(params.get("params_path"), output_path)
+    if logger is not None:
+        logger.flush_to_dir(output_path)
+
+    save_iters = recon_params.get("SAVE_ITERS")
+
+    def callback(niter, cur_params, history):
+        import jax
+
+        if save_iters and niter % save_iters == 0 and jax.process_index() == 0:
+            save_results(
+                output_path, cur_params, solver.buffers, solver.geom, params,
+                solver.opt_state, history, niter, solver.indices,
+                lr_dict=getattr(solver, "lr_dict", None),
+                start_dict=getattr(solver, "start_dict", None),
+            )
+            selected = recon_params.get("selected_figs") or []
+            if selected:
+                try:
+                    from ptyrad_tpu.visualization import plot_summary
+
+                    plot_summary(
+                        output_path, cur_params, solver.buffers, solver.geom,
+                        history, niter, solver.indices, selected_figs=selected,
+                    )
+                except Exception as e:  # noqa: BLE001 — plotting must never kill a run
+                    vprint(f"WARNING: plot_summary failed at iter {niter}: {e}")
+
+    solver.run(callback=callback)
+
+    # final save
+    import jax
+
+    if jax.process_index() == 0:
+        n_final = len(solver.history.loss_iters)
+        save_results(
+            output_path, solver.params, solver.buffers, solver.geom, params,
+            solver.opt_state, solver.history, n_final, solver.indices,
+            lr_dict=getattr(solver, "lr_dict", None),
+            start_dict=getattr(solver, "start_dict", None),
+        )
+    solver.output_path = output_path
+    return solver

@@ -184,7 +184,9 @@ def make_model(init_variables: dict, model_params: Optional[dict] = None):
         Ky=jnp.asarray(Ky, dtype=jnp.float32),
         Kx=jnp.asarray(Kx, dtype=jnp.float32),
         Kz=jnp.asarray(Kz, dtype=jnp.float32),
-        probe_int_sum=jnp.sum(params.probe.abs2()).astype(jnp.float32),
+        # host-side: an eager device op here costs a full remote compile on
+        # tunneled TPU backends (observed: minutes for one scalar)
+        probe_int_sum=jnp.asarray(np.sum(np.abs(probe) ** 2), dtype=jnp.float32),
         meas_padded=(jnp.asarray(meas_padded, dtype=jnp.float32) if meas_padded is not None else None),
     )
 

@@ -1,0 +1,427 @@
+"""Initializer, I/O, params-schema, and end-to-end CLI workflow tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ptyrad_tpu.initialization import Initializer
+from ptyrad_tpu.load import (
+    load_array_from_file,
+    load_hdf5,
+    load_params,
+    load_ptyrad,
+    load_raw,
+    load_tif,
+)
+from ptyrad_tpu.params import PtyRADParams
+from ptyrad_tpu.save import save_array, save_dict_to_hdf5
+from ptyrad_tpu.utils.nested import get_nested, handle_hdf5_types
+
+
+def synth_meas(rng, n_scans=16, npix=32):
+    # bright central disk + weak background, like a CBED stack
+    y, x = np.mgrid[:npix, :npix] - npix // 2
+    disk = (np.hypot(y, x) < npix // 5).astype(np.float32)
+    meas = disk[None] * (1 + 0.05 * rng.standard_normal((n_scans, npix, npix)).astype(np.float32))
+    return np.clip(meas, 0, None) + 1e-4
+
+
+def base_init_params(rng, tmp_path=None, n_scans=16, npix=32, **over):
+    meas = synth_meas(rng, n_scans, npix)
+    side = int(np.sqrt(n_scans))
+    p = {
+        "probe_illum_type": "electron",
+        "probe_kv": 80.0,
+        "probe_conv_angle": 24.9,
+        "meas_Npix": npix,
+        "pos_N_scans": n_scans,
+        "pos_N_scan_slow": side,
+        "pos_N_scan_fast": side,
+        "pos_scan_step_size": 0.43,
+        "meas_calibration": {"mode": "dx", "value": 0.15},
+        "probe_pmode_max": 2,
+        "probe_pmode_init_pows": [0.05],
+        "obj_omode_max": 1,
+        "obj_omode_init_occu": {"occu_type": "uniform"},
+        "obj_Nlayer": 2,
+        "obj_slice_thickness": 2.0,
+        "meas_source": "custom",
+        "meas_params": meas,
+        "probe_source": "simu",
+        "probe_params": None,
+        "pos_source": "simu",
+        "pos_params": None,
+        "obj_source": "simu",
+        "obj_params": None,
+        "tilt_source": "simu",
+        "tilt_params": {"tilt_type": "all", "init_tilts": [[0, 0]]},
+        "pos_scan_rand_std": None,
+    }
+    p.update(over)
+    return p
+
+
+class TestInitializer:
+    def test_init_all_consistent(self, rng):
+        init = Initializer(base_init_params(rng), verbose=False).init_all()
+        v = init.init_variables
+        assert v["measurements"].shape == (16, 32, 32)
+        assert v["probe"].shape == (2, 32, 32)
+        assert v["crop_pos"].shape == (16, 2)
+        assert v["obj"].shape[0] == 1 and v["obj"].shape[1] == 2
+        assert v["obj_tilts"].shape == (1, 2)
+        # probe intensity normalized to meas_avg_sum
+        np.testing.assert_allclose(
+            np.sum(np.abs(v["probe"]) ** 2), v["meas_avg_sum"], rtol=1e-4
+        )
+        # positions fit inside object canvas
+        assert (v["crop_pos"].min(0) >= 0).all()
+        assert (v["crop_pos"].max(0) + 32 <= np.array(v["obj"].shape[-2:])).all()
+
+    def test_calibration_modes(self, rng):
+        lam_dx = {}
+        for mode, value in [("dx", 0.15), ("dk", 1 / (32 * 0.15)), ("kMax", 1 / (2 * 0.15))]:
+            p = base_init_params(rng, meas_calibration={"mode": mode, "value": value})
+            init = Initializer(p, verbose=False)
+            init.init_measurements()
+            init.init_calibration()
+            lam_dx[mode] = init.init_params["probe_dx"]
+        assert lam_dx["dx"] == pytest.approx(0.15)
+        assert lam_dx["dk"] == pytest.approx(0.15, rel=1e-6)
+        assert lam_dx["kMax"] == pytest.approx(0.15, rel=1e-6)
+
+    def test_fitRBF_calibration(self, rng):
+        p = base_init_params(rng, meas_calibration={"mode": "fitRBF"})
+        init = Initializer(p, verbose=False)
+        init.init_measurements()
+        init.init_calibration()
+        # disk radius ~ npix//5 = 6.4 px; dx = RBF*lambda/(conv*1e-3*Npix)
+        assert init.init_variables["fitRBF"] == pytest.approx(6.4, rel=0.1)
+        assert init.init_params["probe_dx"] > 0
+
+    def test_meas_crop_updates_geometry(self, rng):
+        p = base_init_params(
+            rng, meas_crop=[[0, 2], [0, 2], [8, 24], [8, 24]],
+            meas_calibration={"mode": "dx", "value": 0.15},
+        )
+        init = Initializer(p, verbose=False)
+        init.init_measurements()
+        assert init.init_variables["measurements"].shape == (4, 16, 16)
+        assert init.init_params["meas_Npix"] == 16
+        assert init.init_params["pos_N_scans"] == 4
+        init.init_calibration()
+        # k-crop by 2x doubles dx
+        assert init.init_params["probe_dx"] == pytest.approx(0.30, rel=1e-6)
+
+    def test_meas_pad_on_the_fly(self, rng):
+        p = base_init_params(
+            rng,
+            meas_pad={"mode": "on_the_fly", "padding_type": "power", "target_Npix": 48, "threshold": 70},
+        )
+        init = Initializer(p, verbose=False)
+        init.init_measurements()
+        assert init.init_params["meas_Npix"] == 48
+        padded = init.init_variables["on_the_fly_meas_padded"]
+        assert padded.shape == (48, 48)
+        h1, h2, w1, w2 = init.init_variables["on_the_fly_meas_padded_idx"]
+        assert (h2 - h1, w2 - w1) == (32, 32)
+        assert np.all(padded[h1:h2, w1:w2] == 0)  # center zeroed, data goes there
+
+    def test_meas_pad_precompute(self, rng):
+        p = base_init_params(
+            rng, meas_pad={"mode": "precompute", "padding_type": "edge", "target_Npix": 40},
+        )
+        init = Initializer(p, verbose=False)
+        init.init_measurements()
+        assert init.init_variables["measurements"].shape == (16, 40, 40)
+
+    def test_meas_resample_precompute(self, rng):
+        p = base_init_params(
+            rng, meas_resample={"mode": "precompute", "scale_factors": [0.5, 0.5]},
+        )
+        init = Initializer(p, verbose=False)
+        init.init_measurements()
+        assert init.init_variables["measurements"].shape == (16, 16, 16)
+        assert init.init_params["meas_Npix"] == 16
+
+    def test_meas_poisson_noise(self, rng):
+        p = base_init_params(
+            rng, meas_add_poisson_noise={"unit": "total_e_per_pattern", "value": 1e4},
+        )
+        init_noisy = Initializer(p, verbose=False)
+        init_noisy.init_measurements()
+        clean = Initializer(base_init_params(rng), verbose=False)
+        clean.init_measurements()
+        m_noisy = init_noisy.init_variables["measurements"]
+        m_clean = clean.init_variables["measurements"]
+        assert not np.allclose(m_noisy, m_clean)
+        # noise preserves mean intensity scale
+        assert m_noisy.mean() == pytest.approx(m_clean.mean(), rel=0.05)
+
+    def test_meas_flipT_and_normalization(self, rng):
+        meas = synth_meas(rng)
+        meas[:, :5, :] *= 2  # break symmetry
+        p = base_init_params(rng, meas_params=meas, meas_flipT=[1, 0, 0],
+                             meas_normalization={"mode": "mean_at_one"})
+        init = Initializer(p, verbose=False)
+        init.init_measurements()
+        out = init.init_variables["measurements"]
+        assert out.mean(0).mean() == pytest.approx(1.0, rel=1e-4)
+        # flipud applied on ky
+        assert out[:, -5:, :].mean() > out[:, :5, :].mean()
+
+    def test_simulated_positions_raster(self, rng):
+        init = Initializer(base_init_params(rng), verbose=False).init_all()
+        pos = init.init_variables["crop_pos"] + init.init_variables["probe_pos_shifts"]
+        pos = pos.reshape(4, 4, 2)
+        # raster spacing = step/dx px
+        step_px = 0.43 / 0.15
+        np.testing.assert_allclose(np.diff(pos[:, 0, 0]), step_px, atol=0.01)
+        np.testing.assert_allclose(np.diff(pos[0, :, 1]), step_px, atol=0.01)
+
+    def test_scan_affine_scales_extent(self, rng):
+        p0 = Initializer(base_init_params(rng), verbose=False).init_all()
+        p2 = Initializer(
+            base_init_params(rng, pos_scan_affine=[2.0, 0.0, 0.0, 0.0]), verbose=False
+        ).init_all()
+        ext0 = p0.init_variables["crop_pos"].max(0) - p0.init_variables["crop_pos"].min(0)
+        ext2 = p2.init_variables["crop_pos"].max(0) - p2.init_variables["crop_pos"].min(0)
+        np.testing.assert_allclose(ext2, 2 * ext0, atol=2)
+
+    def test_tilt_each(self, rng):
+        p = base_init_params(rng, tilt_params={"tilt_type": "each", "init_tilts": [[1.0, -0.5]]})
+        init = Initializer(p, verbose=False).init_all()
+        tilts = init.init_variables["obj_tilts"]
+        assert tilts.shape == (16, 2)
+        np.testing.assert_allclose(tilts, [[1.0, -0.5]] * 16)
+
+    def test_init_check_catches_bad_nlayer(self, rng):
+        p = base_init_params(rng, obj_source="custom",
+                             obj_params=np.ones((1, 5, 100, 100), np.complex64))
+        init = Initializer(p, verbose=False)
+        with pytest.raises(ValueError, match="Nlayer"):
+            init.init_all()
+
+
+class TestRoundtripIO:
+    def test_raw_roundtrip(self, rng, tmp_path):
+        data = rng.standard_normal((4, 8, 8)).astype(np.float32)
+        path = str(tmp_path / "test.raw")
+        gap = 16
+        with open(path, "wb") as f:
+            for frame in data:
+                f.write(frame.tobytes())
+                f.write(b"\x00" * gap)
+        loaded = load_raw(path, (4, 8, 8), gap=gap)
+        np.testing.assert_array_equal(loaded, data)
+
+    def test_raw_size_mismatch(self, rng, tmp_path):
+        path = str(tmp_path / "bad.raw")
+        with open(path, "wb") as f:
+            f.write(b"\x00" * 100)
+        with pytest.raises(ValueError, match="size mismatch|File size"):
+            load_raw(path, (4, 8, 8), gap=16)
+
+    def test_tif_roundtrip(self, rng, tmp_path):
+        data = rng.standard_normal((3, 8, 8)).astype(np.float32)
+        path = save_array(data, str(tmp_path), "stack", "tif", append_shape=False)
+        np.testing.assert_allclose(load_tif(path), data)
+
+    def test_hdf5_roundtrip_with_sentinels(self, tmp_path, rng):
+        d = {
+            "a": 1, "b": 2.5, "c": "text", "d": None,
+            "arr": rng.standard_normal((3, 3)).astype(np.float32),
+            "nested": {"x": [1, 2, 3], "y": None},
+            "cplx": (rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))).astype(np.complex64),
+        }
+        path = str(tmp_path / "dict.hdf5")
+        save_dict_to_hdf5(d, path)
+        loaded = load_hdf5(path)
+        assert loaded["a"] == 1 and loaded["b"] == 2.5 and loaded["c"] == "text"
+        assert loaded["d"] is None and loaded["nested"]["y"] is None
+        np.testing.assert_allclose(loaded["arr"], d["arr"])
+        np.testing.assert_allclose(loaded["cplx"], d["cplx"], atol=1e-6)
+
+    def test_load_array_dispatch(self, rng, tmp_path):
+        data = rng.standard_normal((4, 4)).astype(np.float32)
+        npy = str(tmp_path / "a.npy")
+        np.save(npy, data)
+        np.testing.assert_array_equal(load_array_from_file(npy), data)
+        with pytest.raises(ValueError, match="Unsupported file type"):
+            load_array_from_file(__file__)
+
+    def test_mat_roundtrip(self, rng, tmp_path):
+        import scipy.io as sio
+
+        from ptyrad_tpu.load import load_mat
+
+        path = str(tmp_path / "t.mat")
+        sio.savemat(path, {"probe": rng.standard_normal((4, 4)), "nested": {"x": 3.0}})
+        probe = load_mat(path, key="probe")
+        assert probe.shape == (4, 4)
+        assert load_mat(path, key="nested.x") == 3.0
+
+    def test_nested_utils(self):
+        d = {"a": {"b": {"c": 7}}}
+        assert get_nested(d, "a.b.c") == 7
+        assert get_nested(d, "a.b.missing", safe=True, default=-1) == -1
+        with pytest.raises(KeyError):
+            get_nested(d, "a.z")
+        assert handle_hdf5_types(b"hello") == "hello"
+        assert handle_hdf5_types("__NONE__") is None
+
+
+class TestParamsSchema:
+    def minimal(self, **over):
+        d = {
+            "init_params": {
+                "probe_kv": 80.0, "probe_conv_angle": 24.9, "meas_Npix": 64,
+                "pos_N_scan_slow": 8, "pos_N_scan_fast": 8, "pos_scan_step_size": 0.43,
+                "probe_pmode_max": 4, "obj_Nlayer": 3, "obj_slice_thickness": 2.0,
+                "meas_params": {"path": "data.h5", "key": "dp"},
+            }
+        }
+        d.update(over)
+        return d
+
+    def test_defaults_filled(self):
+        p = PtyRADParams(**self.minimal()).model_dump()
+        assert p["init_params"]["pos_N_scans"] == 64
+        assert p["model_params"]["optimizer_params"]["name"] == "Adam"
+        assert p["recon_params"]["NITER"] == 200
+        assert p["loss_params"]["loss_single"]["state"] is True
+        assert p["constraint_params"]["ortho_pmode"]["freq"] == 1
+
+    def test_extra_forbidden(self):
+        bad = self.minimal()
+        bad["init_params"]["bogus_field"] = 1
+        with pytest.raises(Exception):
+            PtyRADParams(**bad)
+
+    def test_bad_optimizer_rejected(self):
+        bad = self.minimal(model_params={"optimizer_params": {"name": "NotAnOpt"}})
+        with pytest.raises(Exception):
+            PtyRADParams(**bad)
+
+    def test_source_params_pair_validated(self):
+        bad = self.minimal()
+        bad["init_params"]["probe_source"] = "PtyRAD"
+        bad["init_params"]["probe_params"] = {"not": "a path"}
+        with pytest.raises(Exception):
+            PtyRADParams(**bad)
+
+    def test_all_data_terms_off_rejected(self):
+        bad = self.minimal(loss_params={
+            "loss_single": {"state": False}, "loss_poissn": {"state": False},
+            "loss_pacbed": {"state": False},
+        })
+        with pytest.raises(Exception):
+            PtyRADParams(**bad)
+
+    def test_electron_missing_kv_rejected(self):
+        bad = self.minimal()
+        del bad["init_params"]["probe_kv"]
+        with pytest.raises(Exception):
+            PtyRADParams(**bad)
+
+
+class TestEndToEndWorkflow:
+    def test_cli_run_from_yaml(self, rng, tmp_path):
+        """The reference golden path: params YAML + data file -> CLI run ->
+        output folder with checkpoint + images."""
+        import yaml
+
+        from ptyrad_tpu.cli import main
+
+        meas = synth_meas(rng, n_scans=16, npix=32)
+        meas_path = str(tmp_path / "meas.npy")
+        np.save(meas_path, meas)
+
+        params = {
+            "init_params": {
+                "probe_kv": 80.0, "probe_conv_angle": 24.9, "meas_Npix": 32,
+                "pos_N_scan_slow": 4, "pos_N_scan_fast": 4, "pos_scan_step_size": 0.43,
+                "meas_calibration": {"mode": "dx", "value": 0.15},
+                "probe_pmode_max": 2, "obj_Nlayer": 1, "obj_slice_thickness": 2.0,
+                "meas_source": "file", "meas_params": {"path": meas_path},
+                "pos_scan_rand_std": 0.0,
+            },
+            "model_params": {
+                "update_params": {
+                    "obja": {"start_iter": 1, "lr": 1e-3},
+                    "objp": {"start_iter": 1, "lr": 1e-3},
+                    "probe": {"start_iter": 1, "lr": 1e-4},
+                },
+            },
+            "recon_params": {
+                "NITER": 3, "SAVE_ITERS": 2, "BATCH_SIZE": {"size": 8},
+                "output_dir": str(tmp_path / "output"),
+                "save_result": ["model", "objp", "obja", "probe"],
+                "result_modes": {"obj_dim": [2], "FOV": ["full"], "bit": ["raw"]},
+                "selected_figs": [],
+                "prefix_time": False,
+            },
+        }
+        params_path = str(tmp_path / "recon.yml")
+        with open(params_path, "w") as f:
+            yaml.safe_dump(params, f)
+
+        assert main(["validate-params", "--params_path", params_path]) == 0
+        assert main(["run", "--params_path", params_path]) == 0
+
+        out_dirs = os.listdir(tmp_path / "output")
+        assert len(out_dirs) == 1
+        out = tmp_path / "output" / out_dirs[0]
+        files = os.listdir(out)
+        assert any(f.startswith("model") and f.endswith(".hdf5") for f in files)
+        assert any(f.startswith("objp") for f in files)
+        assert any(f.startswith("probe_amp") for f in files)
+        assert "recon.yml" in files  # provenance copy
+
+        # checkpoint resumes: load it and check tensor shapes
+        ckpt_file = sorted(f for f in files if f.startswith("model"))[-1]
+        ckpt = load_ptyrad(str(out / ckpt_file))
+        assert ckpt["optimizable_tensors"]["probe"].shape == (2, 32, 32)
+        assert ckpt["optimizable_tensors"]["obja"].ndim == 4
+        assert ckpt["model_attributes"]["dx"] == pytest.approx(0.15)
+
+    def test_resume_from_checkpoint(self, rng, tmp_path):
+        """Reconstruct, save, then re-initialize obj/probe/pos from the
+        checkpoint (reference resume path, SURVEY §5)."""
+        # build and run a tiny reconstruction directly
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+        from ptyrad_tpu.save import save_results
+
+        p = base_init_params(rng)
+        init = Initializer(p, verbose=False).init_all()
+        cfg = {
+            "model_params": {"update_params": {"objp": {"lr": 1e-3, "start_iter": 1}}},
+            "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": 8}},
+        }
+        solver = PtyRADSolver(cfg, init_variables=init.init_variables, verbose=False)
+        solver.run()
+        out = str(tmp_path / "ckpt")
+        save_results(
+            out, solver.params, solver.buffers, solver.geom,
+            {"recon_params": {"save_result": ["model"]}},
+            solver.opt_state, solver.history, 2, solver.indices,
+        )
+        ckpt_path = os.path.join(out, "model_iter0002.hdf5")
+        assert os.path.exists(ckpt_path)
+
+        # resume: sources = PtyRAD for obj/probe/pos
+        p2 = base_init_params(
+            rng,
+            obj_source="PtyRAD", obj_params=ckpt_path,
+            probe_source="PtyRAD", probe_params=ckpt_path,
+            pos_source="PtyRAD", pos_params=ckpt_path,
+        )
+        init2 = Initializer(p2, verbose=False).init_all()
+        np.testing.assert_allclose(
+            np.angle(init2.init_variables["obj"]),
+            np.asarray(solver.params.objp), atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            init2.init_variables["crop_pos"], np.asarray(solver.buffers.crop_pos)
+        )
