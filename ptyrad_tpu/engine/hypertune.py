@@ -1,0 +1,273 @@
+"""Hyperparameter tuning workflow: staged re-initialization + pruning.
+
+Parity with reference src/ptyrad/reconstruction.py:145-240 (hypertune) and
+905-1118 (optuna_objective): each trial samples from up to 22 tunable params
+(optimizer, batch size, 6 learning rates, dx, probe params, Nlayer, dz,
+4 affine terms, tilts), selectively re-runs ONLY the Initializer stages the
+sampled value invalidates, builds a fresh model, reports per-iteration error
+for pruning, and collates pruned/final results with error-stamped filenames.
+
+Multi-worker: N independent processes share one sqlite storage (the
+reference's Slurm LoopSubmit pattern); uses optuna when installed, else the
+built-in engine (engine/tuner.py) with the same semantics.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import Optional
+
+import numpy as np
+
+from ptyrad_tpu.engine import tuner as builtin_tuner
+from ptyrad_tpu.initialization import Initializer
+from ptyrad_tpu.utils.logging import vprint
+
+LR_TO_TENSOR = {
+    "plr": "probe", "oalr": "obja", "oplr": "objp",
+    "slr": "probe_pos_shifts", "tlr": "obj_tilts", "dzlr": "slice_thickness",
+}
+
+
+def _suggest(trial, suggest: str, name: str, kwargs: dict):
+    kw = {k: v for k, v in kwargs.items() if k != "optim_configs"}
+    if suggest == "cat":
+        return trial.suggest_categorical(name, **kw)
+    if suggest == "int":
+        return trial.suggest_int(name, **kw)
+    if suggest == "float":
+        return trial.suggest_float(name, **kw)
+    raise ValueError(f"suggest method '{suggest}' not supported")
+
+
+def parse_hypertune_params_to_str(params: dict) -> str:
+    return "".join(
+        f"_{k}_{v:.4g}" if isinstance(v, float) else f"_{k}_{v}" for k, v in params.items()
+    )
+
+
+def apply_trial_params(trial, params: dict, init: Initializer) -> dict:
+    """Sample enabled tune_params and re-run only the invalidated init stages
+    (reference reconstruction.py:962-1049). Mutates `init`; returns a fresh
+    deep-copied params dict with the sampled values applied."""
+    params = deepcopy(params)
+    tune = params["hypertune_params"]["tune_params"]
+
+    def on(name):
+        return tune[name]["state"]
+
+    def val(name):
+        return _suggest(trial, tune[name]["suggest"], name, tune[name]["kwargs"])
+
+    if on("batch_size"):
+        params["recon_params"]["BATCH_SIZE"]["size"] = val("batch_size")
+
+    if on("optimizer"):
+        optim_name = val("optimizer")
+        params["model_params"]["optimizer_params"]["name"] = optim_name
+        params["model_params"]["optimizer_params"]["configs"] = (
+            tune["optimizer"]["kwargs"].get("optim_configs", {}).get(optim_name, {})
+        )
+
+    for vname, tensor in LR_TO_TENSOR.items():
+        if on(vname):
+            params["model_params"]["update_params"].setdefault(tensor, {"start_iter": 1})
+            params["model_params"]["update_params"][tensor]["lr"] = val(vname)
+            params["model_params"]["update_params"][tensor].setdefault("start_iter", 1)
+
+    # dx invalidates calibration + everything geometric
+    if on("dx"):
+        init.init_params["meas_calibration"] = {"mode": "dx", "value": val("dx")}
+        init.init_calibration()
+        init.set_variables_dict()
+        init.init_probe()
+        init.init_pos()
+        init.init_obj()
+        init.init_H()
+
+    # probe shape params invalidate only the probe
+    remake_probe = False
+    for vname, field in [
+        ("pmode_max", "probe_pmode_max"), ("conv_angle", "probe_conv_angle"),
+        ("defocus", "probe_defocus"), ("c3", "probe_c3"), ("c5", "probe_c5"),
+    ]:
+        if on(vname):
+            init.init_params[field] = val(vname)
+            remake_probe = True
+    if remake_probe:
+        init.init_probe()
+
+    if on("Nlayer"):
+        init.init_params["obj_Nlayer"] = val("Nlayer")
+        init.init_obj()
+
+    if on("dz"):
+        init.init_params["obj_slice_thickness"] = val("dz")
+        init.set_variables_dict()
+        init.init_obj()
+        init.init_H()
+
+    # affine invalidates positions + object extent
+    affine_init = params["init_params"].get("pos_scan_affine") or [1, 0, 0, 0]
+    defaults = dict(zip(["scale", "asymmetry", "rotation", "shear"], affine_init))
+    scan_affine = [val(v) if on(v) else defaults[v] for v in ("scale", "asymmetry", "rotation", "shear")]
+    if scan_affine != [1, 0, 0, 0]:
+        init.init_params["pos_scan_affine"] = scan_affine
+        init.init_pos()
+        init.init_obj()
+
+    # global tilt override
+    obj_tilts = [[val("tilt_y") if on("tilt_y") else 0.0, val("tilt_x") if on("tilt_x") else 0.0]]
+    if obj_tilts != [[0.0, 0.0]]:
+        init.init_variables["obj_tilts"] = np.asarray(obj_tilts, dtype=np.float32)
+
+    return params
+
+
+def compute_hypertune_error(solver, error_metric: str) -> float:
+    if error_metric == "loss":
+        return float(solver.history.loss_iters[-1][1])
+    if error_metric == "contrast":
+        from ptyrad_tpu.losses import objp_contrast
+
+        return -objp_contrast(
+            np.asarray(solver.params.objp), np.asarray(solver.buffers.crop_pos),
+            solver.geom.probe_shape, solver.indices,
+        )
+    raise ValueError(f"Unsupported error_metric '{error_metric}'; use 'loss' or 'contrast'")
+
+
+def hypertune_objective(trial, params: dict, init: Initializer, mesh=None, verbose: bool = False) -> float:
+    """One trial: apply sampled params, rebuild the model, run NITER iterations
+    with per-iteration pruning reports, collate results."""
+    from ptyrad_tpu.engine.solver import PtyRADSolver, recon_step
+    from ptyrad_tpu.save import save_results
+
+    trial_params = apply_trial_params(trial, params, init)
+    recon_params = trial_params["recon_params"]
+    ht = trial_params["hypertune_params"]
+    n_iter = int(recon_params.get("NITER", 50))
+    save_iters = recon_params.get("SAVE_ITERS")
+    trial_id = "t" + str(trial.number).zfill(4)
+
+    solver = PtyRADSolver(trial_params, init_variables=init.init_variables, mesh=mesh, verbose=verbose)
+    solver.prepare()
+    solver._build()
+
+    import time as _time
+
+    error = None
+    pruned = False
+    for niter in range(1, n_iter + 1):
+        t0 = _time.perf_counter()
+        solver.params, solver.opt_state, term_avgs = recon_step(
+            solver.train_step, solver.params, solver.opt_state,
+            solver.batch_idx, solver.batch_mask, niter,
+            solver.constraint_fn, solver.buffers, solver._put_batch,
+        )
+        total = float(sum(term_avgs.values()))
+        solver.history.loss_iters.append((niter, total))
+        solver.history.iter_times.append(_time.perf_counter() - t0)
+        solver.history.dz_iters.append((niter, float(solver.params.slice_thickness)))
+        solver.history.avg_tilt_iters.append((niter, np.asarray(solver.params.obj_tilts).mean(0)))
+
+        if ht.get("pruner_params") is not None:
+            error = compute_hypertune_error(solver, ht["error_metric"])
+            trial.report(error, niter)
+            if trial.should_prune():
+                pruned = True
+                break
+
+    if error is None:
+        error = compute_hypertune_error(solver, ht["error_metric"])
+
+    if ht.get("collate_results", True):
+        params_str = parse_hypertune_params_to_str(trial.params) if ht.get("append_params", True) else ""
+        collate_str = f"_error_{error:.5f}_{trial_id}{params_str}"
+        try:
+            out_dir = recon_params.get("output_dir", "output/")
+            save_results(
+                out_dir, solver.params, solver.buffers,
+                solver.geom, trial_params, solver.opt_state, solver.history,
+                len(solver.history.loss_iters), solver.indices, collate_str=collate_str,
+            )
+            selected = recon_params.get("selected_figs") or []
+            if selected:
+                from ptyrad_tpu.visualization import plot_summary
+
+                plot_summary(
+                    out_dir, solver.params, solver.buffers, solver.geom,
+                    solver.history, len(solver.history.loss_iters), solver.indices,
+                    selected_figs=selected, init_variables=init.init_variables,
+                    collate_str=collate_str,
+                )
+        except Exception as e:  # noqa: BLE001 — result collation must not fail the trial
+            vprint(f"WARNING: collate save failed for {trial_id}: {e}")
+
+    if pruned:
+        raise _pruned_exception()
+    return error
+
+
+def _pruned_exception():
+    try:
+        import optuna
+
+        return optuna.exceptions.TrialPruned()
+    except ImportError:
+        return builtin_tuner.TrialPruned()
+
+
+def run_hypertune(params: dict, mesh=None, logger=None, jobid: Optional[str] = None, use_optuna: Optional[bool] = None):
+    """Create/load the (shared) study and optimize (reference
+    reconstruction.py:145-240). Returns the study."""
+    ht = params["hypertune_params"]
+    init = Initializer(params["init_params"], verbose=False)
+    init.init_all()
+
+    if use_optuna is None:
+        try:
+            import optuna  # noqa: F401
+
+            use_optuna = True
+        except ImportError:
+            use_optuna = False
+
+    n_trials = int(ht.get("n_trials", 50))
+    timeout = ht.get("timeout")
+
+    if use_optuna:
+        import optuna
+
+        sampler_cls = getattr(optuna.samplers, ht["sampler_params"]["name"])
+        sampler = sampler_cls(**(ht["sampler_params"].get("configs") or {}))
+        pruner = None
+        if ht.get("pruner_params") is not None:
+            pruner_cls = getattr(optuna.pruners, ht["pruner_params"]["name"])
+            pruner = pruner_cls(**(ht["pruner_params"].get("configs") or {}))
+        study = optuna.create_study(
+            study_name=ht.get("study_name", "ptyrad_hypertune"),
+            storage=f"sqlite:///{ht.get('storage_path', 'hypertune.db')}",
+            sampler=sampler, pruner=pruner, direction="minimize", load_if_exists=True,
+        )
+    else:
+        study = builtin_tuner.create_study(
+            study_name=ht.get("study_name", "ptyrad_hypertune"),
+            storage_path=ht.get("storage_path"),
+            sampler_params=ht.get("sampler_params"),
+            pruner_params=ht.get("pruner_params"),
+            load_if_exists=True,
+        )
+
+    vprint(f"Starting hypertune: {n_trials} trials, engine={'optuna' if use_optuna else 'builtin'}")
+    study.optimize(
+        lambda trial: hypertune_objective(trial, params, init, mesh=mesh),
+        n_trials=n_trials, timeout=timeout,
+    )
+    best = study.best_trial
+    if best is not None:
+        if isinstance(best, dict):
+            vprint(f"Best trial: #{best['number']} value={best['value']:.6g} params={best['params']}")
+        else:
+            vprint(f"Best trial: #{best.number} value={best.value:.6g} params={best.params}")
+    return study

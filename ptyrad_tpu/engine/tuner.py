@@ -1,0 +1,392 @@
+"""Self-contained hyperparameter tuning engine (optuna-compatible surface).
+
+The reference delegates HPO to Optuna with a shared sqlite storage so N
+independent single-GPU workers cooperate on one study (reference
+reconstruction.py:145-240, demo/scripts/LoopSubmit.sh). This module provides
+the same capability without the optuna dependency:
+
+  - Trial.suggest_float / suggest_int / suggest_categorical, report,
+    should_prune; TrialPruned exception
+  - Samplers: RandomSampler, GridSampler, and TPESampler — a lightweight
+    Tree-structured Parzen Estimator: split completed trials at the gamma
+    quantile into good/bad sets, score candidates by the ratio of Gaussian
+    KDEs l(x)/g(x), pick the argmax over a candidate pool
+  - Pruners: MedianPruner (prune when the intermediate value is worse than
+    the median of completed trials at the same step); HyperbandPruner maps to
+    MedianPruner semantics with interval-of-report gating
+  - Study with sqlite storage (shared file => multi-worker cooperation,
+    load_if_exists semantics) or in-memory storage
+
+When optuna is installed, ptyrad_tpu.engine.hypertune uses it directly; this
+engine is the fallback and the default in minimal environments.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+import sqlite3
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+from ptyrad_tpu.utils.logging import vprint
+
+RUNNING, COMPLETE, PRUNED, FAILED = "RUNNING", "COMPLETE", "PRUNED", "FAILED"
+
+
+class TrialPruned(Exception):
+    """Raised inside an objective to stop an unpromising trial."""
+
+
+# ---------------------------------------------------------------------------
+# Storage
+# ---------------------------------------------------------------------------
+
+class Storage:
+    """Trial store; sqlite-backed when a path is given (shared across worker
+    processes), in-memory otherwise."""
+
+    def __init__(self, path: Optional[str] = None, study_name: str = "study"):
+        self.path = path
+        self.study_name = study_name
+        if path:
+            self._conn = sqlite3.connect(path, timeout=60)
+            self._conn.execute(
+                """CREATE TABLE IF NOT EXISTS trials (
+                    id INTEGER PRIMARY KEY AUTOINCREMENT,
+                    study TEXT, state TEXT, value REAL,
+                    params TEXT, reports TEXT, created REAL)"""
+            )
+            self._conn.commit()
+        else:
+            self._trials: List[dict] = []
+
+    def create_trial(self) -> int:
+        if self.path:
+            cur = self._conn.execute(
+                "INSERT INTO trials (study, state, value, params, reports, created) VALUES (?,?,?,?,?,?)",
+                (self.study_name, RUNNING, None, "{}", "{}", time.time()),
+            )
+            self._conn.commit()
+            return cur.lastrowid - 1
+        self._trials.append({"state": RUNNING, "value": None, "params": {}, "reports": {}})
+        return len(self._trials) - 1
+
+    def update_trial(self, number: int, state=None, value=None, params=None, reports=None):
+        if self.path:
+            sets, vals = [], []
+            if state is not None:
+                sets.append("state=?"); vals.append(state)
+            if value is not None:
+                sets.append("value=?"); vals.append(float(value))
+            if params is not None:
+                sets.append("params=?"); vals.append(json.dumps(params))
+            if reports is not None:
+                sets.append("reports=?"); vals.append(json.dumps(reports))
+            vals.extend([self.study_name, number + 1])
+            self._conn.execute(f"UPDATE trials SET {', '.join(sets)} WHERE study=? AND id=?", vals)
+            self._conn.commit()
+        else:
+            t = self._trials[number]
+            if state is not None:
+                t["state"] = state
+            if value is not None:
+                t["value"] = float(value)
+            if params is not None:
+                t["params"] = dict(params)
+            if reports is not None:
+                t["reports"] = dict(reports)
+
+    def all_trials(self) -> List[dict]:
+        if self.path:
+            rows = self._conn.execute(
+                "SELECT id, state, value, params, reports FROM trials WHERE study=? ORDER BY id",
+                (self.study_name,),
+            ).fetchall()
+            return [
+                {"number": r[0] - 1, "state": r[1], "value": r[2],
+                 "params": json.loads(r[3]), "reports": json.loads(r[4])}
+                for r in rows
+            ]
+        return [
+            {"number": i, **t} for i, t in enumerate(self._trials)
+        ]
+
+
+# ---------------------------------------------------------------------------
+# Samplers
+# ---------------------------------------------------------------------------
+
+class RandomSampler:
+    def __init__(self, seed: Optional[int] = None, **_):
+        self.rng = random.Random(seed)
+
+    def sample(self, name, spec, history):
+        kind = spec["kind"]
+        if kind == "cat":
+            return self.rng.choice(spec["choices"])
+        low, high = spec["low"], spec["high"]
+        if spec.get("log"):
+            val = math.exp(self.rng.uniform(math.log(low), math.log(high)))
+        else:
+            val = self.rng.uniform(low, high)
+        if spec.get("step"):
+            val = low + round((val - low) / spec["step"]) * spec["step"]
+        if kind == "int":
+            return int(round(val))
+        return float(val)
+
+
+class GridSampler:
+    """Cycles the cartesian grid defined by step/choices in trial order."""
+
+    def __init__(self, seed: Optional[int] = None, **_):
+        self._axes: Dict[str, list] = {}
+
+    def _axis(self, name, spec):
+        if name not in self._axes:
+            if spec["kind"] == "cat":
+                self._axes[name] = list(spec["choices"])
+            else:
+                step = spec.get("step") or (spec["high"] - spec["low"]) / 9
+                n = int(round((spec["high"] - spec["low"]) / step)) + 1
+                vals = [spec["low"] + i * step for i in range(n)]
+                self._axes[name] = [int(round(v)) for v in vals] if spec["kind"] == "int" else vals
+        return self._axes[name]
+
+    def sample(self, name, spec, history):
+        axis = self._axis(name, spec)
+        n_done = len([t for t in history if name in t["params"]])
+        return axis[n_done % len(axis)]
+
+
+class TPESampler:
+    """Lightweight Tree-structured Parzen Estimator.
+
+    After n_startup random trials: split completed trials at the gamma
+    quantile by objective value; model good (l) and bad (g) sets with
+    Gaussian KDEs (Scott bandwidth); draw candidates from l and return the
+    candidate maximizing l(x)/g(x). Categorical uses smoothed frequency
+    ratios.
+    """
+
+    def __init__(self, seed: Optional[int] = None, n_startup_trials: int = 10,
+                 gamma: float = 0.25, n_candidates: int = 24, **_):
+        self.rng = random.Random(seed)
+        self.n_startup = n_startup_trials
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self._random = RandomSampler(seed)
+
+    def sample(self, name, spec, history):
+        done = [t for t in history if t["state"] == COMPLETE and name in t["params"] and t["value"] is not None]
+        if len(done) < self.n_startup:
+            return self._random.sample(name, spec, history)
+        done.sort(key=lambda t: t["value"])
+        n_good = max(1, int(self.gamma * len(done)))
+        good = [t["params"][name] for t in done[:n_good]]
+        bad = [t["params"][name] for t in done[n_good:]] or good
+
+        if spec["kind"] == "cat":
+            choices = spec["choices"]
+
+            def score(c):
+                lg = (good.count(c) + 1) / (len(good) + len(choices))
+                bg = (bad.count(c) + 1) / (len(bad) + len(choices))
+                return lg / bg
+
+            return max(choices, key=score)
+
+        import numpy as np
+
+        low, high = spec["low"], spec["high"]
+        log = spec.get("log", False)
+
+        def to_u(v):
+            return math.log(v) if log else v
+
+        def from_u(u):
+            return math.exp(u) if log else u
+
+        g_arr = np.asarray([to_u(v) for v in good], dtype=float)
+        b_arr = np.asarray([to_u(v) for v in bad], dtype=float)
+
+        def kde(arr, x):
+            if len(arr) < 2 or arr.std() == 0:
+                bw = max((to_u(high) - to_u(low)) / 10, 1e-12)
+            else:
+                bw = max(1.06 * arr.std() * len(arr) ** -0.2, 1e-12)
+            return np.exp(-0.5 * ((x[:, None] - arr[None, :]) / bw) ** 2).sum(1) / (len(arr) * bw)
+
+        # candidates drawn around good points + uniform exploration
+        cands = []
+        for _ in range(self.n_candidates):
+            if self.rng.random() < 0.8 and len(g_arr):
+                center = self.rng.choice(list(g_arr))
+                width = (to_u(high) - to_u(low)) / 6
+                cands.append(min(max(self.rng.gauss(center, width), to_u(low)), to_u(high)))
+            else:
+                cands.append(self.rng.uniform(to_u(low), to_u(high)))
+        x = np.asarray(cands)
+        ratio = kde(g_arr, x) / (kde(b_arr, x) + 1e-12)
+        val = from_u(float(x[int(ratio.argmax())]))
+        if spec.get("step"):
+            val = low + round((val - low) / spec["step"]) * spec["step"]
+        val = min(max(val, low), high)
+        return int(round(val)) if spec["kind"] == "int" else float(val)
+
+
+class MedianPruner:
+    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0, interval_steps: int = 1, **_):
+        self.n_startup = n_startup_trials
+        self.n_warmup = n_warmup_steps
+        self.interval = max(1, interval_steps)
+
+    def should_prune(self, trial_reports: Dict[int, float], step: int, history: List[dict]) -> bool:
+        if step <= self.n_warmup or step % self.interval != 0:
+            return False
+        finished = [t for t in history if t["state"] in (COMPLETE, PRUNED) and t["reports"]]
+        if len(finished) < self.n_startup:
+            return False
+        peers = [t["reports"].get(str(step)) for t in finished]
+        peers = [v for v in peers if v is not None]
+        if not peers:
+            return False
+        import statistics
+
+        return trial_reports[step] > statistics.median(peers)
+
+
+class HyperbandPruner(MedianPruner):
+    """Median-rule approximation of Hyperband's successive halving: prunes at
+    exponentially spaced rungs."""
+
+    def __init__(self, min_resource: int = 1, reduction_factor: int = 3, **kw):
+        super().__init__(n_startup_trials=kw.get("n_startup_trials", 3))
+        self.min_resource = min_resource
+        self.eta = reduction_factor
+
+    def should_prune(self, trial_reports, step, history):
+        rung = self.min_resource
+        rungs = set()
+        while rung <= step:
+            rungs.add(rung)
+            rung *= self.eta
+        if step not in rungs:
+            return False
+        return MedianPruner.should_prune(self, trial_reports, step, history)
+
+
+SAMPLER_REGISTRY = {
+    "RandomSampler": RandomSampler,
+    "GridSampler": GridSampler,
+    "TPESampler": TPESampler,
+}
+PRUNER_REGISTRY = {
+    "MedianPruner": MedianPruner,
+    "HyperbandPruner": HyperbandPruner,
+}
+
+
+# ---------------------------------------------------------------------------
+# Trial / Study
+# ---------------------------------------------------------------------------
+
+class Trial:
+    def __init__(self, study: "Study", number: int):
+        self.study = study
+        self.number = number
+        self.params: Dict[str, Any] = {}
+        self._reports: Dict[int, float] = {}
+
+    def _suggest(self, name, spec):
+        val = self.study.sampler.sample(name, spec, self.study.storage.all_trials())
+        self.params[name] = val
+        self.study.storage.update_trial(self.number, params=self.params)
+        return val
+
+    def suggest_float(self, name, low, high, step=None, log=False):
+        return self._suggest(name, {"kind": "float", "low": low, "high": high, "step": step, "log": log})
+
+    def suggest_int(self, name, low, high, step=1, log=False):
+        return int(self._suggest(name, {"kind": "int", "low": low, "high": high, "step": step, "log": log}))
+
+    def suggest_categorical(self, name, choices):
+        return self._suggest(name, {"kind": "cat", "choices": list(choices)})
+
+    def report(self, value: float, step: int):
+        self._reports[step] = float(value)
+        self.study.storage.update_trial(
+            self.number, reports={str(k): v for k, v in self._reports.items()}
+        )
+
+    def should_prune(self) -> bool:
+        if self.study.pruner is None or not self._reports:
+            return False
+        step = max(self._reports)
+        return self.study.pruner.should_prune(self._reports, step, self.study.storage.all_trials())
+
+
+class Study:
+    """Minimize-direction study over a shared storage."""
+
+    def __init__(self, study_name="study", storage_path: Optional[str] = None,
+                 sampler=None, pruner=None):
+        self.storage = Storage(storage_path, study_name)
+        self.sampler = sampler or TPESampler()
+        self.pruner = pruner
+
+    def optimize(self, objective: Callable[[Trial], float], n_trials: int,
+                 timeout: Optional[float] = None):
+        t0 = time.time()
+        for _ in range(n_trials):
+            if timeout is not None and time.time() - t0 > timeout:
+                vprint("Hypertune timeout reached")
+                break
+            number = self.storage.create_trial()
+            trial = Trial(self, number)
+            try:
+                value = objective(trial)
+                self.storage.update_trial(number, state=COMPLETE, value=value, params=trial.params)
+                vprint(f"Trial {number} COMPLETE value={value:.6g} params={trial.params}")
+            except TrialPruned:
+                last = trial._reports[max(trial._reports)] if trial._reports else None
+                self.storage.update_trial(number, state=PRUNED, value=last, params=trial.params)
+                vprint(f"Trial {number} PRUNED at step {max(trial._reports) if trial._reports else '?'}")
+            except Exception as e:  # noqa: BLE001 — a failed trial must not kill the study
+                self.storage.update_trial(number, state=FAILED, params=trial.params)
+                vprint(f"Trial {number} FAILED: {e}")
+
+    @property
+    def trials(self) -> List[dict]:
+        return self.storage.all_trials()
+
+    @property
+    def best_trial(self) -> Optional[dict]:
+        done = [t for t in self.trials if t["state"] == COMPLETE and t["value"] is not None]
+        return min(done, key=lambda t: t["value"]) if done else None
+
+
+def create_study(study_name: str, storage_path: Optional[str] = None,
+                 sampler_params: Optional[dict] = None,
+                 pruner_params: Optional[dict] = None,
+                 load_if_exists: bool = True) -> Study:
+    """Build a Study from the params-file schema (sampler/pruner name+configs)."""
+    sp = sampler_params or {}
+    name = sp.get("name", "TPESampler")
+    if name not in SAMPLER_REGISTRY:
+        raise ValueError(f"Sampler '{name}' not supported; choose from {sorted(SAMPLER_REGISTRY)}")
+    sampler = SAMPLER_REGISTRY[name](**(sp.get("configs") or {}))
+
+    pruner = None
+    if pruner_params is not None:
+        pname = pruner_params.get("name", "MedianPruner")
+        if pname not in PRUNER_REGISTRY:
+            raise ValueError(f"Pruner '{pname}' not supported; choose from {sorted(PRUNER_REGISTRY)}")
+        pruner = PRUNER_REGISTRY[pname](**(pruner_params.get("configs") or {}))
+
+    if storage_path and not load_if_exists and os.path.exists(storage_path):
+        os.remove(storage_path)
+    return Study(study_name, storage_path, sampler, pruner)

@@ -1,0 +1,227 @@
+"""Hypertune engine, tuner, and visualization tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ptyrad_tpu.engine import tuner
+from ptyrad_tpu.engine.hypertune import apply_trial_params, run_hypertune
+from ptyrad_tpu.initialization import Initializer
+
+from test_init_io import base_init_params
+
+
+class TestTunerCore:
+    def test_random_sampler_bounds(self):
+        s = tuner.RandomSampler(seed=0)
+        for _ in range(50):
+            v = s.sample("x", {"kind": "float", "low": 1.0, "high": 2.0}, [])
+            assert 1.0 <= v <= 2.0
+        v = s.sample("n", {"kind": "int", "low": 2, "high": 5}, [])
+        assert isinstance(v, int) and 2 <= v <= 5
+        v = s.sample("c", {"kind": "cat", "choices": ["a", "b"]}, [])
+        assert v in ("a", "b")
+
+    def test_log_scale_sampling(self):
+        s = tuner.RandomSampler(seed=0)
+        vals = [s.sample("lr", {"kind": "float", "low": 1e-5, "high": 1e-1, "log": True}, [])
+                for _ in range(200)]
+        # log-uniform: ~half the samples below the geometric mean 1e-3
+        frac_low = np.mean([v < 1e-3 for v in vals])
+        assert 0.3 < frac_low < 0.7
+
+    def test_grid_sampler_cycles(self):
+        s = tuner.GridSampler()
+        spec = {"kind": "cat", "choices": ["a", "b", "c"]}
+        hist = []
+        out = []
+        for i in range(6):
+            v = s.sample("c", spec, hist)
+            out.append(v)
+            hist.append({"state": "COMPLETE", "value": 0.0, "params": {"c": v}, "reports": {}})
+        assert out == ["a", "b", "c", "a", "b", "c"]
+
+    def test_study_minimizes_quadratic(self, tmp_path):
+        """TPE should concentrate samples near the optimum of (x-0.7)^2."""
+        study = tuner.create_study("quad", sampler_params={"name": "TPESampler", "configs": {"seed": 0, "n_startup_trials": 8}})
+
+        def objective(trial):
+            x = trial.suggest_float("x", 0.0, 1.0)
+            return (x - 0.7) ** 2
+
+        study.optimize(objective, n_trials=40)
+        best = study.best_trial
+        assert best is not None
+        assert abs(best["params"]["x"] - 0.7) < 0.15
+        # TPE beats the random-phase average in its exploitation phase
+        xs = [t["params"]["x"] for t in study.trials if t["state"] == "COMPLETE"]
+        late = xs[20:]
+        assert np.mean(np.abs(np.array(late) - 0.7)) < 0.25
+
+    def test_sqlite_storage_shared(self, tmp_path):
+        """Two studies over one sqlite file see each other's trials (the
+        multi-worker cooperation mechanism)."""
+        db = str(tmp_path / "study.db")
+        s1 = tuner.create_study("shared", storage_path=db)
+        s1.optimize(lambda t: t.suggest_float("x", 0, 1) ** 2, n_trials=5)
+        s2 = tuner.create_study("shared", storage_path=db)
+        assert len(s2.trials) == 5
+        s2.optimize(lambda t: t.suggest_float("x", 0, 1) ** 2, n_trials=3)
+        assert len(s1.trials) == 8
+
+    def test_median_pruner(self):
+        study = tuner.Study(sampler=tuner.RandomSampler(seed=1),
+                            pruner=tuner.MedianPruner(n_startup_trials=2))
+        pruned_flags = []
+
+        def objective(trial):
+            x = trial.suggest_float("x", 0.0, 1.0)
+            for step in range(1, 6):
+                trial.report(x * step, step)  # larger x = consistently worse
+                if trial.should_prune():
+                    pruned_flags.append(trial.number)
+                    raise tuner.TrialPruned()
+            return x * 5
+
+        study.optimize(objective, n_trials=20)
+        states = [t["state"] for t in study.trials]
+        assert "PRUNED" in states and "COMPLETE" in states
+
+    def test_failed_trial_does_not_kill_study(self):
+        study = tuner.Study(sampler=tuner.RandomSampler(seed=0))
+
+        def objective(trial):
+            x = trial.suggest_float("x", 0, 1)
+            if trial.number == 1:
+                raise RuntimeError("boom")
+            return x
+
+        study.optimize(objective, n_trials=4)
+        states = [t["state"] for t in study.trials]
+        assert states.count("FAILED") == 1
+        assert states.count("COMPLETE") == 3
+
+    def test_unknown_sampler_pruner(self):
+        with pytest.raises(ValueError):
+            tuner.create_study("s", sampler_params={"name": "Bogus"})
+        with pytest.raises(ValueError):
+            tuner.create_study("s", pruner_params={"name": "Bogus"})
+
+
+def hypertune_cfg(rng, tmp_path, n_trials=3, niter=2, tune_over=None):
+    tune = {name: {"state": False, "suggest": "float", "kwargs": {"low": 0, "high": 1}}
+            for name in ["optimizer", "batch_size", "plr", "oalr", "oplr", "slr", "tlr",
+                         "dzlr", "dx", "pmode_max", "conv_angle", "defocus", "c3", "c5",
+                         "Nlayer", "dz", "scale", "asymmetry", "rotation", "shear",
+                         "tilt_y", "tilt_x"]}
+    tune.update(tune_over or {})
+    return {
+        "init_params": base_init_params(rng),
+        "model_params": {
+            "optimizer_params": {"name": "Adam"},
+            "update_params": {"objp": {"lr": 2e-3, "start_iter": 1}},
+        },
+        "loss_params": {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}},
+        "recon_params": {
+            "NITER": niter, "BATCH_SIZE": {"size": 8}, "SAVE_ITERS": None,
+            "output_dir": str(tmp_path / "ht_out"),
+        },
+        "hypertune_params": {
+            "if_hypertune": True, "collate_results": False, "append_params": True,
+            "sampler_params": {"name": "RandomSampler", "configs": {"seed": 0}},
+            "pruner_params": None, "n_trials": n_trials, "timeout": None,
+            "error_metric": "loss",
+            "storage_path": str(tmp_path / "ht.db"), "study_name": "test",
+            "tune_params": tune,
+        },
+    }
+
+
+class TestHypertune:
+    def test_staged_reinit_dz(self, rng, tmp_path):
+        """Sampling dz must rebuild H and the derived variables."""
+        cfg = hypertune_cfg(rng, tmp_path, tune_over={
+            "dz": {"state": True, "suggest": "float", "kwargs": {"low": 3.0, "high": 3.0, "step": 1.0}},
+        })
+        init = Initializer(cfg["init_params"], verbose=False).init_all()
+        H_before = init.init_variables["H"].copy()
+        study = tuner.Study(sampler=tuner.RandomSampler(seed=0))
+        trial = tuner.Trial(study, study.storage.create_trial())
+        new_params = apply_trial_params(trial, cfg, init)
+        assert trial.params["dz"] == 3.0
+        assert init.init_variables["slice_thickness"] == 3.0
+        assert not np.allclose(init.init_variables["H"], H_before)
+
+    def test_staged_reinit_lr_and_affine(self, rng, tmp_path):
+        cfg = hypertune_cfg(rng, tmp_path, tune_over={
+            "oplr": {"state": True, "suggest": "cat", "kwargs": {"choices": [7e-3]}},
+            "scale": {"state": True, "suggest": "cat", "kwargs": {"choices": [1.5]}},
+        })
+        init = Initializer(cfg["init_params"], verbose=False).init_all()
+        ext_before = init.init_variables["crop_pos"].max(0) - init.init_variables["crop_pos"].min(0)
+        study = tuner.Study(sampler=tuner.RandomSampler(seed=0))
+        trial = tuner.Trial(study, study.storage.create_trial())
+        new_params = apply_trial_params(trial, cfg, init)
+        assert new_params["model_params"]["update_params"]["objp"]["lr"] == 7e-3
+        ext_after = init.init_variables["crop_pos"].max(0) - init.init_variables["crop_pos"].min(0)
+        assert (ext_after > ext_before).all()
+
+    def test_run_hypertune_end_to_end(self, rng, tmp_path):
+        cfg = hypertune_cfg(rng, tmp_path, n_trials=3, niter=2, tune_over={
+            "oplr": {"state": True, "suggest": "float", "kwargs": {"low": 1e-3, "high": 1e-2, "log": True}},
+        })
+        study = run_hypertune(cfg, use_optuna=False)
+        done = [t for t in study.trials if t["state"] == "COMPLETE"]
+        assert len(done) == 3
+        assert all(t["value"] is not None and np.isfinite(t["value"]) for t in done)
+        assert all("oplr" in t["params"] for t in done)
+        assert os.path.exists(str(tmp_path / "ht.db"))
+
+
+class TestVisualization:
+    def test_plot_summary_writes_pngs(self, rng, tmp_path):
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+        from ptyrad_tpu.visualization import plot_summary
+
+        init = Initializer(base_init_params(rng), verbose=False).init_all()
+        cfg = {
+            "model_params": {"update_params": {"objp": {"lr": 1e-3, "start_iter": 1}}},
+            "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": 8}},
+        }
+        solver = PtyRADSolver(cfg, init_variables=init.init_variables, verbose=False)
+        solver.run()
+        out = str(tmp_path / "figs")
+        plot_summary(
+            out, solver.params, solver.buffers, solver.geom, solver.history,
+            2, solver.indices,
+            selected_figs=["loss", "forward", "probe_r_amp", "probe_k_phase", "pos", "dz", "tilt_avg"],
+            init_variables=init.init_variables,
+        )
+        files = os.listdir(out)
+        for name in ("loss", "forward", "probe_r_amp", "probe_k_phase", "pos", "dz", "tilt_avg"):
+            assert any(f"summary_{name}" in f for f in files), f"missing {name}: {files}"
+
+    def test_individual_plots(self, rng):
+        import matplotlib.pyplot as plt
+
+        from ptyrad_tpu.visualization import (
+            plot_affine_transformation,
+            plot_loss_curves,
+            plot_obj_tilts,
+            plot_pos_grouping,
+            plot_scan_positions,
+            plot_sigmoid_mask,
+        )
+
+        figs = [
+            plot_loss_curves([(i, 1.0 / (i + 1)) for i in range(20)]),
+            plot_scan_positions(rng.random((16, 2)) * 10, init_pos=rng.random((16, 2)) * 10),
+            plot_obj_tilts(rng.random((16, 2)) * 10, rng.standard_normal((16, 2))),
+            plot_affine_transformation(1.1, 0.05, 3.0, 1.0),
+            plot_pos_grouping(rng.random((32, 2)) * 10, [np.arange(8), np.arange(8, 16)]),
+            plot_sigmoid_mask(32, 0.5, 0.05),
+        ]
+        for f in figs:
+            assert f is not None
+            plt.close(f)
