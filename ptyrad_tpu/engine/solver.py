@@ -86,6 +86,57 @@ def build_train_step(
     return train_step, eval_loss
 
 
+def build_train_epoch(
+    buffers: Buffers,
+    geom: Geometry,
+    loss_params: Optional[dict],
+    optimizer,
+    start_iters: Dict[str, int],
+):
+    """One jitted call per ITERATION: lax.scan over all mini-batches.
+
+    Per-batch dispatch costs ~1 ms of host->device round-trip (worse through
+    tunneled backends); at the tBL_WSe2 scale (512 batches/iteration) that is
+    seconds of pure overhead per iteration. Scanning the batch axis inside a
+    single compiled program removes it entirely and lets XLA pipeline
+    consecutive batch steps. Parameters and optimizer state ride the scan
+    carry (donated, so the update chain is in-place in HBM).
+    """
+
+    def loss_fn(params, bufs, indices, mask):
+        dp, (obja_p, objp_p) = forward(params, bufs, geom, indices)
+        meas = get_measurements(bufs, geom, indices)
+        total, terms = combined_loss(
+            dp, meas, obja_p, objp_p, bufs.omode_occu, loss_params, mask
+        )
+        return total, terms
+
+    def _epoch(params, opt_state, bufs, idx_all, mask_all, niter):
+        def body(carry, xs):
+            params, opt_state = carry
+            indices, mask = xs
+            (total, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, bufs, indices, mask
+            )
+            grads = mask_unstarted_grads(grads, niter, start_iters)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (total, terms)
+
+        (params, opt_state), (totals, terms) = jax.lax.scan(
+            body, (params, opt_state), (idx_all, mask_all)
+        )
+        term_means = {k: jnp.mean(v) for k, v in terms.items()}
+        return params, opt_state, jnp.mean(totals), term_means
+
+    _jitted = jax.jit(_epoch, donate_argnums=(0, 1))
+
+    def train_epoch(params, opt_state, idx_all, mask_all, niter):
+        return _jitted(params, opt_state, buffers, idx_all, mask_all, niter)
+
+    return train_epoch
+
+
 def build_lbfgs_step(
     buffers: Buffers,
     geom: Geometry,
@@ -183,19 +234,35 @@ def recon_loop(
     start_niter: int = 1,
     verbose: bool = True,
     put_batch: Optional[Callable] = None,
+    train_epoch: Optional[Callable] = None,
 ):
     """NITER outer loop (reference recon_loop, reconstruction.py:589-656).
 
-    callback(niter, params, history) fires after each iteration — the save /
-    plot hook (rank-0 gating is the callback's job).
+    When `train_epoch` is given (the fused lax.scan path), each iteration is
+    ONE device dispatch over all batches; otherwise falls back to per-batch
+    train_step calls. callback(niter, params, history) fires after each
+    iteration — the save / plot hook (rank-0 gating is the callback's job).
     """
     history = history or ReconHistory()
+    if train_epoch is not None:
+        idx_dev = jnp.asarray(batch_idx)
+        mask_dev = jnp.asarray(batch_mask)
+        if put_batch is not None:
+            idx_dev, mask_dev = put_batch(idx_dev, mask_dev)
     for niter in range(start_niter, start_niter + n_iter):
         t0 = time.perf_counter()
-        params, opt_state, term_avgs = recon_step(
-            train_step, params, opt_state, batch_idx, batch_mask, niter,
-            constraint_fn, buffers, put_batch,
-        )
+        if train_epoch is not None:
+            params, opt_state, total_dev, terms_dev = train_epoch(
+                params, opt_state, idx_dev, mask_dev, jnp.asarray(niter, jnp.int32)
+            )
+            term_avgs = {k: float(v) for k, v in terms_dev.items()}
+            if constraint_fn is not None:
+                params = constraint_fn(params, buffers, niter)
+        else:
+            params, opt_state, term_avgs = recon_step(
+                train_step, params, opt_state, batch_idx, batch_mask, niter,
+                constraint_fn, buffers, put_batch,
+            )
         jax.block_until_ready(params.obja)
         iter_t = time.perf_counter() - t0
 
@@ -294,9 +361,12 @@ class PtyRADSolver:
             self.lbfgs_step = build_lbfgs_step(
                 self.buffers, self.geom, self.loss_params, self.optimizer
             )
-            self.train_step, self.eval_loss = None, None
+            self.train_step, self.eval_loss, self.train_epoch = None, None, None
         else:
             self.train_step, self.eval_loss = build_train_step(
+                self.buffers, self.geom, self.loss_params, self.optimizer, self.start_dict
+            )
+            self.train_epoch = build_train_epoch(
                 self.buffers, self.geom, self.loss_params, self.optimizer, self.start_dict
             )
 
@@ -307,19 +377,27 @@ class PtyRADSolver:
                 shard_measurements=bool(self.recon_params.get("shard_measurements", True)),
             )
             if self.optimizer_name not in ("LBFGS", "lbfgs"):
-                # rebuild step closing over sharded buffers
+                # rebuild steps closing over sharded buffers
                 self.train_step, self.eval_loss = build_train_step(
+                    self.buffers, self.geom, self.loss_params, self.optimizer, self.start_dict
+                )
+                self.train_epoch = build_train_epoch(
                     self.buffers, self.geom, self.loss_params, self.optimizer, self.start_dict
                 )
             else:
                 self.lbfgs_step = build_lbfgs_step(
                     self.buffers, self.geom, self.loss_params, self.optimizer
                 )
-            sharding = data_sharding(self.mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
             def put_batch(idx, msk):
+                idx = jnp.asarray(idx)
+                # batch vectors shard over 'data'; stacked (num_batch, L)
+                # epoch arrays shard their last axis
+                spec = P("data") if idx.ndim == 1 else P(None, "data")
+                sharding = NamedSharding(self.mesh, spec)
                 return (
-                    jax.device_put(jnp.asarray(idx), sharding),
+                    jax.device_put(idx, sharding),
                     jax.device_put(jnp.asarray(msk), sharding),
                 )
 
@@ -351,6 +429,7 @@ class PtyRADSolver:
                 self.constraint_fn, self.buffers,
                 history=self.history, callback=callback,
                 verbose=self.verbose, put_batch=self._put_batch,
+                train_epoch=self.train_epoch,
             )
         return self.params, self.history
 

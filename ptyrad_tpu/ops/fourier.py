@@ -32,6 +32,24 @@ from ptyrad_tpu.ops.cplx import Cplx, matmul_const
 
 _MAX_DFT_N = 4096  # guard against accidentally huge dense DFTs
 
+# DFT matmul input precision: 'float32' (exact) or 'bfloat16' (inputs cast to
+# bf16, accumulation stays f32 via preferred_element_type — ~4x MXU rate on
+# v5e at ~0.4% relative error per transform). Read at trace time; set before
+# building jitted functions.
+_MATMUL_DTYPE = "float32"
+
+
+def set_matmul_dtype(dtype: str) -> None:
+    """Select DFT matmul input precision: 'float32' or 'bfloat16'."""
+    global _MATMUL_DTYPE
+    if dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"Unsupported matmul dtype '{dtype}'")
+    _MATMUL_DTYPE = dtype
+
+
+def get_matmul_dtype() -> str:
+    return _MATMUL_DTYPE
+
 
 @functools.lru_cache(maxsize=64)
 def _dft_consts(n: int, inverse: bool):
@@ -55,13 +73,15 @@ def _as_cplx(x) -> Cplx:
 
 
 def _dft_last_axis(x: Cplx, inverse: bool) -> Cplx:
-    fr, fi, frpi = (jnp.asarray(m) for m in _dft_consts(x.shape[-1], inverse))
-    return matmul_const(fr, fi, frpi, x, side="right")
+    dt = jnp.bfloat16 if _MATMUL_DTYPE == "bfloat16" else jnp.float32
+    fr, fi, frpi = (jnp.asarray(m, dtype=dt) for m in _dft_consts(x.shape[-1], inverse))
+    return matmul_const(fr, fi, frpi, x.astype(dt), side="right").astype(jnp.float32)
 
 
 def _dft_row_axis(x: Cplx, inverse: bool) -> Cplx:
-    fr, fi, frpi = (jnp.asarray(m) for m in _dft_consts(x.shape[-2], inverse))
-    return matmul_const(fr, fi, frpi, x, side="left")
+    dt = jnp.bfloat16 if _MATMUL_DTYPE == "bfloat16" else jnp.float32
+    fr, fi, frpi = (jnp.asarray(m, dtype=dt) for m in _dft_consts(x.shape[-2], inverse))
+    return matmul_const(fr, fi, frpi, x.astype(dt), side="left").astype(jnp.float32)
 
 
 def fft2(x, norm: str | None = None) -> Cplx:
