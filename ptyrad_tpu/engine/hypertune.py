@@ -245,9 +245,12 @@ def run_hypertune(params: dict, mesh=None, logger=None, jobid: Optional[str] = N
         if ht.get("pruner_params") is not None:
             pruner_cls = getattr(optuna.pruners, ht["pruner_params"]["name"])
             pruner = pruner_cls(**(ht["pruner_params"].get("configs") or {}))
+        storage = ht.get("storage_path", "hypertune.db")
+        if not storage.startswith("sqlite:"):
+            storage = f"sqlite:///{storage}"
         study = optuna.create_study(
             study_name=ht.get("study_name", "ptyrad_hypertune"),
-            storage=f"sqlite:///{ht.get('storage_path', 'hypertune.db')}",
+            storage=storage,
             sampler=sampler, pruner=pruner, direction="minimize", load_if_exists=True,
         )
     else:

@@ -357,6 +357,15 @@ class PtyRADSolver:
             self.params,
             grad_accumulation=getattr(self, "grad_accumulation", 1),
         )
+        load_state = optimizer_params.get("load_state")
+        if load_state:
+            from ptyrad_tpu.optim import load_opt_state
+
+            try:
+                self.opt_state = load_opt_state(self.opt_state, load_state)
+                vprint(f"Restored optimizer state from '{load_state}'", verbose=self.verbose)
+            except Exception as e:  # noqa: BLE001 — fall back to a fresh optimizer
+                vprint(f"WARNING: failed to restore optimizer state from '{load_state}': {e}. Using fresh state.")
         if self.optimizer_name in ("LBFGS", "lbfgs"):
             self.lbfgs_step = build_lbfgs_step(
                 self.buffers, self.geom, self.loss_params, self.optimizer

@@ -49,6 +49,8 @@ class Storage:
     processes), in-memory otherwise."""
 
     def __init__(self, path: Optional[str] = None, study_name: str = "study"):
+        if path and path.startswith("sqlite:///"):
+            path = path[len("sqlite:///"):]  # accept optuna storage URIs
         self.path = path
         self.study_name = study_name
         if path:

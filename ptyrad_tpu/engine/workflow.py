@@ -76,5 +76,9 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
             lr_dict=getattr(solver, "lr_dict", None),
             start_dict=getattr(solver, "start_dict", None),
         )
+        if "optim_state" in (recon_params.get("save_result") or []):
+            from ptyrad_tpu.optim import save_opt_state
+
+            save_opt_state(solver.opt_state, os.path.join(output_path, "optim_state"))
     solver.output_path = output_path
     return solver

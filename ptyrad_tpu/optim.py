@@ -153,3 +153,35 @@ def mask_unstarted_grads(grads: PtychoParams, niter, start_dict: Dict[str, int])
         obj_tilts=grads.obj_tilts * gate("obj_tilts"),
         slice_thickness=grads.slice_thickness * gate("slice_thickness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-state checkpointing (exact resume)
+# ---------------------------------------------------------------------------
+
+def save_opt_state(opt_state, path: str) -> None:
+    """Serialize an optax state pytree to an orbax checkpoint directory.
+
+    Functional replacement for the reference's optimizer-state HDF5 dump +
+    key-repair reload (reconstruction.py:287-366): orbax round-trips the
+    pytree structure exactly, so no key coercion is needed.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, opt_state, force=True)
+
+
+def load_opt_state(opt_state_template, path: str):
+    """Restore an optax state saved by save_opt_state; the template (a freshly
+    initialized state of the same optimizer/params) supplies the structure."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target=opt_state_template)

@@ -106,3 +106,26 @@ def infer_dx(
         "da+wavelength+Npix; angleMax+wavelength; RBF+conv_angle+wavelength+Npix; "
         "n_alpha+conv_angle+wavelength."
     )
+
+
+def complex_object_interp3d(complex_object, zoom_factors, z_axis: int = 0):
+    """Interpolate a 3D complex object preserving multislice conservation laws
+    (reference utils/physics.py:120-170).
+
+    Phase is additive across z-slices and amplitude multiplicative, so the
+    interpolation runs on (log-amplitude, phase) and divides both by the
+    z-zoom factor: the z-sum of phase and z-product of amplitude are
+    preserved under slice-count changes.
+    """
+    import numpy as np
+    from scipy import ndimage
+
+    zoom_factors = tuple(zoom_factors)
+    if zoom_factors == (1, 1, 1):
+        return complex_object
+    dtype = complex_object.dtype
+    amp = np.abs(complex_object)
+    phase = np.angle(complex_object)
+    amp_i = np.exp(ndimage.zoom(np.log(np.maximum(amp, 1e-12)), zoom_factors) / zoom_factors[z_axis])
+    phase_i = ndimage.zoom(phase, zoom_factors) / zoom_factors[z_axis]
+    return (amp_i * np.exp(1j * phase_i)).astype(dtype)

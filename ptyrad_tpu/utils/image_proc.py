@@ -155,3 +155,67 @@ def fit_background(image: np.ndarray, mask: np.ndarray, fit_type: str = "exp"):
     else:
         raise ValueError("fit_type must be 'exp' or 'power'")
     return popt
+
+
+def detect_blobs(image: np.ndarray, min_sigma: float = 1.0, max_sigma: float = 5.0,
+                 num_sigma: int = 5, threshold: float = 0.1) -> np.ndarray:
+    """Laplacian-of-Gaussian blob detection (scipy-based; replaces the
+    reference's skimage.feature.blob_log dependency).
+
+    Returns (n, 3) array of (y, x, sigma) for local maxima of the
+    scale-normalized -LoG response above `threshold`.
+    """
+    from scipy.ndimage import gaussian_laplace, maximum_filter
+
+    sigmas = np.linspace(min_sigma, max_sigma, num_sigma)
+    cube = np.stack([-(s**2) * gaussian_laplace(image.astype(float), s) for s in sigmas])
+    peaks = (cube == maximum_filter(cube, size=3)) & (cube > threshold)
+    zyx = np.argwhere(peaks)
+    if len(zyx) == 0:
+        return np.zeros((0, 3))
+    return np.stack([zyx[:, 1], zyx[:, 2], sigmas[zyx[:, 0]]], axis=1)
+
+
+def get_local_obj_tilts(
+    objp: np.ndarray, dx: float, slice_thickness: float, slice_indices,
+    blob_params: dict | None = None, window_size: int = 9,
+):
+    """Estimate per-column local object tilts from atomic-column shifts
+    between two slices (reference image_proc.py:247-385; analysis helper).
+
+    objp: (Nz, Ny, Nx) phase volume. Returns (coords_top (n,2),
+    tilt_yx_mrad (n,2), tilt_maps (2, Ny, Nx) cubic-interpolated).
+    """
+    from scipy.interpolate import griddata
+    from scipy.ndimage import center_of_mass as ndi_com
+
+    slice_t, slice_b = slice_indices
+    height = (slice_b - slice_t) * slice_thickness
+    top, bot = objp[slice_t], objp[slice_b]
+    blobs = detect_blobs(top, **(blob_params or {}))
+    if len(blobs) == 0:
+        raise ValueError("No atomic columns detected; adjust blob_params")
+
+    half = window_size // 2
+    coord_t, coord_b, keep = [], [], []
+    for y, x, _s in blobs:
+        r0, r1 = int(y) - half, int(y) + half + 1
+        c0, c1 = int(x) - half, int(x) + half + 1
+        if r0 < 0 or c0 < 0 or r1 > top.shape[0] or c1 > top.shape[1]:
+            continue
+        ct = np.asarray(ndi_com(np.clip(top[r0:r1, c0:c1], 0, None))) + [r0, c0]
+        cb = np.asarray(ndi_com(np.clip(bot[r0:r1, c0:c1], 0, None))) + [r0, c0]
+        coord_t.append(ct)
+        coord_b.append(cb)
+    coord_t = np.asarray(coord_t)
+    coord_b = np.asarray(coord_b)
+    shift = coord_b - coord_t  # px, (dy, dx) per column
+
+    tilts = np.arctan(shift * dx / height) * 1e3  # mrad, (tilt_y, tilt_x)
+
+    ynew, xnew = np.mgrid[0:top.shape[0], 0:top.shape[1]]
+    maps = np.stack([
+        griddata(coord_t, tilts[:, i], (ynew, xnew), method="cubic")
+        for i in range(2)
+    ])
+    return coord_t, tilts, maps
