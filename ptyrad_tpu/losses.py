@@ -113,7 +113,8 @@ def loss_simlar(obja_patches, objp_patches, omode_occu, params, mask=None):
         if scale is not None and any(s != 1 for s in scale):
             patches = area_downsample(patches, tuple(scale))
         weighted = patches * omode_occu[:, None, None, None]
-        return _bmean(jnp.std(weighted, axis=1), mask)
+        # ddof=1: the reference's torch.std is the unbiased estimator
+        return _bmean(jnp.std(weighted, axis=1, ddof=1), mask)
 
     total = jnp.float32(0.0)
     if obj_type in ("amplitude", "both"):

@@ -1,0 +1,345 @@
+"""Golden parity tests against the ACTUAL reference implementation.
+
+The upstream PtyRAD source is mounted read-only at /root/reference and torch
+(CPU) is installed, so where reference modules import without their missing
+optional deps (torchvision, tifffile, optuna), we compare our outputs
+numerically against theirs on identical inputs — the strongest possible
+parity evidence short of the real demo datasets (not downloadable here).
+
+Covered: the multislice forward model, STEM probe simulation, mixed-probe
+construction, the Fresnel/ASM propagator, dx calibration inference, affine
+composition, and probe-mode orthogonalization.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE_SRC = "/root/reference/src"
+if REFERENCE_SRC not in sys.path:
+    sys.path.insert(0, REFERENCE_SRC)
+
+torch = pytest.importorskip("torch")
+
+
+def _install_torchvision_stub():
+    """torchvision isn't installed; the reference only uses
+    torchvision.transforms.functional.gaussian_blur — provide a faithful
+    torch implementation (sampled Gaussian kernel, reflect padding) so the
+    constraints/losses modules import for parity testing."""
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+
+    def gaussian_blur(img, kernel_size, sigma):
+        import torch.nn.functional as F
+
+        ks = kernel_size if isinstance(kernel_size, int) else kernel_size[0]
+        sig = float(sigma if not isinstance(sigma, (list, tuple)) else sigma[0])
+        x = torch.arange(ks, dtype=torch.float32) - (ks - 1) / 2.0
+        k1d = torch.exp(-0.5 * (x / sig) ** 2)
+        k1d = (k1d / k1d.sum()).to(img.dtype)
+        shape = img.shape
+        flat = img.reshape(-1, 1, shape[-2], shape[-1])
+        pad = (ks // 2, ks - 1 - ks // 2)
+        flat = F.pad(flat, (pad[0], pad[1], pad[0], pad[1]), mode="reflect")
+        kx = k1d.view(1, 1, 1, ks)
+        ky = k1d.view(1, 1, ks, 1)
+        out = F.conv2d(F.conv2d(flat, kx), ky)
+        return out.reshape(shape)
+
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+    functional = types.ModuleType("torchvision.transforms.functional")
+    functional.gaussian_blur = gaussian_blur
+    transforms.functional = functional
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = functional
+
+
+_install_torchvision_stub()
+
+
+def ref_import(path):
+    import importlib
+
+    try:
+        module_path, name = path.rsplit(".", 1)
+        return getattr(importlib.import_module(module_path), name)
+    except Exception as e:  # noqa: BLE001 — missing optional deps in this env
+        pytest.skip(f"reference import '{path}' unavailable: {e}")
+
+
+class TestForwardModelParity:
+    def test_multislice_dp_matches_reference(self, rng):
+        ref_forward = ref_import("ptyrad.forward.multislice_forward_model_vec_all")
+
+        from ptyrad_tpu.models.forward import multislice_dp
+        from ptyrad_tpu.ops import cplx
+
+        B, omode, nz, pmode, n = 4, 2, 3, 2, 32
+        obja = (1 + 0.05 * rng.standard_normal((B, omode, nz, n, n))).astype(np.float32)
+        objp = (0.2 * rng.standard_normal((B, omode, nz, n, n))).astype(np.float32)
+        probe = (rng.standard_normal((B, pmode, n, n)) + 1j * rng.standard_normal((B, pmode, n, n))).astype(np.complex64)
+        from ptyrad_tpu.physics.propagator import near_field_evolution
+
+        H = near_field_evolution((n, n), 0.2, 2.0, 0.0417)[None].astype(np.complex64)
+        occu = np.array([0.6, 0.4], np.float32)
+
+        # reference expects pseudo-complex (B, omode, nz, n, n, 2) = (amp, phase)
+        obj_pseudo = torch.tensor(np.stack([obja, objp], axis=-1))
+        dp_ref = ref_forward(
+            obj_pseudo, torch.tensor(probe), torch.tensor(np.broadcast_to(H, (B, n, n)).copy()),
+            omode_occu=torch.tensor(occu),
+        ).numpy()
+
+        import jax.numpy as jnp
+
+        dp_ours = np.asarray(multislice_dp(
+            jnp.asarray(obja), jnp.asarray(objp), cplx.from_numpy(probe),
+            cplx.from_numpy(H), jnp.asarray(occu),
+        ))
+        np.testing.assert_allclose(dp_ours, dp_ref, rtol=2e-3, atol=1e-5)
+
+    def test_single_slice_parity(self, rng):
+        ref_forward = ref_import("ptyrad.forward.multislice_forward_model_vec_all")
+
+        from ptyrad_tpu.models.forward import multislice_dp
+        from ptyrad_tpu.ops import cplx
+        from ptyrad_tpu.physics.propagator import near_field_evolution
+
+        B, n = 3, 16
+        obja = np.ones((B, 1, 1, n, n), np.float32)
+        objp = (0.5 * rng.standard_normal((B, 1, 1, n, n))).astype(np.float32)
+        probe = (rng.standard_normal((1, 1, n, n)) + 1j * rng.standard_normal((1, 1, n, n))).astype(np.complex64)
+        H = near_field_evolution((n, n), 0.2, 2.0, 0.0417)[None].astype(np.complex64)
+
+        dp_ref = ref_forward(
+            torch.tensor(np.stack([obja, objp], -1)), torch.tensor(probe),
+            torch.tensor(H), omode_occu=torch.tensor(np.ones(1, np.float32)),
+        ).numpy()
+
+        import jax.numpy as jnp
+
+        dp_ours = np.asarray(multislice_dp(
+            jnp.asarray(obja), jnp.asarray(objp), cplx.from_numpy(probe),
+            cplx.from_numpy(H), jnp.ones(1),
+        ))
+        np.testing.assert_allclose(dp_ours, dp_ref, rtol=1e-3, atol=1e-6)
+
+
+class TestPhysicsParity:
+    def test_stem_probe_matches_reference(self):
+        ref_make = ref_import("ptyrad.utils.make_stem_probe")
+
+        from ptyrad_tpu.physics import make_stem_probe
+
+        params = {"kv": 80.0, "conv_angle": 24.9, "Npix": 64, "dx": 0.2,
+                  "df": 100.0, "c3": 1e4, "c5": 5e4, "f_a2": 30.0, "theta_a2": 0.4}
+        ours = make_stem_probe(params)
+        theirs = ref_make(dict(params), verbose=False)
+        # individual aberration terms match to <=1e-5; tolerance covers f32
+        # accumulation-order differences between the two implementations
+        np.testing.assert_allclose(ours, theirs.astype(np.complex64), atol=5e-5)
+
+    def test_mixed_probe_matches_reference(self):
+        ref_mixed = ref_import("ptyrad.utils.make_mixed_probe")
+        ref_make = ref_import("ptyrad.utils.make_stem_probe")
+
+        from ptyrad_tpu.physics import make_mixed_probe
+
+        base = ref_make({"kv": 80.0, "conv_angle": 24.9, "Npix": 32, "dx": 0.3}, verbose=False)
+        theirs = ref_mixed(base, 4, [0.05], verbose=False)
+        ours = make_mixed_probe(base, 4, [0.05])
+        # mode powers must match exactly; modes may differ by a global phase
+        np.testing.assert_allclose(
+            np.sum(np.abs(ours) ** 2, (1, 2)), np.sum(np.abs(theirs) ** 2, (1, 2)), rtol=1e-5
+        )
+        # mode 0 (the fundamental) is identical up to normalization
+        np.testing.assert_allclose(np.abs(ours[0]), np.abs(theirs[0]), atol=1e-6)
+
+    def test_propagator_matches_reference(self):
+        ref_nfe = ref_import("ptyrad.utils.near_field_evolution")
+
+        from ptyrad_tpu.physics.propagator import near_field_evolution
+
+        ours = near_field_evolution((64, 48), 0.15, 12.0, 0.0251)
+        theirs = ref_nfe(np.array([64, 48]), 0.15, 12.0, 0.0251)
+        np.testing.assert_allclose(ours, theirs.astype(np.complex64), atol=1e-5)
+
+    def test_infer_dx_matches_reference(self):
+        ref_infer = ref_import("ptyrad.utils.infer_dx_from_params")
+
+        from ptyrad_tpu.physics.constants import infer_dx
+
+        cases = [
+            {"dx": 0.15},
+            {"dk": 0.05, "Npix": 128},
+            {"kMax": 3.2},
+            {"da": 1.2, "wavelength": 0.0417, "Npix": 128},
+            {"angleMax": 60.0, "wavelength": 0.0417},
+            {"RBF": 25.0, "conv_angle": 24.9, "wavelength": 0.0417, "Npix": 128},
+        ]
+        for kw in cases:
+            assert infer_dx(**kw) == pytest.approx(ref_infer(**kw), rel=1e-9), kw
+
+    def test_em_constants_match_reference(self):
+        ref_const = ref_import("ptyrad.utils.get_EM_constants")
+
+        from ptyrad_tpu.physics.constants import get_em_constants
+
+        for kv in (80.0, 200.0, 300.0):
+            for out in ("gamma", "wavelength", "sigma"):
+                assert get_em_constants(kv, out) == pytest.approx(ref_const(kv, out), rel=1e-9)
+
+    def test_affine_matches_reference(self):
+        ref_affine = ref_import("ptyrad.utils.compose_affine_matrix")
+
+        from ptyrad_tpu.ops.affine import compose_affine_matrix
+
+        np.testing.assert_allclose(
+            compose_affine_matrix(1.1, 0.05, 3.0, 1.5),
+            ref_affine(1.1, 0.05, 3.0, 1.5), rtol=1e-12,
+        )
+
+
+class TestConstraintParity:
+    def test_orthogonalization_matches_reference(self, rng):
+        """Our eigh-real-embedding orthogonalization must span the same modes
+        with the same intensities as the reference's torch.linalg.eig version
+        (individual mode phases are gauge freedom)."""
+        ref_ortho = ref_import("ptyrad.constraints.orthogonalize_modes_vec")
+
+        from ptyrad_tpu.constraints import orthogonalize_modes
+        from ptyrad_tpu.ops import cplx
+
+        modes = (rng.standard_normal((4, 16, 16)) + 1j * rng.standard_normal((4, 16, 16))).astype(np.complex64)
+        theirs = ref_ortho(torch.tensor(modes), sort=True).numpy()
+        ours = cplx.to_numpy(orthogonalize_modes(cplx.from_numpy(modes), sort=True))
+
+        # same per-mode intensities after sorting
+        np.testing.assert_allclose(
+            np.sum(np.abs(ours) ** 2, (1, 2)), np.sum(np.abs(theirs) ** 2, (1, 2)), rtol=1e-3
+        )
+        # same total intensity and mutual orthogonality
+        flat = ours.reshape(4, -1)
+        gram = flat @ flat.conj().T
+        np.testing.assert_allclose(
+            np.abs(gram - np.diag(np.diag(gram))).max(), 0, atol=1e-3 * np.abs(gram).max()
+        )
+        # the span is identical: projecting ours onto theirs preserves norms
+        theirs_flat = theirs.reshape(4, -1)
+        qt, _ = np.linalg.qr(theirs_flat.conj().T)
+        proj = flat @ qt @ qt.conj().T
+        np.testing.assert_allclose(
+            np.linalg.norm(proj, axis=1), np.linalg.norm(flat, axis=1), rtol=1e-3
+        )
+
+
+class TestLossParity:
+    def _dps(self, rng):
+        model = np.abs(rng.standard_normal((4, 16, 16))).astype(np.float32) + 0.1
+        meas = np.abs(rng.standard_normal((4, 16, 16))).astype(np.float32) + 0.1
+        return model, meas
+
+    def test_combined_loss_matches_reference(self, rng):
+        ref_loss_cls = ref_import("ptyrad.losses.CombinedLoss")
+
+        import jax.numpy as jnp
+
+        from ptyrad_tpu.losses import combined_loss
+
+        model, meas = self._dps(rng)
+        obja_p = (1 + 0.05 * rng.standard_normal((4, 2, 3, 16, 16))).astype(np.float32)
+        objp_p = (0.3 * rng.standard_normal((4, 2, 3, 16, 16))).astype(np.float32)
+        occu = np.array([0.7, 0.3], np.float32)
+
+        loss_params = {
+            "loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5},
+            "loss_poissn": {"state": True, "weight": 0.5, "dp_pow": 1.0, "eps": 1e-6},
+            "loss_pacbed": {"state": True, "weight": 0.3, "dp_pow": 0.2},
+            "loss_sparse": {"state": True, "weight": 0.1, "ln_order": 1},
+            "loss_simlar": {"state": True, "weight": 0.2, "obj_type": "both",
+                            "blur_std": None, "scale_factor": None},
+        }
+        ref_fn = ref_loss_cls(loss_params, device="cpu")
+        obj_pseudo = torch.tensor(np.stack([obja_p, objp_p], -1))
+        total_ref, losses_ref = ref_fn(
+            torch.tensor(model), torch.tensor(meas), obj_pseudo, torch.tensor(occu)
+        )
+
+        total_ours, terms_ours = combined_loss(
+            jnp.asarray(model), jnp.asarray(meas), jnp.asarray(obja_p),
+            jnp.asarray(objp_p), jnp.asarray(occu), loss_params,
+        )
+        ref_by_name = dict(zip(
+            ["loss_single", "loss_poissn", "loss_pacbed", "loss_sparse", "loss_simlar"],
+            [float(v) for v in losses_ref],
+        ))
+        for name, ref_val in ref_by_name.items():
+            assert float(terms_ours[name]) == pytest.approx(ref_val, rel=1e-3), name
+        assert float(total_ours) == pytest.approx(float(total_ref), rel=1e-3)
+
+
+class TestMoreConstraintParity:
+    def test_kz_filter_matches_reference(self, rng):
+        ref_kz = ref_import("ptyrad.constraints.kz_filter")
+
+        from ptyrad_tpu.constraints import kz_filter_fn
+
+        obj = (1 + 0.1 * rng.standard_normal((2, 6, 16, 16))).astype(np.float32)
+        for obj_type in ("phase", "amplitude"):
+            theirs = ref_kz(torch.tensor(obj), 1.5, 0.8, obj_type=obj_type).numpy()
+            ours = np.asarray(kz_filter_fn(obj, 1.5, 0.8, obj_type=obj_type))
+            np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-5)
+
+    def test_kr_filter_matches_reference(self, rng):
+        ref_kr = ref_import("ptyrad.constraints.kr_filter")
+
+        from ptyrad_tpu.constraints import kr_filter_fn
+
+        obj = (0.3 * rng.standard_normal((1, 4, 32, 32))).astype(np.float32)
+        theirs = ref_kr(torch.tensor(obj), 0.2, 0.05).numpy()
+        ours = np.asarray(kr_filter_fn(obj, 0.2, 0.05))
+        np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=1e-5)
+
+    def test_complex_ratio_matches_reference(self, rng):
+        ref_cr = ref_import("ptyrad.constraints.complex_ratio_constraint")
+
+        from ptyrad_tpu.constraints import complex_ratio_fn
+
+        obja = (1 + 0.05 * np.abs(rng.standard_normal((1, 2, 16, 16)))).astype(np.float32)
+        objp = (0.2 * np.abs(rng.standard_normal((1, 2, 16, 16)))).astype(np.float32)
+
+        class FakeModel:
+            opt_obja = torch.tensor(obja)
+            opt_objp = torch.tensor(objp)
+
+        a_ref, p_ref, cbar_ref = ref_cr(FakeModel(), 0.7, 0.2)
+        a_ours, p_ours, cbar_ours = complex_ratio_fn(obja, objp, 0.7, 0.2)
+        assert float(cbar_ours) == pytest.approx(float(cbar_ref), rel=1e-4)
+        np.testing.assert_allclose(np.asarray(a_ours), a_ref.numpy(), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(p_ours), p_ref.numpy(), rtol=1e-4, atol=1e-6)
+
+    def test_sigmoid_mask_matches_reference(self):
+        ref_mask = ref_import("ptyrad.utils.make_sigmoid_mask")
+
+        from ptyrad_tpu.ops.masks import make_sigmoid_mask
+
+        theirs = ref_mask(64, 0.4, 0.06).numpy()
+        ours = np.asarray(make_sigmoid_mask(64, 0.4, 0.06))
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    def test_gaussian_blur_1d_matches_reference(self, rng):
+        ref_blur = ref_import("ptyrad.utils.gaussian_blur_1d")
+
+        from ptyrad_tpu.ops.blur import gaussian_blur_1d
+
+        x = rng.standard_normal((2, 3, 4, 10)).astype(np.float32)
+        theirs = ref_blur(torch.tensor(x), kernel_size=5, sigma=1.0).detach().numpy()
+        ours = np.asarray(gaussian_blur_1d(x, kernel_size=5, sigma=1.0))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-6)
