@@ -132,9 +132,25 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
     obja_p, objp_p = get_obj_patches(params, buffers, geom, indices)
     probes = get_probes(params, geom, indices)
     H = compute_propagators(params, buffers, geom, indices)
-    dp = multislice_dp(
-        obja_p, objp_p, probes, H, buffers.omode_occu, eps=geom.eps, remat=geom.fwd_remat
-    )
+    if geom.fwd_fused:
+        from ptyrad_tpu.ops.pallas_multislice import (
+            fused_path_applicable,
+            multislice_dp_fused,
+        )
+
+        if fused_path_applicable(obja_p, probes, H):
+            raw = multislice_dp_fused(
+                obja_p, objp_p, probes.re, probes.im, H.re, H.im
+            )
+            dp = fftshift2(raw) * buffers.omode_occu[0] + geom.eps
+        else:
+            dp = multislice_dp(
+                obja_p, objp_p, probes, H, buffers.omode_occu, eps=geom.eps, remat=geom.fwd_remat
+            )
+    else:
+        dp = multislice_dp(
+            obja_p, objp_p, probes, H, buffers.omode_occu, eps=geom.eps, remat=geom.fwd_remat
+        )
     std = geom.detector_blur_std
     if std is not None and std != 0:
         dp = gaussian_blur_2d(dp, kernel_size=5, sigma=std)

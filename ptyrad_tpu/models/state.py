@@ -111,6 +111,7 @@ class Geometry:
     meas_scale_factors: Optional[Tuple[float, float]] = None
     eps: float = 1e-10
     fwd_remat: bool = False  # rematerialize the multislice loop to save HBM
+    fwd_fused: bool = False  # experimental Pallas fused multislice kernel
 
     @property
     def n_slices(self) -> int:

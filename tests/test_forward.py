@@ -238,3 +238,58 @@ class TestSubsystems:
         pp = propagated_probe(params, buffers, geom, jnp.asarray([0]))
         assert pp.shape == (geom.n_slices, init["probe"].shape[0], *geom.probe_shape)
         np.testing.assert_allclose(cplx.to_numpy(pp[0]), init["probe"], atol=1e-6)
+
+
+class TestPallasFusedPath:
+    def test_fused_matches_jnp_path(self, rng):
+        """Interpret-mode check of the fused Pallas multislice (value + grads)."""
+        import dataclasses
+
+        import jax
+
+        from ptyrad_tpu.ops import pallas_multislice as pm
+
+        init = make_toy_init(rng, omode=1, nz=3, pmode=2, npix=16, n_scans=6)
+        params, buffers, geom = make_model(init)
+        geom_fused = dataclasses.replace(geom, fwd_fused=True)
+        idx = jnp.arange(4)
+
+        pm.set_interpret(True)
+        try:
+            dp_ref, _ = forward(params, buffers, geom, idx)
+            dp_fused, _ = forward(params, buffers, geom_fused, idx)
+            np.testing.assert_allclose(
+                np.asarray(dp_fused), np.asarray(dp_ref), rtol=1e-4, atol=1e-7
+            )
+
+            def loss(geom_used):
+                def f(p):
+                    dp, _ = forward(p, buffers, geom_used, idx)
+                    return jnp.sum(jnp.sqrt(dp))
+                return f
+
+            g_ref = jax.grad(loss(geom))(params)
+            g_fused = jax.grad(loss(geom_fused))(params)
+            np.testing.assert_allclose(
+                np.asarray(g_fused.obja), np.asarray(g_ref.obja), rtol=1e-3, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(g_fused.objp), np.asarray(g_ref.objp), rtol=1e-3, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(g_fused.probe.re), np.asarray(g_ref.probe.re), rtol=1e-3, atol=1e-6
+            )
+        finally:
+            pm.set_interpret(False)
+
+    def test_fused_falls_back_when_inapplicable(self, rng):
+        """omode > 1 is outside the kernel's regime -> jnp path, same results."""
+        import dataclasses
+
+        init = make_toy_init(rng, omode=2, nz=2, pmode=2, npix=16, n_scans=6)
+        params, buffers, geom = make_model(init)
+        geom_fused = dataclasses.replace(geom, fwd_fused=True)
+        idx = jnp.arange(3)
+        dp_ref, _ = forward(params, buffers, geom, idx)
+        dp_fused, _ = forward(params, buffers, geom_fused, idx)
+        np.testing.assert_allclose(np.asarray(dp_fused), np.asarray(dp_ref), atol=1e-7)
