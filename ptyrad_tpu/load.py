@@ -31,9 +31,16 @@ def _check_exists(file_path: str) -> None:
 # Array loaders
 # ---------------------------------------------------------------------------
 
-def load_raw(file_path: str, shape, dtype=np.float32, offset: int = 0, gap: int = 1024) -> np.ndarray:
+def load_raw(
+    file_path: str, shape, dtype=np.float32, offset: int = 0, gap: int = 1024,
+    nthreads: int = 8,
+) -> np.ndarray:
     """Load an EMPAD-style .raw stack: N frames of (H, W) dtype values, each
-    followed by `gap` junk bytes (reference load.py:19-49)."""
+    followed by `gap` junk bytes (reference load.py:19-49).
+
+    Uses the multithreaded C reader (ptyrad_tpu/native/fastraw.c) when a
+    compiler is available; falls back to the NumPy structured-dtype path.
+    """
     _check_exists(file_path)
     n, height, width = shape
     itemsize = np.dtype(dtype).itemsize
@@ -44,6 +51,17 @@ def load_raw(file_path: str, shape, dtype=np.float32, offset: int = 0, gap: int 
             f"File size mismatch for '{file_path}': expected {expected} bytes "
             f"(offset + N*(H*W*{itemsize} + gap)), found {actual}. Check shape/offset/gap."
         )
+
+    from ptyrad_tpu.native import load_fastraw
+
+    fastraw = load_fastraw()
+    if fastraw is not None:
+        buf = fastraw.read_frames(
+            file_path, int(n), int(height), int(width), int(itemsize),
+            int(offset), int(gap), int(nthreads),
+        )
+        return np.frombuffer(buf, dtype=dtype).reshape(n, height, width)
+
     frame_dtype = np.dtype([("data", dtype, (height, width)), ("gap", np.uint8, gap)])
     with open(file_path, "rb") as f:
         f.seek(offset)

@@ -425,3 +425,35 @@ class TestEndToEndWorkflow:
         np.testing.assert_array_equal(
             init2.init_variables["crop_pos"], np.asarray(solver.buffers.crop_pos)
         )
+
+
+class TestFastRaw:
+    def test_native_reader_matches_numpy_path(self, rng, tmp_path):
+        from ptyrad_tpu.native import load_fastraw
+
+        fastraw = load_fastraw()
+        if fastraw is None:
+            pytest.skip("no C compiler available")
+        for offset, gap in [(0, 1024), (128, 0), (7, 33)]:
+            data = rng.standard_normal((5, 16, 16)).astype(np.float32)
+            path = str(tmp_path / f"t_{offset}_{gap}.raw")
+            with open(path, "wb") as f:
+                f.write(b"\xAB" * offset)
+                for frame in data:
+                    f.write(frame.tobytes())
+                    f.write(b"\x00" * gap)
+            loaded = load_raw(path, (5, 16, 16), offset=offset, gap=gap)
+            np.testing.assert_array_equal(loaded, data)
+
+    def test_fallback_when_native_unavailable(self, rng, tmp_path, monkeypatch):
+        import ptyrad_tpu.load as load_mod
+
+        monkeypatch.setattr("ptyrad_tpu.native.load_fastraw", lambda: None)
+        data = rng.standard_normal((3, 8, 8)).astype(np.float32)
+        path = str(tmp_path / "fb.raw")
+        with open(path, "wb") as f:
+            for frame in data:
+                f.write(frame.tobytes())
+                f.write(b"\x00" * 64)
+        loaded = load_mod.load_raw(path, (3, 8, 8), gap=64)
+        np.testing.assert_array_equal(loaded, data)
