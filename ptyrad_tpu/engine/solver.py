@@ -267,6 +267,16 @@ def recon_loop(
         iter_t = time.perf_counter() - t0
 
         total = float(sum(term_avgs.values()))
+        if not np.isfinite(total):
+            # failure detection (beyond the reference, SURVEY.md §5): halt on
+            # divergence instead of burning the remaining iterations
+            vprint(
+                f"ERROR: non-finite loss at iter {niter} "
+                f"(terms: {term_avgs}); stopping early. Check learning rates, "
+                "normalization, and constraint settings.",
+            )
+            history.loss_iters.append((niter, total))
+            break
         history.loss_iters.append((niter, total))
         history.term_iters.append(term_avgs)
         history.iter_times.append(iter_t)

@@ -92,3 +92,26 @@ def shard_model(
         meas_padded=(jax.device_put(buffers.meas_padded, rep) if buffers.meas_padded is not None else None),
     )
     return params, buffers
+
+
+def init_multihost(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize multi-host JAX (the launch-side counterpart of the
+    reference's `accelerate launch`, docs/launch/multiGPU.md).
+
+    On TPU pods with standard orchestration (GKE/XPK/ray), call with no
+    arguments — jax.distributed discovers the topology. For manual launches,
+    pass coordinator_address ('host:port'), num_processes, and process_id.
+    After this, jax.devices() spans all hosts and the data mesh covers the
+    full slice; per-host logging/saving is gated by jax.process_index() == 0.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()

@@ -290,3 +290,22 @@ class TestSharding:
         params, history = solver.run()
         losses = [v for _, v in history.loss_iters]
         assert losses[-1] < 0.7 * losses[0]
+
+
+class TestNanGuard:
+    def test_divergence_halts_loop(self, rng):
+        """An exploding learning rate must stop the loop at the first
+        non-finite loss instead of running all iterations."""
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+
+        init, _ = make_synthetic(rng)
+        # a corrupted measurement poisons the loss with NaN at iteration 1
+        meas = init["measurements"].copy()
+        meas[0, 0, 0] = np.nan
+        init["measurements"] = meas
+        cfg = solver_params(niter=30)
+        solver = PtyRADSolver(cfg, init_variables=init, verbose=False)
+        params, history = solver.run()
+        losses = [v for _, v in history.loss_iters]
+        assert any(not np.isfinite(v) for v in losses)
+        assert len(losses) < 30
