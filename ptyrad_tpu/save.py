@@ -59,10 +59,13 @@ def imwrite_tif(file_path: str, data: np.ndarray) -> None:
 
 def save_array(
     data, file_dir: str = "", file_name: str = "ptyrad_init_meas",
-    file_format: str = "hdf5", append_shape: bool = True, **kwargs,
+    file_format: str = "hdf5", output_shape=None, append_shape: bool = True, **kwargs,
 ) -> str:
-    """Write an array as .tif/.npy/.hdf5 (reference save.py:40-81)."""
+    """Write an array as .tif/.npy/.hdf5, optionally reshaped to
+    `output_shape` first (reference save.py:40-81)."""
     data = np.asarray(data)
+    if output_shape is not None:
+        data = data.reshape(output_shape)
     shape_str = "_" + "_".join(str(s) for s in data.shape) if append_shape else ""
     if file_dir:
         os.makedirs(file_dir, exist_ok=True)

@@ -1,0 +1,220 @@
+"""Long-tail coverage: X-ray FZP branch, foldslice positions, meas export,
+cross-framework checkpoint interop, PtyShv/py4DSTEM source loaders."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from ptyrad_tpu.initialization import Initializer
+from ptyrad_tpu.load import load_hdf5
+
+from test_init_io import base_init_params, synth_meas
+
+
+class TestXrayBranch:
+    def xray_params(self, rng, n_scans=16, npix=32):
+        return {
+            "probe_illum_type": "xray",
+            "beam_kev": 8.0,
+            "meas_Npix": npix,
+            "pos_N_scans": n_scans,
+            "pos_N_scan_slow": 4,
+            "pos_N_scan_fast": 4,
+            "pos_scan_step_size": 5e-8,  # 50 nm steps (meters)
+            "meas_calibration": {"mode": "dx", "value": 1e-8},
+            "probe_pmode_max": 1,
+            "probe_pmode_init_pows": [0.02],
+            "obj_omode_max": 1,
+            "obj_Nlayer": 1,
+            "obj_slice_thickness": 1e-7,
+            # FZP geometry (typical soft-xray values)
+            "probe_dRn": 5e-8,
+            "probe_Rn": 9e-5,
+            "probe_D_FZP": 1.8e-4,
+            "probe_D_H": 6e-5,
+            "probe_Ls": 4e-3,
+            "meas_source": "custom",
+            "meas_params": synth_meas(rng, n_scans, npix),
+            "probe_source": "simu",
+            "probe_params": None,
+            "pos_source": "simu",
+            "pos_params": None,
+            "obj_source": "simu",
+            "obj_params": None,
+            "tilt_source": "simu",
+            "tilt_params": {"tilt_type": "all", "init_tilts": [[0, 0]]},
+            "pos_scan_rand_std": None,
+        }
+
+    def test_xray_init_all(self, rng):
+        init = Initializer(self.xray_params(rng), verbose=False).init_all()
+        v = init.init_variables
+        assert v["probe_illum_type"] == "xray"
+        assert v["probe"].shape == (1, 32, 32)
+        assert np.iscomplexobj(v["probe"])
+        # wavelength for 8 keV x-rays ~ 1.55 Angstrom = 1.55e-10 m
+        assert v["lambd"] == pytest.approx(1.55e-10, rel=0.01)
+        assert np.all(np.isfinite(v["H"].view(np.float32)))
+
+    def test_xray_reconstruction_runs(self, rng):
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+
+        init = Initializer(self.xray_params(rng), verbose=False).init_all()
+        cfg = {
+            "model_params": {"update_params": {"objp": {"lr": 1e-3, "start_iter": 1}}},
+            "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": 8}},
+        }
+        solver = PtyRADSolver(cfg, init_variables=init.init_variables, verbose=False)
+        params, hist = solver.run()
+        assert all(np.isfinite(v) for _, v in hist.loss_iters)
+
+    def test_xray_rejects_electron_calibration(self, rng):
+        p = self.xray_params(rng)
+        p["meas_calibration"] = {"mode": "fitRBF"}
+        init = Initializer(p, verbose=False)
+        init.init_measurements()
+        with pytest.raises(ValueError, match="unsupported for xray"):
+            init.init_calibration()
+
+
+class TestFoldslicePositions:
+    def test_foldslice_hdf5_source(self, rng, tmp_path):
+        import h5py
+
+        # APS-style position file: ppY/ppX centered around 0 (stage coords)
+        ys, xs = np.meshgrid(np.arange(4) * 0.6, np.arange(4) * 0.6, indexing="ij")
+        ys, xs = ys - ys.mean(), xs - xs.mean()
+        path = str(tmp_path / "pos.h5")
+        with h5py.File(path, "w") as hf:
+            hf["ppY"] = -ys.ravel()
+            hf["ppX"] = -xs.ravel()
+
+        p = base_init_params(rng, pos_source="foldslice_hdf5", pos_params=path)
+        init = Initializer(p, verbose=False).init_all()
+        pos = init.init_variables["crop_pos"] + init.init_variables["probe_pos_shifts"]
+        # raster spacing = 0.6 / dx = 4 px
+        grid = pos.reshape(4, 4, 2)
+        np.testing.assert_allclose(np.abs(np.diff(grid[:, 0, 0])), 4.0, atol=0.01)
+
+
+class TestMeasExport:
+    def test_export_cli(self, rng, tmp_path):
+        import yaml
+
+        from ptyrad_tpu.cli import main
+
+        meas = synth_meas(rng, 16, 32)
+        np.save(str(tmp_path / "m.npy"), meas)
+        params = {
+            "init_params": {
+                "probe_kv": 80.0, "probe_conv_angle": 24.9, "meas_Npix": 32,
+                "pos_N_scan_slow": 4, "pos_N_scan_fast": 4, "pos_scan_step_size": 0.43,
+                "meas_calibration": {"mode": "dx", "value": 0.15},
+                "probe_pmode_max": 1, "obj_Nlayer": 1, "obj_slice_thickness": 2.0,
+                "meas_source": "file", "meas_params": {"path": str(tmp_path / "m.npy")},
+                "meas_export": {"file_dir": str(tmp_path / "exported"), "file_format": "hdf5"},
+            },
+        }
+        ppath = str(tmp_path / "p.yml")
+        yaml.safe_dump(params, open(ppath, "w"))
+        assert main(["export-meas-init", "--params_path", ppath]) == 0
+        files = os.listdir(tmp_path / "exported")
+        assert any(f.endswith(".hdf5") for f in files)
+        exported = load_hdf5(str(tmp_path / "exported" / files[0]), key="data")
+        assert exported.shape == (16, 32, 32)
+
+
+class TestCheckpointInterop:
+    def test_reference_loader_reads_our_checkpoint(self, rng, tmp_path):
+        """The upstream loader must be able to open our model.hdf5 (the
+        interop contract: users can post-process either framework's outputs
+        with the other's tools)."""
+        sys.path.insert(0, "/root/reference/src")
+        try:
+            from ptyrad.load import load_hdf5 as ref_load_hdf5
+        except Exception as e:  # noqa: BLE001
+            pytest.skip(f"reference loader unavailable: {e}")
+
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+        from ptyrad_tpu.save import save_results
+
+        init = Initializer(base_init_params(rng), verbose=False).init_all()
+        cfg = {
+            "model_params": {"update_params": {"objp": {"lr": 1e-3, "start_iter": 1}}},
+            "recon_params": {"NITER": 1, "BATCH_SIZE": {"size": 8}},
+        }
+        solver = PtyRADSolver(cfg, init_variables=init.init_variables, verbose=False)
+        solver.run()
+        out = str(tmp_path / "interop")
+        save_results(
+            out, solver.params, solver.buffers, solver.geom,
+            {"recon_params": {"save_result": ["model"]}},
+            solver.opt_state, solver.history, 1, solver.indices,
+        )
+        ckpt = ref_load_hdf5(os.path.join(out, "model_iter0001.hdf5"))
+        tensors = ckpt["optimizable_tensors"]
+        assert tensors["probe"].shape == (2, 32, 32)
+        assert np.iscomplexobj(tensors["probe"])
+        assert tensors["obja"].ndim == 4
+        assert "crop_pos" in ckpt["model_attributes"]
+        assert "loss_iters" in ckpt
+
+
+class TestSourceLoaders:
+    def test_ptyshv_style_mat_roundtrip(self, rng, tmp_path):
+        """PtyShv .mat layout: object (Ny,Nx,Nz), probe (Ny,Nx,pmode),
+        positions under outputs.probe_positions as (N,2) (x,y)-ordered."""
+        import scipy.io as sio
+
+        ny = nx = 80
+        nz, pmode, npix = 2, 2, 32
+        obj = (1 + 0.01 * rng.standard_normal((ny, nx, nz))) * np.exp(
+            1j * 0.01 * rng.standard_normal((ny, nx, nz))
+        )
+        probe = (rng.standard_normal((npix, npix, pmode)) + 1j * rng.standard_normal((npix, npix, pmode)))
+        # positions centered around 0 in PtyShv's convention
+        ys, xs = np.meshgrid(np.arange(4) * 3.0 - 4.5, np.arange(4) * 3.0 - 4.5, indexing="ij")
+        positions = np.stack([xs.ravel(), ys.ravel()], axis=1)  # (x, y) order
+        path = str(tmp_path / "ptyshv.mat")
+        sio.savemat(path, {"object": obj, "probe": probe,
+                           "outputs": {"probe_positions": positions}})
+
+        p = base_init_params(
+            rng,
+            obj_source="PtyShv", obj_params=path,
+            probe_source="PtyShv", probe_params=path,
+            pos_source="PtyShv", pos_params=path,
+        )
+        init = Initializer(p, verbose=False).init_all()
+        v = init.init_variables
+        assert v["obj"].shape == (1, 2, ny, nx)
+        assert v["probe"].shape == (pmode, npix, npix)
+        # caching: all three fields share one file -> loaded once
+        assert init.use_cached_obj and init.use_cached_probe and init.use_cached_pos
+
+    def test_py4dstem_style_hdf5(self, rng, tmp_path):
+        import h5py
+
+        npix = 32
+        obj = (1 + 0.01 * rng.standard_normal((2, 80, 80))).astype(np.complex64)
+        probe = (rng.standard_normal((npix, npix)) + 1j * rng.standard_normal((npix, npix))).astype(np.complex64)
+        ys, xs = np.meshgrid(np.arange(4) * 3.0 + 24, np.arange(4) * 3.0 + 24, indexing="ij")
+        positions = np.stack([ys.ravel(), xs.ravel()], 1).astype(float)
+        path = str(tmp_path / "py4d.h5")
+        with h5py.File(path, "w") as hf:
+            hf["object"] = obj
+            hf["probe"] = probe
+            hf["positions_px"] = positions
+
+        p = base_init_params(
+            rng,
+            obj_source="py4DSTEM", obj_params=path,
+            probe_source="py4DSTEM", probe_params=path,
+            pos_source="py4DSTEM", pos_params=path,
+        )
+        init = Initializer(p, verbose=False).init_all()
+        v = init.init_variables
+        assert v["obj"].shape == (1, 2, 80, 80)
+        assert v["probe"].shape == (1, npix, npix)
