@@ -39,6 +39,22 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
     if logger is not None:
         logger.flush_to_dir(output_path)
 
+    # position-grouping figure at preparation time (reference
+    # prepare_recon -> plot_pos_grouping, reconstruction.py:430-437)
+    if "group" in (recon_params.get("selected_figs") or []):
+        try:
+            import matplotlib.pyplot as plt
+
+            from ptyrad_tpu.visualization import plot_pos_grouping
+
+            pos = np.asarray(solver.buffers.crop_pos)
+            batches = [row[m > 0] for row, m in zip(solver.batch_idx, solver.batch_mask)]
+            fig = plot_pos_grouping(pos, batches)
+            fig.savefig(os.path.join(output_path, "summary_grouping.png"), dpi=100)
+            plt.close(fig)
+        except Exception as e:  # noqa: BLE001 — plotting must never kill a run
+            vprint(f"WARNING: grouping figure failed: {e}")
+
     save_iters = recon_params.get("SAVE_ITERS")
 
     def callback(niter, cur_params, history):
