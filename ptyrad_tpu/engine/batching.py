@@ -95,24 +95,33 @@ def make_batches(
     if mode == "compact":
         return compact
 
-    # 'sparse': greedy max-min-distance assignment seeded at compact centroids
-    from scipy.spatial.distance import cdist
-
+    # 'sparse': greedy max-min-distance assignment seeded at compact centroids.
+    # Complexity note: the straightforward version (reference
+    # reconstruction.py:546-580) recomputes per-batch minima from an N x N
+    # distance matrix inside a Python loop — >1 min at 128x128 scans. Here a
+    # (num_batch, N) running min-distance table is updated incrementally on
+    # each assignment, so every step is one vectorized argmax + one minimum.
     centroids = np.array([np.mean(pos[c], axis=0) for c in compact])
-    pairwise = cdist(pos, pos)
+    pos_all = np.asarray(pos, dtype=np.float32)
+
+    def dist_row(i):
+        return np.linalg.norm(pos_all - pos_all[i], axis=1)
 
     batches: List[List[int]] = []
     used = []
+    mind = np.full((num_batch, len(pos_all)), np.inf, dtype=np.float32)
     for b in range(num_batch):
-        d = np.linalg.norm(pos_s - centroids[b], axis=1)
-        seed_pos = int(np.argmin(d))
-        batches.append([int(indices[seed_pos])])
+        seed_pos = int(np.argmin(np.linalg.norm(pos_s - centroids[b], axis=1)))
+        seed_idx = int(indices[seed_pos])
+        batches.append([seed_idx])
         used.append(seed_pos)
+        mind[b] = dist_row(seed_idx)
     remaining = np.delete(indices.copy(), used)
 
     for idx in remaining:
-        min_d = [np.min(pairwise[np.asarray(b), idx]) for b in batches]
-        batches[int(np.argmax(min_d))].append(int(idx))
+        b = int(np.argmax(mind[:, idx]))
+        batches[b].append(int(idx))
+        np.minimum(mind[b], dist_row(idx), out=mind[b])
 
     flat = np.sort(np.concatenate([np.asarray(b) for b in batches]))
     assert np.array_equal(flat, np.sort(indices)), "sparse grouping lost indices"
