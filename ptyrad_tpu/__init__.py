@@ -15,3 +15,20 @@ DFT-by-matmul kernels for the small 2D FFTs that dominate the hot loop.
 __version__ = "0.1.0"
 
 from ptyrad_tpu.models.state import PtychoParams, Buffers, Geometry  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid importing heavy deps at package load)."""
+    if name == "Initializer":
+        from ptyrad_tpu.initialization import Initializer
+
+        return Initializer
+    if name == "PtyRADSolver":
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+
+        return PtyRADSolver
+    if name == "load_params":
+        from ptyrad_tpu.load import load_params
+
+        return load_params
+    raise AttributeError(f"module 'ptyrad_tpu' has no attribute '{name}'")

@@ -74,9 +74,16 @@ def cmd_validate_params(args):
 
 
 def cmd_bench(args):
+    import os
     import runpy
 
-    runpy.run_path("bench.py", run_name="__main__")
+    import ptyrad_tpu
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(ptyrad_tpu.__file__)))
+    bench = os.path.join(repo_root, "bench.py")
+    if not os.path.exists(bench):
+        bench = "bench.py"  # fall back to cwd
+    runpy.run_path(bench, run_name="__main__")
 
 
 def build_parser() -> argparse.ArgumentParser:
