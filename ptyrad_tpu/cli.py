@@ -15,9 +15,8 @@ import sys
 
 
 def cmd_run(args):
-    from ptyrad_tpu.engine.solver import PtyRADSolver
     from ptyrad_tpu.load import load_params
-    from ptyrad_tpu.utils.logging import CustomLogger, vprint
+    from ptyrad_tpu.utils.logging import CustomLogger
     from ptyrad_tpu.utils.system import print_system_info, resolve_devices
 
     logger = CustomLogger(

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,11 +26,11 @@ import optax
 
 from ptyrad_tpu.constraints import ConstraintScheduler
 from ptyrad_tpu.engine.batching import make_batches, pad_batches, select_scan_indices
-from ptyrad_tpu.losses import DEFAULT_LOSS_PARAMS, combined_loss
+from ptyrad_tpu.losses import combined_loss
 from ptyrad_tpu.models.forward import forward, get_measurements
 from ptyrad_tpu.models.state import Buffers, Geometry, PtychoParams, make_model
 from ptyrad_tpu.optim import create_optimizer, mask_unstarted_grads
-from ptyrad_tpu.parallel.mesh import data_sharding, make_mesh, shard_model
+from ptyrad_tpu.parallel.mesh import make_mesh, shard_model
 from ptyrad_tpu.utils.logging import vprint
 
 

@@ -36,7 +36,6 @@ Scope (falls back to the jnp path otherwise — models/forward.py checks):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

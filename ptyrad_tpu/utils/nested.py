@@ -6,7 +6,7 @@ Parity with reference src/ptyrad/utils/common.py:459-509 (get_nested),
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, List, Union
 
 import numpy as np
 
