@@ -1,0 +1,54 @@
+"""Logger buffering/flush and system-introspection smoke tests."""
+
+import logging
+import os
+
+import pytest
+
+from ptyrad_tpu.utils.logging import CustomLogger, vprint
+from ptyrad_tpu.utils.system import print_device_info, print_system_info, resolve_devices
+
+
+class TestCustomLogger:
+    def teardown_method(self):
+        logging.getLogger("ptyrad_tpu").handlers.clear()
+
+    def test_buffered_flush_preserves_prefolder_logs(self, tmp_path, capsys):
+        logger = CustomLogger(log_file="test_log.txt", prefix_jobid="7",
+                              prefix_date=False, show_timestamp=False)
+        vprint("before folder exists")
+        out_dir = str(tmp_path / "run_output")
+        logger.flush_to_dir(out_dir)
+        vprint("after flush")
+        logger.close()
+
+        log_path = os.path.join(out_dir, "7_test_log.txt")
+        assert os.path.exists(log_path)
+        content = open(log_path).read()
+        assert "before folder exists" in content  # buffered lines survived
+        assert "after flush" in content
+
+    def test_vprint_respects_verbose(self, capsys):
+        vprint("visible", verbose=True)
+        vprint("hidden", verbose=False)
+        out = capsys.readouterr().out
+        assert "visible" in out and "hidden" not in out
+
+
+class TestSystemUtils:
+    def test_system_info_smoke(self, capsys):
+        print_system_info()
+        out = capsys.readouterr().out
+        assert "jax backend" in out
+        assert "device count" in out
+
+    def test_device_info_reports_backend(self, capsys):
+        print_device_info()
+        out = capsys.readouterr().out
+        assert "cpu" in out  # tests force the CPU backend
+
+    def test_resolve_devices(self):
+        assert resolve_devices(None) is None
+        assert resolve_devices(1) is None
+        mesh = resolve_devices(4)
+        assert mesh is not None and mesh.devices.size == 4
