@@ -218,3 +218,26 @@ class TestSourceLoaders:
         v = init.init_variables
         assert v["obj"].shape == (1, 2, 80, 80)
         assert v["probe"].shape == (1, npix, npix)
+
+
+class TestDemoScript:
+    def test_synthetic_demo_converges(self, rng, monkeypatch, tmp_path):
+        """The shipped demo must stay runnable (tiny config, CPU)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "run_synthetic_demo",
+            os.path.join(os.path.dirname(__file__), "..", "demo", "scripts", "run_synthetic_demo.py"),
+        )
+        demo = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(demo)
+
+        orig = demo.simulate_dataset
+        monkeypatch.setattr(
+            demo, "simulate_dataset",
+            lambda out_dir: orig(out_dir, grid=8, npix=32, nz=1),
+        )
+        monkeypatch.setattr(
+            sys, "argv", ["demo", "--out", str(tmp_path), "--niter", "40"]
+        )
+        assert demo.main() == 0
