@@ -101,7 +101,10 @@ def make_batches(
     # distance matrix inside a Python loop — >1 min at 128x128 scans. Here a
     # (num_batch, N) running min-distance table is updated incrementally on
     # each assignment, so every step is one vectorized argmax + one minimum.
-    centroids = np.array([np.mean(pos[c], axis=0) for c in compact])
+    fallback = pos_s.mean(axis=0)  # k-means can leave clusters empty
+    centroids = np.array(
+        [np.mean(pos[c], axis=0) if len(c) else fallback for c in compact]
+    )
     pos_all = np.asarray(pos, dtype=np.float32)
 
     def dist_row(i):
@@ -110,8 +113,12 @@ def make_batches(
     batches: List[List[int]] = []
     used = []
     mind = np.full((num_batch, len(pos_all)), np.inf, dtype=np.float32)
+    # two centroids can resolve to the same nearest scan position; mask
+    # already-claimed positions so every batch gets a distinct seed
+    seed_dist = np.linalg.norm(pos_s[None] - centroids[:, None], axis=2)
     for b in range(num_batch):
-        seed_pos = int(np.argmin(np.linalg.norm(pos_s - centroids[b], axis=1)))
+        seed_pos = int(np.argmin(seed_dist[b]))
+        seed_dist[:, seed_pos] = np.inf
         seed_idx = int(indices[seed_pos])
         batches.append([seed_idx])
         used.append(seed_pos)

@@ -34,7 +34,6 @@ typedef struct {
     int64_t offset;
     int64_t start_frame;
     int64_t end_frame;
-    int error;           /* errno or 0 */
 } ReadJob;
 
 static void *read_worker(void *arg)
@@ -81,6 +80,20 @@ static PyObject *read_frames(PyObject *self, PyObject *args)
         Py_DECREF(out);
         return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
     }
+    /* the last frame has no trailing gap: required span is
+     * offset + n*stride - gap bytes; reject short files before mapping so a
+     * wrong geometry (or a file truncated since the caller stat'd it) raises
+     * instead of reading past the mapping and SIGSEGV'ing the interpreter */
+    int64_t needed = offset + n * (frame_bytes + (int64_t)gap) - (int64_t)gap;
+    if (needed > (int64_t)st.st_size) {
+        close(fd);
+        Py_DECREF(out);
+        return PyErr_Format(PyExc_ValueError,
+                            "raw file too small: need %lld bytes "
+                            "(offset=%lld, %lld frames), have %lld",
+                            (long long)needed, (long long)offset,
+                            (long long)n, (long long)st.st_size);
+    }
     char *src = (char *)mmap(NULL, (size_t)st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
     close(fd);
     if (src == MAP_FAILED) {
@@ -94,6 +107,7 @@ static PyObject *read_frames(PyObject *self, PyObject *args)
     int64_t per = (n + nthreads - 1) / nthreads;
 
     Py_BEGIN_ALLOW_THREADS
+    Py_ssize_t started = 0;
     for (Py_ssize_t t = 0; t < nthreads; ++t) {
         jobs[t].src = src;
         jobs[t].dst = dst;
@@ -102,10 +116,14 @@ static PyObject *read_frames(PyObject *self, PyObject *args)
         jobs[t].offset = offset;
         jobs[t].start_frame = t * per;
         jobs[t].end_frame = (t + 1) * per < n ? (t + 1) * per : n;
-        jobs[t].error = 0;
-        pthread_create(&threads[t], NULL, read_worker, &jobs[t]);
+        if (pthread_create(&threads[t], NULL, read_worker, &jobs[t]) != 0) {
+            /* thread spawn failed (EAGAIN under rlimit): run inline */
+            read_worker(&jobs[t]);
+            continue;
+        }
+        threads[started++] = threads[t];
     }
-    for (Py_ssize_t t = 0; t < nthreads; ++t)
+    for (Py_ssize_t t = 0; t < started; ++t)
         pthread_join(threads[t], NULL);
     Py_END_ALLOW_THREADS
 

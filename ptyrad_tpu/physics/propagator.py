@@ -21,8 +21,10 @@ def propagator_kgrid(npix_shape, dx: float):
     (near-)zero frequency sits at the corner, matching FFT layout.
     """
     ny, nx = npix_shape
-    ygrid = (np.arange(-(ny // 2), ny - ny // 2) + 0.5) / ny
-    xgrid = (np.arange(-(nx // 2), nx - nx // 2) + 0.5) / nx
+    # lower bound is floor(-N/2) == -((N+1)//2), matching the reference's
+    # arange(-N//2, N//2); for odd N the naive -(N//2) would shift by one bin
+    ygrid = (np.arange(-((ny + 1) // 2), ny - (ny + 1) // 2) + 0.5) / ny
+    xgrid = (np.arange(-((nx + 1) // 2), nx - (nx + 1) // 2) + 0.5) / nx
     ky = np.fft.ifftshift(2.0 * np.pi * ygrid / dx)
     kx = np.fft.ifftshift(2.0 * np.pi * xgrid / dx)
     Ky, Kx = np.meshgrid(ky, kx, indexing="ij")

@@ -173,6 +173,8 @@ def make_save_dict(
         "probe_pos_shifts": np.asarray(params.probe_pos_shifts),
     }
 
+    last_terms = dict(history.term_iters[-1]) if history.term_iters else {}
+
     save_optim = "optim_state" in (
         params_dict.get("recon_params", {}).get("save_result") or []
     )
@@ -215,6 +217,12 @@ def make_save_dict(
         "avg_iter_t": float(np.mean(history.iter_times)) if history.iter_times else 0.0,
         "niter": niter,
         "indices": np.asarray(indices),
+        # reference save.py:136-137 schema: batch_losses is the last
+        # iteration's per-batch values per term; the fused-scan epoch reduces
+        # over batches on device, so each term carries its epoch average as a
+        # one-element list (np.mean over it still gives the right number)
+        "batch_losses": {k: [v] for k, v in last_terms.items()},
+        "avg_losses": last_terms,
     }
 
 

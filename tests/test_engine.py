@@ -116,6 +116,16 @@ class TestBatches:
 
         assert min_intra_dist(sparse) > min_intra_dist(compact)
 
+    def test_sparse_degenerate_positions(self):
+        # all scan positions coincide -> every k-means centroid resolves to
+        # the same nearest position; seeds must still be distinct
+        # (regression: ADVICE r1 — duplicate seed tripped the final assert)
+        pos = np.zeros((32, 2))
+        indices = np.arange(32)
+        batches = make_batches(indices, pos, 8, mode="sparse", seed=0)
+        flat = np.sort(np.concatenate(batches))
+        np.testing.assert_array_equal(flat, indices)
+
     def test_pad_batches(self):
         batches = [np.array([1, 2, 3]), np.array([4, 5]), np.array([6])]
         idx, mask = pad_batches(batches, multiple_of=4)

@@ -445,6 +445,33 @@ class TestFastRaw:
             loaded = load_raw(path, (5, 16, 16), offset=offset, gap=gap)
             np.testing.assert_array_equal(loaded, data)
 
+    def test_truncated_file_raises_not_segfaults(self, rng, tmp_path):
+        from ptyrad_tpu.native import load_fastraw
+
+        fastraw = load_fastraw()
+        if fastraw is None:
+            pytest.skip("no C compiler available")
+        data = rng.standard_normal((4, 8, 8)).astype(np.float32)
+        path = str(tmp_path / "trunc.raw")
+        with open(path, "wb") as f:
+            for frame in data:
+                f.write(frame.tobytes())
+        # claim 8 frames in a 4-frame file, bypassing load_raw's size check —
+        # the C extension must bounds-check against st_size itself
+        with pytest.raises(ValueError, match="too small"):
+            fastraw.read_frames(path, 8, 8, 8, 4, 0, 0, 2)
+        # a file whose last frame has no trailing gap is still legal
+        path2 = str(tmp_path / "nogap.raw")
+        with open(path2, "wb") as f:
+            for i, frame in enumerate(data):
+                f.write(frame.tobytes())
+                if i < len(data) - 1:
+                    f.write(b"\x00" * 16)
+        out = fastraw.read_frames(path2, 4, 8, 8, 4, 0, 16, 2)
+        np.testing.assert_array_equal(
+            np.frombuffer(out, np.float32).reshape(4, 8, 8), data
+        )
+
     def test_fallback_when_native_unavailable(self, rng, tmp_path, monkeypatch):
         import ptyrad_tpu.load as load_mod
 

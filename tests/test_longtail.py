@@ -160,6 +160,12 @@ class TestCheckpointInterop:
         assert tensors["obja"].ndim == 4
         assert "crop_pos" in ckpt["model_attributes"]
         assert "loss_iters" in ckpt
+        # reference analysis tooling reads these keys (reference save.py:136-137)
+        assert "batch_losses" in ckpt and "avg_losses" in ckpt
+        avg = ckpt["avg_losses"]
+        assert avg and all(np.isfinite(v) for v in avg.values())
+        for name, vals in ckpt["batch_losses"].items():
+            assert np.mean(vals) == pytest.approx(avg[name])
 
 
 class TestSourceLoaders:

@@ -138,6 +138,17 @@ class TestPropagator:
         H = near_field_evolution((64, 64), dx=0.5, dz=20.0, lambd=0.0417)
         assert np.all(np.isfinite(H))
 
+    def test_kgrid_odd_n_matches_reference_bounds(self):
+        # reference models.py:166-167 uses arange(-N//2, N//2), i.e. a
+        # floor(-N/2) lower bound; for odd N this differs by one bin from
+        # the naive -(N//2) (regression: ADVICE r1)
+        for n in (5, 7, 64, 65):
+            Ky, _ = propagator_kgrid((n, n), 0.3)
+            oracle = np.fft.ifftshift(
+                2 * np.pi * ((np.arange((-n) // 2, n // 2) + 0.5) / n) / 0.3
+            )
+            np.testing.assert_allclose(Ky[:, 0], oracle, rtol=1e-6)
+
     def test_kgrid_corner_centered(self):
         Ky, Kx = propagator_kgrid((64, 64), 0.2)
         # After ifftshift the smallest |k| (half-bin) sits at the corner
