@@ -369,10 +369,18 @@ class PtyRADSolver:
         )
         load_state = optimizer_params.get("load_state")
         if load_state:
-            from ptyrad_tpu.optim import load_opt_state
+            from ptyrad_tpu.optim import load_opt_state, load_opt_state_hdf5
 
             try:
-                self.opt_state = load_opt_state(self.opt_state, load_state)
+                if str(load_state).endswith((".hdf5", ".h5")):
+                    # model.hdf5 checkpoint (ours or reference-written),
+                    # matching reference reconstruction.py:287-368
+                    self.opt_state = load_opt_state_hdf5(
+                        self.opt_state, load_state,
+                        self.model_params.get("update_params"),
+                    )
+                else:
+                    self.opt_state = load_opt_state(self.opt_state, load_state)
                 vprint(f"Restored optimizer state from '{load_state}'", verbose=self.verbose)
             except Exception as e:  # noqa: BLE001 — fall back to a fresh optimizer
                 vprint(f"WARNING: failed to restore optimizer state from '{load_state}': {e}. Using fresh state.")

@@ -185,3 +185,79 @@ def load_opt_state(opt_state_template, path: str):
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, target=opt_state_template)
+
+
+def _apply_keystr_dict(opt_state_template, values: Dict[str, Any]):
+    """Rebuild an optax state pytree from {jax.tree_util.keystr(path): array}.
+
+    Leaves missing from `values` keep their template value (non-array state
+    leaves are never serialized); array dtypes/shapes are coerced to the
+    template so a resumed state is structurally identical to a fresh one.
+    """
+    import numpy as np
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state_template)
+    leaves = []
+    for path, leaf in flat:
+        key = jax.tree_util.keystr(path)
+        if key in values and hasattr(leaf, "shape"):
+            arr = np.asarray(values[key])
+            leaves.append(jnp.asarray(arr.reshape(leaf.shape), dtype=leaf.dtype))
+        else:
+            leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def convert_torch_optim_state(torch_state: Dict[str, Any], update_params: Optional[dict]) -> Dict[str, Any]:
+    """Map a torch Adam-family optimizer state_dict (reference checkpoint
+    format, reconstruction.py:287-368) onto our keystr naming.
+
+    The reference builds one param group per *nonzero-lr* tensor in
+    update_params order (reference models.py:199-207), so torch param index i
+    is the i-th nonzero-lr name. torch's per-param 'step' maps onto our
+    per-label transform count; 'exp_avg'/'exp_avg_sq' map onto mu/nu, with
+    the probe's trailing real-view axis split into the Cplx (re, im) pair.
+    """
+    import numpy as np
+
+    lr_dict, _ = parse_update_params(update_params)
+    names = [n for n in (update_params or {}) if lr_dict.get(n, 0.0) != 0]
+
+    state = torch_state.get("state") or {}
+    out: Dict[str, Any] = {}
+    for i, name in enumerate(names):
+        entry = state.get(str(i), state.get(i))
+        if entry is None:
+            continue
+        prefix = f".inner_states['{name}'].inner_state[0]"
+        out[f"{prefix}.count"] = np.asarray(entry["step"])
+        for torch_key, ours in (("exp_avg", "mu"), ("exp_avg_sq", "nu")):
+            arr = np.asarray(entry[torch_key])
+            if name == "probe":
+                out[f"{prefix}.{ours}.probe.re"] = arr[..., 0]
+                out[f"{prefix}.{ours}.probe.im"] = arr[..., 1]
+            else:
+                out[f"{prefix}.{ours}.{name}"] = arr
+    return out
+
+
+def load_opt_state_hdf5(opt_state_template, ckpt_path: str, update_params: Optional[dict] = None):
+    """Restore optimizer state from a model.hdf5 checkpoint's optim_state_dict.
+
+    Accepts both our flattened-keystr layout (written by save.make_save_dict)
+    and a reference-written torch state_dict ('state'/'param_groups' keys,
+    reference save.py:110), matching the reference's HDF5 optimizer reload
+    with key repair (reconstruction.py:287-368). Requires the checkpoint to
+    have been saved with 'optim_state' in recon_params.save_result.
+    """
+    from ptyrad_tpu.load import load_hdf5
+
+    values = load_hdf5(ckpt_path, key="optim_state_dict")
+    if not isinstance(values, dict) or not values:
+        raise ValueError(
+            f"'{ckpt_path}' has no optimizer state; save it with "
+            "'optim_state' in recon_params.save_result"
+        )
+    if "state" in values and "param_groups" in values:
+        values = convert_torch_optim_state(values, update_params)
+    return _apply_keystr_dict(opt_state_template, values)

@@ -196,19 +196,20 @@ def solver_params(niter=30, lr=5e-3, group="random", batch=12, optimizer="Adam",
     return d
 
 
-class TestSolverEndToEnd:
-    def phase_corr(self, params, true_phase, margin=10):
-        rec = np.asarray(params.objp)[0, 0, margin:-margin, margin:-margin].ravel()
-        tru = true_phase[margin:-margin, margin:-margin].ravel()
-        return np.corrcoef(rec, tru)[0, 1]
+def phase_corr(params, true_phase, margin=10):
+    """Correlation of the recovered phase with ground truth — the convergence
+    gate (a loss-ratio gate would pass a half-broken optimizer)."""
+    rec = np.asarray(params.objp)[0, 0, margin:-margin, margin:-margin].ravel()
+    tru = true_phase[margin:-margin, margin:-margin].ravel()
+    return np.corrcoef(rec, tru)[0, 1]
 
+
+class TestSolverEndToEnd:
     def test_reconstruction_converges(self, rng):
         init, true_phase = make_synthetic(rng)
         solver = PtyRADSolver(solver_params(niter=40), init_variables=init, mesh=None, verbose=False)
         params, history = solver.run()
-        losses = [v for _, v in history.loss_iters]
-        assert losses[-1] < 0.6 * losses[0]
-        assert self.phase_corr(params, true_phase) > 0.7
+        assert phase_corr(params, true_phase) > 0.8
 
     @pytest.mark.parametrize("group", ["compact", "sparse"])
     def test_grouped_batching_converges(self, rng, group):
@@ -217,8 +218,7 @@ class TestSolverEndToEnd:
             solver_params(niter=25, group=group), init_variables=init, mesh=None, verbose=False
         )
         params, history = solver.run()
-        losses = [v for _, v in history.loss_iters]
-        assert losses[-1] < 0.75 * losses[0]
+        assert phase_corr(params, true_phase) > 0.6
 
     def test_lbfgs_converges(self, rng):
         init, true_phase = make_synthetic(rng)
@@ -226,8 +226,7 @@ class TestSolverEndToEnd:
             solver_params(niter=15, optimizer="LBFGS"), init_variables=init, mesh=None, verbose=False
         )
         params, history = solver.run()
-        losses = [v for _, v in history.loss_iters]
-        assert losses[-1] < 0.6 * losses[0]
+        assert phase_corr(params, true_phase) > 0.5
 
     def test_grad_accumulation_matches_big_batch(self, rng):
         # One step over 2 accumulated half-batches == one step over the full batch
@@ -256,6 +255,81 @@ class TestSolverEndToEnd:
         d_full = np.asarray(p_full.objp) - np.asarray(params.objp)
         d_acc = np.asarray(p_acc.objp) - np.asarray(params.objp)
         assert np.corrcoef(d_full.ravel(), d_acc.ravel())[0, 1] > 0.95
+
+
+class TestOptStateHdf5Resume:
+    def test_resume_from_own_checkpoint_bitwise(self, rng, tmp_path):
+        """Adam moments restored from a model.hdf5 written by save_results
+        must produce bitwise-identical next-step updates (VERDICT r1 #6;
+        reference reconstruction.py:287-368)."""
+        import os
+
+        from ptyrad_tpu.optim import load_opt_state_hdf5
+        from ptyrad_tpu.save import save_dict_to_hdf5
+
+        init, _ = make_synthetic(rng)
+        params, buffers, geom = make_model(init)
+        upd = {
+            "obja": {"lr": 5e-3, "start_iter": 1},
+            "objp": {"lr": 5e-3, "start_iter": 1},
+            "probe": {"lr": 1e-4, "start_iter": 1},
+        }
+        tx, st0, _, start = create_optimizer({"name": "Adam"}, upd, params)
+        step, _ = build_train_step(buffers, geom, None, tx, start)
+
+        def clone(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.array(x) if hasattr(x, "shape") else x, tree
+            )
+
+        idx = jnp.arange(12)
+        mask = jnp.ones(12, jnp.float32)
+        p1, st1, *_ = step(clone(params), clone(st0), idx, mask, jnp.asarray(1))
+        p2, st2, *_ = step(p1, st1, idx, mask, jnp.asarray(2))
+
+        # serialize st2 exactly as save.make_save_dict does
+        flat, _ = jax.tree_util.tree_flatten_with_path(st2)
+        sd = {
+            jax.tree_util.keystr(path): np.asarray(leaf)
+            for path, leaf in flat if hasattr(leaf, "shape")
+        }
+        path = str(tmp_path / "model_iter0002.hdf5")
+        save_dict_to_hdf5({"optim_state_dict": sd}, path)
+
+        st2_restored = load_opt_state_hdf5(tx.init(params), path, upd)
+        p3a, *_ = step(clone(p2), clone(st2), idx, mask, jnp.asarray(3))
+        p3b, *_ = step(clone(p2), st2_restored, idx, mask, jnp.asarray(3))
+        np.testing.assert_array_equal(np.asarray(p3a.objp), np.asarray(p3b.objp))
+        np.testing.assert_array_equal(np.asarray(p3a.obja), np.asarray(p3b.obja))
+        np.testing.assert_array_equal(np.asarray(p3a.probe.re), np.asarray(p3b.probe.re))
+
+    def test_solver_load_state_from_hdf5(self, rng, tmp_path):
+        """The solver's optimizer_params.load_state accepts a model.hdf5 path."""
+        import os
+
+        from ptyrad_tpu.save import save_results
+
+        init, _ = make_synthetic(rng)
+        cfg = solver_params(niter=2, batch=999)
+        cfg["recon_params"]["save_result"] = ["model", "optim_state"]
+        sA = PtyRADSolver(cfg, init_variables=init, verbose=False)
+        sA.run()
+        out = str(tmp_path / "ck")
+        save_results(out, sA.params, sA.buffers, sA.geom, cfg, sA.opt_state,
+                     sA.history, 2, sA.indices)
+        ckpt = os.path.join(out, "model_iter0002.hdf5")
+
+        cfgB = solver_params(niter=1, batch=999)
+        cfgB["model_params"]["optimizer_params"]["load_state"] = ckpt
+        sB = PtyRADSolver(cfgB, init_variables=init, verbose=False)
+        sB.prepare()
+        sB._build()
+        # restored moments equal the checkpointed ones, not a fresh zero state
+        a = sA.opt_state.inner_states["objp"].inner_state[0]
+        b = sB.opt_state.inner_states["objp"].inner_state[0]
+        assert int(b.count) == int(a.count) == 2
+        np.testing.assert_array_equal(np.asarray(b.mu.objp), np.asarray(a.mu.objp))
+        np.testing.assert_array_equal(np.asarray(b.nu.objp), np.asarray(a.nu.objp))
 
 
 class TestSharding:
@@ -291,6 +365,24 @@ class TestSharding:
             np.asarray(p_single.probe.re), np.asarray(p_shard.probe.re), atol=1e-6
         )
 
+    def test_lbfgs_on_mesh_matches_single_device(self, rng):
+        """Full-batch LBFGS is supported on a data-parallel mesh: XLA SPMD
+        reduces the sharded-measurement gradient, so unlike the reference
+        (which must auto-switch LBFGS->Adam under DDP,
+        reconstruction.py:118-122) the same optimizer runs unchanged."""
+        init, _ = make_synthetic(rng)
+        cfg = solver_params(niter=3, optimizer="LBFGS", batch=999)
+        s1 = PtyRADSolver(cfg, init_variables=dict(init), verbose=False)
+        s1.run()
+        s8 = PtyRADSolver(cfg, init_variables=dict(init), n_devices=8, verbose=False)
+        s8.run()
+        np.testing.assert_allclose(
+            np.asarray(s1.params.objp), np.asarray(s8.params.objp), atol=1e-5
+        )
+        l1 = [v for _, v in s1.history.loss_iters]
+        l8 = [v for _, v in s8.history.loss_iters]
+        np.testing.assert_allclose(l1, l8, rtol=1e-4)
+
     def test_solver_on_mesh_converges(self, rng):
         init, true_phase = make_synthetic(rng)
         mesh = make_mesh(8)
@@ -298,8 +390,7 @@ class TestSharding:
             solver_params(niter=20, batch=16), init_variables=init, mesh=mesh, verbose=False
         )
         params, history = solver.run()
-        losses = [v for _, v in history.loss_iters]
-        assert losses[-1] < 0.7 * losses[0]
+        assert phase_corr(params, true_phase) > 0.6
 
 
 class TestNanGuard:

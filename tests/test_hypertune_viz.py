@@ -59,6 +59,31 @@ class TestTunerCore:
         late = xs[20:]
         assert np.mean(np.abs(np.array(late) - 0.7)) < 0.25
 
+    def test_tpe_beats_random_on_toy_objective(self):
+        """Characterization of the builtin TPE (a 1D-KDE approximation of
+        optuna's): within a 40-trial budget on a seeded 2D quadratic it must
+        find a better optimum than RandomSampler on average (VERDICT r1 #9)."""
+
+        def objective(trial):
+            x = trial.suggest_float("x", -1.0, 1.0)
+            y = trial.suggest_float("y", -1.0, 1.0)
+            return (x - 0.3) ** 2 + (y + 0.2) ** 2
+
+        def best_after(sampler_name, seed):
+            study = tuner.create_study(
+                f"{sampler_name}_{seed}",
+                sampler_params={"name": sampler_name,
+                                "configs": {"seed": seed, "n_startup_trials": 10}},
+            )
+            study.optimize(objective, n_trials=40)
+            return study.best_trial["value"]
+
+        seeds = range(5)
+        tpe = np.mean([best_after("TPESampler", s) for s in seeds])
+        rnd = np.mean([best_after("RandomSampler", s) for s in seeds])
+        assert tpe < rnd, (tpe, rnd)
+        assert tpe < 0.025  # absolute quality: near the optimum
+
     def test_sqlite_storage_shared(self, tmp_path):
         """Two studies over one sqlite file see each other's trials (the
         multi-worker cooperation mechanism)."""

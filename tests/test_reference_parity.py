@@ -371,12 +371,13 @@ class TestEndToEndParity:
         "objp_postiv": {"freq": 1, "relax": 0.0, "mode": "clip_neg"},
     }
 
-    def _run_reference(self, iv):
+    def _run_reference(self, iv, niter=None, return_optimizer=False):
         ref_model_cls = ref_import("ptyrad.models.PtychoAD")
         ref_loss_cls = ref_import("ptyrad.losses.CombinedLoss")
         ref_cc_cls = ref_import("ptyrad.constraints.CombinedConstraint")
         ref_recon_step = ref_import("ptyrad.reconstruction.recon_step")
         ref_create_opt = ref_import("ptyrad.reconstruction.create_optimizer")
+        niter = niter or self.NITER
 
         model_params = {
             "detector_blur_std": None,
@@ -396,12 +397,14 @@ class TestEndToEndParity:
         optimizer = ref_create_opt(model.optimizer_params, model.optimizable_params, verbose=False)
 
         batches = [np.arange(iv["measurements"].shape[0])]
-        for niter in range(1, self.NITER + 1):
-            ref_recon_step(batches, 1, model, optimizer, loss_fn, constraint_fn, niter, verbose=False)
+        for it in range(1, niter + 1):
+            ref_recon_step(batches, 1, model, optimizer, loss_fn, constraint_fn, it, verbose=False)
 
         losses = np.array([v for _, v in model.loss_iters], np.float64)
         objp = model.opt_objp.detach().numpy()
         probe = model.get_complex_probe_view().detach().numpy()
+        if return_optimizer:
+            return losses, objp, probe, optimizer
         return losses, objp, probe
 
     def _run_ours(self, iv):
@@ -452,6 +455,44 @@ class TestEndToEndParity:
         # drift over 12 iterations; phase amplitudes are O(0.3))
         np.testing.assert_allclose(our_objp, ref_objp, atol=1e-2)
         assert np.corrcoef(our_objp.ravel(), ref_objp.ravel())[0, 1] > 0.999
+
+    def test_reference_optimizer_state_imports(self, tmp_path):
+        """A reference-written Adam state_dict (HDF5 'state'/'param_groups'
+        layout, reference save.py:110) must map onto our optax state: torch
+        exp_avg/exp_avg_sq/step -> mu/nu/count, probe real-view split into
+        the Cplx pair (VERDICT r1 #6)."""
+        import jax
+
+        from ptyrad_tpu.models import make_model
+        from ptyrad_tpu.optim import create_optimizer, load_opt_state_hdf5
+        from ptyrad_tpu.save import save_dict_to_hdf5
+
+        iv, _ = _simulate_small_dataset()
+        _, _, _, optimizer = self._run_reference(iv, niter=3, return_optimizer=True)
+        sd = optimizer.state_dict()
+
+        path = str(tmp_path / "ref_model.hdf5")
+        save_dict_to_hdf5({"optim_state_dict": sd}, path)
+
+        params, _, _ = make_model(dict(iv))
+        tx, template, _, _ = create_optimizer(
+            {"name": "Adam"}, self.UPDATE_PARAMS, params
+        )
+        restored = load_opt_state_hdf5(template, path, self.UPDATE_PARAMS)
+
+        # nonzero-lr names in update_params order = torch param indices
+        for i, name in enumerate(["obja", "objp", "probe"]):
+            inner = restored.inner_states[name].inner_state[0]
+            assert int(inner.count) == 3, name
+            exp_avg = sd["state"][i]["exp_avg"].numpy()
+            if name == "probe":
+                np.testing.assert_allclose(np.asarray(inner.mu.probe.re), exp_avg[..., 0], rtol=1e-6)
+                np.testing.assert_allclose(np.asarray(inner.mu.probe.im), exp_avg[..., 1], rtol=1e-6)
+            else:
+                mu = np.asarray(getattr(inner.mu, name))
+                np.testing.assert_allclose(mu, exp_avg, rtol=1e-6)
+        # zero-lr tensors keep their fresh (set_to_zero) state untouched
+        assert "slice_thickness" in restored.inner_states
 
 
 class TestLossParity:
