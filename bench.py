@@ -1,9 +1,14 @@
-"""Benchmark: diffraction patterns/sec/chip on the tBL_WSe2 demo workload.
+"""Benchmark: diffraction patterns/sec/chip on the tBL_WSe2 production workload.
 
-Workload (BASELINE.md workload 1, reference demo/params/tBL_WSe2_reconstruct.yml):
-128x128 scan = 16,384 DPs of 128x128, 6 probe modes, 1 object mode, 6 slices
-at dz = 2 A, batch 32, Adam on (obja, objp, probe, probe_pos_shifts),
-loss_single — measured as full training steps (forward + backward + update).
+Workload (BASELINE.md workload 1, reference demo/params/tBL_WSe2_reconstruct.yml
+:16-28,113-178): 128x128 scan = 16,384 DPs of 128x128, 6 probe modes, 1 object
+mode, 6 slices at dz = 2 A, batch 32 — so ONE iteration is a full 512-batch
+epoch — Adam on (obja, objp, probe, probe_pos_shifts) at the demo's learning
+rates, loss_single + loss_sparse, and the demo's 7 active constraints
+(ortho_pmode, fix_probe_int, obj_rblur, obj_zblur, mirrored_amp, obja_thresh,
+objp_postiv) applied every iteration. Measurements are forward-simulated from
+a known object so the run also reports reconstruction quality (phase
+correlation with ground truth), not just speed on noise.
 
 Baseline note: the reference repo publishes no benchmark table (BASELINE.md).
 The only repo-citable per-iteration timing is CHANGELOG.md:310 — 45 s/iter
@@ -22,9 +27,101 @@ import numpy as np
 
 REFERENCE_DPS_PER_SEC = 364.0  # 16384 DPs / 45 s-iter, reference CHANGELOG.md:310
 
+N_SCANS = 16384
+NPIX = 128
+PMODE = 6
+NZ = 6
+BATCH = 32
+SCAN_SIDE = 128
+STEP_PX = 3
+TIMED_ITERS = 3
+QUALITY_ITERS = 10  # total iterations before the phase-correlation readout
+
+LOSS_PARAMS = {
+    "loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5},
+    "loss_sparse": {"state": True, "weight": 0.1, "ln_order": 1},
+}
+
+CONSTRAINT_PARAMS = {
+    "ortho_pmode": {"freq": 1},
+    "fix_probe_int": {"freq": 1},
+    "obj_rblur": {"freq": 1, "obj_type": "both", "kernel_size": 5, "std": 0.5},
+    "obj_zblur": {"freq": 1, "obj_type": "both", "kernel_size": 5, "std": 1.0},
+    "mirrored_amp": {"freq": 1, "relax": 0.1, "scale": 0.03, "power": 4.0},
+    "obja_thresh": {"freq": 1, "relax": 0.0, "thresh": (0.98, 1.02)},
+    "objp_postiv": {"freq": 1, "relax": 0.0},
+}
+
+UPDATE_PARAMS = {
+    "obja": {"lr": 5e-4, "start_iter": 1},
+    "objp": {"lr": 5e-4, "start_iter": 1},
+    "probe": {"lr": 1e-4, "start_iter": 1},
+    "probe_pos_shifts": {"lr": 1e-4, "start_iter": 1},
+}
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def build_workload():
+    """Ground-truth object + probe + scan geometry; measurements simulated
+    on-device from the known object (demo/scripts/run_synthetic_demo.py at
+    production scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptyrad_tpu.models import forward, make_model
+    from ptyrad_tpu.physics import make_mixed_probe, make_stem_probe, near_field_evolution
+    from ptyrad_tpu.physics.constants import electron_wavelength
+
+    rng = np.random.default_rng(0)
+    kv, conv, dx, dz = 80.0, 24.9, 0.1494, 2.0
+    lam = electron_wavelength(kv)
+
+    probe = make_stem_probe({"kv": kv, "conv_angle": conv, "Npix": NPIX, "dx": dx})
+    probe = make_mixed_probe(probe, PMODE, [0.02])
+
+    canvas = SCAN_SIDE * STEP_PX + NPIX + 8
+    ys, xs = np.meshgrid(np.arange(SCAN_SIDE) * STEP_PX, np.arange(SCAN_SIDE) * STEP_PX, indexing="ij")
+    crop_pos = np.stack([ys.ravel() + 4, xs.ravel() + 4], -1).astype(np.int32)
+
+    yy, xx = np.mgrid[0:canvas, 0:canvas].astype(np.float32)
+    phase = np.zeros((NZ, canvas, canvas), np.float32)
+    for z in range(NZ):
+        for _ in range(300):
+            cy, cx = rng.integers(12, canvas - 12, 2)
+            phase[z] += 0.15 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 4.0)
+    true_obj = np.exp(1j * phase)[None].astype(np.complex64)
+
+    init = {
+        "obj": true_obj,
+        "probe": probe,
+        "probe_pos_shifts": np.zeros((N_SCANS, 2), np.float32),
+        "obj_tilts": np.zeros((1, 2), np.float32),
+        "slice_thickness": dz,
+        "H": near_field_evolution((NPIX, NPIX), dx, dz, lam),
+        "measurements": np.zeros((1, NPIX, NPIX), np.float32),  # placeholder
+        "crop_pos": crop_pos,
+        "omode_occu": np.ones(1, np.float32),
+        "dx": dx,
+        "lambd": lam,
+        "N_scan_slow": SCAN_SIDE,
+        "N_scan_fast": SCAN_SIDE,
+    }
+    params, buffers, geom = make_model(init)
+
+    sim = jax.jit(lambda p, i: forward(p, buffers, geom, i)[0])
+    meas = np.empty((N_SCANS, NPIX, NPIX), np.float32)
+    chunk = 512
+    t0 = time.perf_counter()
+    for s in range(0, N_SCANS, chunk):
+        meas[s:s + chunk] = np.asarray(sim(params, jnp.arange(s, s + chunk)))
+    log(f"simulated {N_SCANS} DPs from ground truth in {time.perf_counter()-t0:.1f}s")
+
+    init["measurements"] = meas
+    init["obj"] = np.ones_like(true_obj)  # reconstruct from flat
+    return init, phase, canvas
 
 
 def main():
@@ -33,68 +130,79 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_init
+    from ptyrad_tpu.constraints import ConstraintScheduler
     from ptyrad_tpu.engine.solver import build_train_epoch
     from ptyrad_tpu.models import make_model
     from ptyrad_tpu.optim import create_optimizer
 
-    n_scans = 16384
-    batch_size = 32
     t0 = time.perf_counter()
-    init = _flagship_init(n_scans=n_scans, npix=128, pmode=6, nz=6)
-    log(f"init built in {time.perf_counter()-t0:.1f}s")
+    init, true_phase, canvas = build_workload()
+    log(f"workload built in {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
     params, buffers, geom = make_model(init)
     jax.block_until_ready(buffers.measurements)
     log(f"model+transfer ({buffers.measurements.nbytes/1e6:.0f} MB) in {time.perf_counter()-t0:.1f}s")
 
-    update_params = {
-        "obja": {"lr": 5e-4, "start_iter": 1},
-        "objp": {"lr": 5e-4, "start_iter": 1},
-        "probe": {"lr": 1e-4, "start_iter": 1},
-        "probe_pos_shifts": {"lr": 1e-4, "start_iter": 1},
-    }
-    optimizer, opt_state, _, start = create_optimizer({"name": "Adam"}, update_params, params)
-    # Fused-epoch path: one jitted lax.scan over all batches per call — the
-    # production iteration structure (engine/solver.build_train_epoch).
-    train_epoch = build_train_epoch(buffers, geom, None, optimizer, start)
+    optimizer, opt_state, _, start = create_optimizer({"name": "Adam"}, UPDATE_PARAMS, params)
+    train_epoch = build_train_epoch(buffers, geom, LOSS_PARAMS, optimizer, start)
+    constraint_fn = ConstraintScheduler(CONSTRAINT_PARAMS, geom)
 
-    n_batches = 128  # 4096 DPs per epoch call
+    n_batches = N_SCANS // BATCH  # 512: the FULL production epoch
     rng = np.random.default_rng(0)
-    idx_all = jnp.asarray(
-        rng.permutation(n_scans)[: n_batches * batch_size].reshape(n_batches, batch_size),
-        jnp.int32,
-    )
+    idx_all = jnp.asarray(rng.permutation(N_SCANS).reshape(n_batches, BATCH), jnp.int32)
     mask_all = jnp.ones(idx_all.shape, jnp.float32)
-    niter = jnp.asarray(1, jnp.int32)
     jax.block_until_ready(idx_all)
 
+    def one_iter(params, opt_state, niter):
+        params, opt_state, total, _ = train_epoch(
+            params, opt_state, idx_all, mask_all, jnp.asarray(niter, jnp.int32)
+        )
+        params = constraint_fn(params, buffers, niter)
+        # forced device->host fetches: on this backend block_until_ready
+        # returns at enqueue; fetching an output leaf of each program is the
+        # only reliable execution barrier (slice_thickness is a scalar leaf
+        # of the constraint composite's output tree)
+        np.asarray(params.slice_thickness)
+        return params, opt_state, float(total)
+
     t0 = time.perf_counter()
-    params, opt_state, total, _ = train_epoch(params, opt_state, idx_all, mask_all, niter)
-    float(jnp.sum(params.objp))  # forced device->host fetch: on this backend
-    # block_until_ready returns at enqueue, not execution — a scalar fetch is
-    # the only reliable execution barrier for timing.
-    log(f"compile+first epoch in {time.perf_counter()-t0:.1f}s")
+    params, opt_state, total = one_iter(params, opt_state, 1)
+    log(f"compile+first iteration in {time.perf_counter()-t0:.1f}s (loss={total:.4f})")
 
-    # Timed runs (best of 3 epoch calls)
     best = float("inf")
-    for _ in range(3):
+    niter = 2
+    for _ in range(TIMED_ITERS):
         t0 = time.perf_counter()
-        params, opt_state, total, _ = train_epoch(params, opt_state, idx_all, mask_all, niter)
-        float(jnp.sum(params.objp))  # execution barrier
-        best = min(best, (time.perf_counter() - t0) / n_batches)
+        params, opt_state, total = one_iter(params, opt_state, niter)
+        best = min(best, time.perf_counter() - t0)
+        niter += 1
+        log(f"iter {niter-1}: {time.perf_counter()-t0:.2f}s loss={total:.4f}")
 
-    dps = batch_size / best
+    while niter <= QUALITY_ITERS:
+        params, opt_state, total = one_iter(params, opt_state, niter)
+        niter += 1
+
+    # reconstruction quality vs ground truth over the scanned window
+    rec = np.asarray(params.objp).sum(axis=(0, 1))
+    tru = true_phase.sum(0)
+    lo = 4 + NPIX // 2
+    hi = lo + (SCAN_SIDE - 1) * STEP_PX
+    corr = float(np.corrcoef(rec[lo:hi, lo:hi].ravel(), tru[lo:hi, lo:hi].ravel())[0, 1])
+
+    dps = N_SCANS / best
     print(json.dumps({
-        "metric": "tBL_WSe2 training throughput (fwd+bwd+update)",
+        "metric": "tBL_WSe2 training throughput (fwd+bwd+update, full epoch + constraints)",
         "value": round(dps, 1),
         "unit": "patterns/sec/chip",
         "vs_baseline": round(dps / REFERENCE_DPS_PER_SEC, 2),
-        "batch_size": batch_size,
-        "ms_per_step": round(best * 1e3, 2),
-        "config": "16384 DPs 128x128, 6 pmode, 6 slices, Adam, loss_single",
-        "sec_per_iter_16384dps": round(16384 / dps, 1),
+        "batch_size": BATCH,
+        "sec_per_iter_16384dps": round(best, 2),
+        "ms_per_step": round(best / n_batches * 1e3, 2),
+        "config": "16384 DPs 128x128, 6 pmode, 6 slices, Adam, loss_single+loss_sparse, "
+                  "7 constraints (demo tBL_WSe2_reconstruct.yml), 512-batch epoch",
+        "phase_corr_after_10_iters": round(corr, 3),
+        "final_loss": round(float(total), 4),
         "device": str(jax.devices()[0]),
         "loss_finite": bool(np.isfinite(float(total))),
     }))

@@ -293,9 +293,12 @@ _FNS: dict[str, Callable] = {
 class ConstraintScheduler:
     """Applies due constraints each iteration, in the reference order.
 
-    Each active constraint is jitted once (closed over its static config);
-    frequency gating happens host-side on the Python iteration counter, so
-    compiled programs contain no dead branches.
+    Frequency gating happens host-side on the Python iteration counter, so
+    compiled programs contain no dead branches. All constraints due at an
+    iteration are composed into ONE jitted program per distinct due-set
+    (cached): on this backend every distinct program is a multi-second
+    remote-compile, and the common all-freq-1 configuration would otherwise
+    pay one compile per active constraint.
     """
 
     def __init__(self, constraint_params: dict | None, geom: Geometry, verbose: bool = False):
@@ -315,18 +318,29 @@ class ConstraintScheduler:
             c = dict(cfg[name])
             c.pop("freq")
             if name == "tilt_smooth":
-                jitted = jax.jit(
-                    lambda p, b, fn=fn, c=c: fn(p, b, c, geom.n_scan_slow, geom.n_scan_fast)
-                )
+                bound = lambda p, b, fn=fn, c=c: fn(p, b, c, geom.n_scan_slow, geom.n_scan_fast)
             else:
-                jitted = jax.jit(lambda p, b, fn=fn, c=c: fn(p, b, c))
-            self._active.append((name, int(freq), jitted))
+                bound = lambda p, b, fn=fn, c=c: fn(p, b, c)
+            self._active.append((name, int(freq), bound))
+        self._compiled: dict[Tuple[str, ...], Callable] = {}
+
+    def _composite(self, due: Tuple[str, ...]) -> Callable:
+        if due not in self._compiled:
+            fns = [fn for name, _, fn in self._active if name in due]
+
+            def apply_all(params, buffers, fns=tuple(fns)):
+                for fn in fns:
+                    params = fn(params, buffers)
+                return params
+
+            self._compiled[due] = jax.jit(apply_all)
+        return self._compiled[due]
 
     def __call__(self, params: PtychoParams, buffers: Buffers, niter: int) -> PtychoParams:
-        for name, freq, fn in self._active:
-            if niter % freq == 0:
-                params = fn(params, buffers)
-        return params
+        due = tuple(name for name, freq, _ in self._active if niter % freq == 0)
+        if not due:
+            return params
+        return self._composite(due)(params, buffers)
 
     @property
     def active_names(self) -> List[str]:

@@ -184,6 +184,34 @@ class TestScheduler:
         p2 = sched(params, buffers, niter=2)  # due
         assert float(jnp.min(p2.objp)) >= 0.0
 
+    def test_due_set_fused_into_one_program(self, rng):
+        """All constraints due at an iteration run as ONE jitted program per
+        distinct due-set (each distinct program is a multi-second remote
+        compile on the TPU backend)."""
+        params, buffers, geom = make_state(rng)
+        sched = C.ConstraintScheduler(
+            {
+                "fix_probe_int": {"freq": 1},
+                "obja_thresh": {"freq": 1, "relax": 0.0, "thresh": (0.9, 1.1)},
+                "objp_postiv": {"freq": 1, "relax": 0.0},
+                "obj_rblur": {"freq": 2, "obj_type": "both", "kernel_size": 5, "std": 0.5},
+            },
+            geom,
+        )
+        out1 = sched(params, buffers, niter=1)   # 3 due
+        out2 = sched(params, buffers, niter=2)   # 4 due
+        sched(params, buffers, niter=3)          # same set as niter=1 (cached)
+        assert len(sched._compiled) == 2
+        # composition still applies every due constraint
+        assert float(jnp.min(out1.objp)) >= 0.0
+        assert float(jnp.max(out2.obja)) <= 1.1 + 1e-6
+        # and matches applying them one at a time in reference order
+        seq = C.fix_probe_int(params, buffers, {})
+        seq = C.obja_thresh(seq, buffers, {"relax": 0.0, "thresh": (0.9, 1.1)})
+        seq = C.objp_postiv(seq, buffers, {"relax": 0.0, "mode": "clip_neg"})
+        np.testing.assert_allclose(np.asarray(out1.objp), np.asarray(seq.objp), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out1.probe.re), np.asarray(seq.probe.re), rtol=1e-6)
+
     def test_unknown_constraint_rejected(self, rng):
         params, buffers, geom = make_state(rng)
         with pytest.raises(ValueError):
