@@ -124,6 +124,38 @@ class TestPatches:
         via_explicit = np.asarray(scatter_add_patches(canvas_shape, patches, pos))
         np.testing.assert_allclose(via_ad, via_explicit, atol=1e-6)
 
+    def test_pallas_scatter_matches_fori_loop(self, rng):
+        """The TPU scatter-add kernel (run interpreted here) must equal the
+        sequential fori_loop scatter bit-for-bit semantics-wise, including
+        duplicate positions and corner clamping."""
+        from ptyrad_tpu.ops.patches import pallas_scatter_add
+
+        canvas_shape = (2, 3, 50, 60)
+        patches = jnp.asarray(rng.standard_normal((7, 2, 3, 16, 16)).astype(np.float32))
+        pos = np.asarray(rng.integers(0, 34, (7, 2)), np.int32)
+        pos[3] = pos[2]            # duplicate position (accumulation)
+        pos[4] = [34, 44]          # exactly at the clamp edge
+        pos = jnp.asarray(pos)
+
+        ref = scatter_add_patches(canvas_shape, patches, pos)
+        out = pallas_scatter_add(canvas_shape, patches, pos, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+    def test_custom_vjp_matches_xla_transpose(self, rng):
+        """extract_patches carries a custom VJP (Pallas on TPU); on CPU it
+        must route to — and match — XLA's native transpose."""
+        from ptyrad_tpu.ops.patches import _extract_impl
+
+        canvas = jnp.asarray(rng.standard_normal((2, 3, 40, 40)).astype(np.float32))
+        pos = jnp.asarray(rng.integers(0, 24, (5, 2)).astype(np.int32))
+        g = jnp.asarray(rng.standard_normal((5, 2, 3, 16, 16)).astype(np.float32))
+
+        f = lambda c: jnp.sum(extract_patches(c, pos, (16, 16)) * g)
+        f0 = lambda c: jnp.sum(_extract_impl(c, pos, (16, 16)) * g)
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f)(canvas)), np.asarray(jax.grad(f0)(canvas)), rtol=1e-6
+        )
+
 
 class TestBlur:
     def test_kernel_normalized(self):
