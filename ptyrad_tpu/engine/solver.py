@@ -335,6 +335,13 @@ class PtyRADSolver:
         self.mesh = mesh
         if self.mesh is None and n_devices is not None and n_devices > 1:
             self.mesh = make_mesh(n_devices)
+        if self.mesh is not None and "fwd_fused" not in model_params:
+            # Pallas kernels carry no SPMD partitioning rules: on a mesh XLA
+            # would gather the sharded batch around the fused call. Use the
+            # natively-partitioned jnp path unless explicitly requested.
+            import dataclasses as _dc
+
+            self.geom = _dc.replace(self.geom, fwd_fused=False)
         self.history = ReconHistory()
 
     # -- preparation --------------------------------------------------------

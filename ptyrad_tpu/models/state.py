@@ -111,7 +111,11 @@ class Geometry:
     meas_scale_factors: Optional[Tuple[float, float]] = None
     eps: float = 1e-10
     fwd_remat: bool = False  # rematerialize the multislice loop to save HBM
-    fwd_fused: bool = False  # experimental Pallas fused multislice kernel
+    # Fused Pallas multislice kernel (ops/pallas_multislice.py): 2.4x the XLA
+    # path on TPU at bit-equal loss. Default ON; forward() falls back to the
+    # jnp path automatically off-TPU or when shapes leave the supported
+    # regime (omode>1, shifted probes, per-position H, non-square patches).
+    fwd_fused: bool = True
 
     @property
     def n_slices(self) -> int:
@@ -211,5 +215,7 @@ def make_model(init_variables: dict, model_params: Optional[dict] = None):
         meas_pad_idx=(tuple(int(i) for i in meas_pad_idx) if meas_pad_idx is not None else None),
         meas_padded_shape=(tuple(np.asarray(meas_padded).shape[-2:]) if meas_padded is not None else None),
         meas_scale_factors=(tuple(float(s) for s in meas_scale) if meas_scale is not None else None),
+        fwd_remat=bool(model_params.get("fwd_remat", False)),
+        fwd_fused=bool(model_params.get("fwd_fused", True)),
     )
     return params, buffers, geom

@@ -1,31 +1,36 @@
 """Fused multislice propagation as a Pallas TPU kernel with custom VJP.
 
 Why: the XLA lowering of the multislice chain materializes every DFT-matmul
-output to HBM — per batch step that is gigabytes of wavefield traffic, and it
-is what bounds the step time once the MXU work is saturated (bf16 matmuls
-gave only +4%). This kernel keeps the whole per-sample wavefield chain
-resident in VMEM: one grid program per batch element computes
+output to HBM — per batch step that is gigabytes of wavefield traffic, and
+the resulting fusions run far below MXU rate (measured ~54 TFLOP/s f32 /
+64 TFLOP/s bf16 vs ~197 peak: cast/copy/elementwise bound). This kernel
+keeps the wavefield chain resident in VMEM: one grid program per BLOCK of
+batch elements computes
 
-    psi = probe                                  (pmode, N, N) complex pairs
+    psi = probe                                  (blk*pmode, N, N) pairs
     for z in 0..Nz-2:  psi = IDFT(H * DFT(psi * T_z))
     psi *= T_{Nz-1}
-    dp  = sum_p |DFT_ortho(psi)|^2 / (N*N)       (+ fftshift at the end)
+    dp  = sum_p |DFT_ortho(psi)|^2 / (N*N)       (+ fftshift by the caller)
 
-with the DFT as real-arithmetic MXU matmuls against resident constant
-matrices (same math as ops/fourier.py).
+v2 design notes (vs the r1 per-sample kernel, which ended up 1.4x SLOWER
+than the improved XLA path):
+  - Transpose-free DFTs. A 2D DFT is two passes of "contract dim -2 against
+    the symmetric DFT matrix, appending the transformed axis last":
+    x(p,y,x) -> (p,x,ky) -> (p,ky,kx). Each pass is one lhs-transposed MXU
+    GEMM; after two passes the orientation is standard, so the explicit
+    per-pass VMEM transpose of the r1 kernel disappears.
+  - Batch blocking. Each grid step processes `blk` samples, making every
+    GEMM (blk*pmode*N, N)x(N, N) — tall MXU shapes instead of r1's
+    per-sample (pmode*N, N).
+  - GEMM dtype follows ops.fourier.set_matmul_dtype at trace time:
+    'bfloat16' casts GEMM operands only (f32 accumulation via
+    preferred_element_type), everything else stays f32.
 
 The backward kernel recomputes the forward psi stack in VMEM (rematerialized
 — zero residual HBM traffic) and walks the chain in reverse, producing
 gradients for the object patches (amplitude & phase) and the shared probe.
 Real-pair transpose rule: the adjoint of multiply-by-F is multiply-by-conj(F)
 = the unnormalized opposite-direction DFT matrices, since F is symmetric.
-
-Measured status (TPU v5 lite, tBL_WSe2 shapes): numerically equivalent to
-the XLA path (forward exact; gradients within the mutual f32-matmul noise of
-~1e-2 relative — the same order as XLA's own bf16-pass error) at parity to
-modest speedup (0.9-1.2x depending on chip load). XLA already aggregates the
-batch into larger GEMMs than this per-sample-grid kernel, so the VMEM
-residency win is offset by smaller matmuls; opt-in via Geometry.fwd_fused.
 
 Scope (falls back to the jnp path otherwise — models/forward.py checks):
   - omode == 1, a single shared probe (1, pmode, N, N), a single fixed
@@ -43,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ptyrad_tpu.ops.fourier import _dft_consts
+from ptyrad_tpu.ops.fourier import _dft_consts, get_matmul_dtype
 
 _INTERPRET = False  # flipped by tests for CPU development
 
@@ -60,35 +65,32 @@ def _consts(n: int):
     return f, b
 
 
-def _cmatmul(fr, fi, frpi, xr, xi, side):
-    """Karatsuba complex matmul against a constant matrix, inside the kernel.
-    x is (pmode, N, N); 'left' contracts rows, 'right' contracts columns."""
-    if side == "left":
-        def mm(mat, v):
-            # (j,k) x (p,k,x) -> (j,p,x) -> (p,j,x)
-            out = jax.lax.dot_general(
-                mat, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return out.transpose(1, 0, 2)
-    else:
-        def mm(mat, v):
-            # (p,y,k) x (j,k) -> (p,y,j)
-            return jax.lax.dot_general(
-                v, mat, (((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    t1 = mm(fr, xr)
-    t2 = mm(fi, xi)
-    t3 = mm(frpi, xr + xi)
+def _gemm_dtype():
+    return jnp.bfloat16 if get_matmul_dtype() == "bfloat16" else jnp.float32
+
+
+def _cpass(fr, fi, frpi, xr, xi, dt):
+    """One transpose-free complex DFT pass: contract dim -2 of (M, N, N)
+    against the (symmetric) DFT matrix, transformed axis appended last.
+    Karatsuba 3-mult complex product; f32 accumulation."""
+    def mm(v, mat):
+        return jax.lax.dot_general(
+            v.astype(dt), mat.astype(dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    t1 = mm(xr, fr)
+    t2 = mm(xi, fi)
+    t3 = mm(xr + xi, frpi)
     return t1 - t2, t3 - t1 - t2
 
 
-def _dft2(xr, xi, mats, scale=None):
-    """2D DFT of (pmode, N, N) pairs via row+column passes."""
+def _dft2(xr, xi, mats, dt, scale=None):
+    """2D DFT of (M, N, N) pairs: two contract-dim--2 passes; orientation is
+    standard after the second pass."""
     fr, fi, frpi = mats
-    xr, xi = _cmatmul(fr, fi, frpi, xr, xi, "left")
-    xr, xi = _cmatmul(fr, fi, frpi, xr, xi, "right")
+    xr, xi = _cpass(fr, fi, frpi, xr, xi, dt)
+    xr, xi = _cpass(fr, fi, frpi, xr, xi, dt)
     if scale is not None:
         xr, xi = xr * scale, xi * scale
     return xr, xi
@@ -98,41 +100,58 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _forward_chain(probe_r, probe_i, a_pat, p_pat, h_r, h_i, fwd, inv, n, store_stack=False):
-    """Shared forward recurrence. Returns final (chi_r, chi_i) after the last
-    slice multiply and, optionally, the per-slice entry states psi_z."""
-    nz = a_pat.shape[0]
+def _tmul(psi_r, psi_i, tr, ti, blk, pmode, n):
+    """psi (blk*pmode, N, N) times per-sample transmission (blk, N, N)."""
+    pr = psi_r.reshape(blk, pmode, n, n)
+    pi = psi_i.reshape(blk, pmode, n, n)
+    outr = pr * tr[:, None] - pi * ti[:, None]
+    outi = pr * ti[:, None] + pi * tr[:, None]
+    return outr.reshape(blk * pmode, n, n), outi.reshape(blk * pmode, n, n)
+
+
+def _forward_chain(psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n,
+                   dt, store_stack=False):
+    """Shared forward recurrence on (blk*pmode, N, N) pairs. a_pat/p_pat are
+    (blk, Nz, N, N). Returns final (chi_r, chi_i) and optionally the
+    per-slice entry states."""
+    nz = a_pat.shape[1]
     inv_scale = np.float32(1.0 / (n * n))
-    psi_r, psi_i = probe_r, probe_i
     stack = []
     for z in range(nz):
         if store_stack:
             stack.append((psi_r, psi_i))
-        tr = a_pat[z] * jnp.cos(p_pat[z])
-        ti = a_pat[z] * jnp.sin(p_pat[z])
-        psi_r, psi_i = _cmul(psi_r, psi_i, tr[None], ti[None])
+        tr = a_pat[:, z] * jnp.cos(p_pat[:, z])
+        ti = a_pat[:, z] * jnp.sin(p_pat[:, z])
+        psi_r, psi_i = _tmul(psi_r, psi_i, tr, ti, blk, pmode, n)
         if z < nz - 1:
-            kr, ki = _dft2(psi_r, psi_i, fwd)
-            kr, ki = _cmul(kr, ki, h_r[None], h_i[None])
-            psi_r, psi_i = _dft2(kr, ki, inv, scale=inv_scale)
+            kr, ki = _dft2(psi_r, psi_i, fwd, dt)
+            kr, ki = _cmul(kr, ki, h_r, h_i)
+            psi_r, psi_i = _dft2(kr, ki, inv, dt, scale=inv_scale)
     return psi_r, psi_i, stack
 
 
-def _fwd_kernel(nz, n, pmode, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
+def _bcast_probe(pr, pi, blk, pmode, n):
+    pr = jnp.broadcast_to(pr[None], (blk, pmode, n, n)).reshape(blk * pmode, n, n)
+    pi = jnp.broadcast_to(pi[None], (blk, pmode, n, n)).reshape(blk * pmode, n, n)
+    return pr, pi
+
+
+def _fwd_kernel(nz, n, pmode, blk, dt, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
                 fr_ref, fi_ref, frpi_ref, br_ref, bi_ref, brpi_ref, dp_ref):
     fwd = (fr_ref[:], fi_ref[:], frpi_ref[:])
     inv = (br_ref[:], bi_ref[:], brpi_ref[:])
-    a_pat = a_ref[0, 0]  # (Nz, N, N)
-    p_pat = p_ref[0, 0]
+    a_pat = a_ref[:, 0]  # (blk, Nz, N, N)
+    p_pat = p_ref[:, 0]
+    psi_r, psi_i = _bcast_probe(pr_ref[0], pi_ref[0], blk, pmode, n)
     chi_r, chi_i, _ = _forward_chain(
-        pr_ref[0], pi_ref[0], a_pat, p_pat, hr_ref[0], hi_ref[0], fwd, inv, n
+        psi_r, psi_i, a_pat, p_pat, hr_ref[0], hi_ref[0], fwd, inv, blk, pmode, n, dt
     )
-    yr, yi = _dft2(chi_r, chi_i, fwd)  # unnormalized; ortho = /(N*N) on |Y|^2
-    dp = jnp.sum(yr * yr + yi * yi, axis=0) * np.float32(1.0 / (n * n))
-    dp_ref[0] = dp
+    yr, yi = _dft2(chi_r, chi_i, fwd, dt)  # unnormalized; ortho = /(N*N) on |Y|^2
+    inten = (yr * yr + yi * yi).reshape(blk, pmode, n, n)
+    dp_ref[...] = jnp.sum(inten, axis=1) * np.float32(1.0 / (n * n))
 
 
-def _bwd_kernel(nz, n, pmode, g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
+def _bwd_kernel(nz, n, pmode, blk, dt, g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
                 fr_ref, fi_ref, frpi_ref, br_ref, bi_ref, brpi_ref,
                 da_ref, dp_out_ref, dpr_ref, dpi_ref):
     """Recompute forward states in VMEM, then reverse the chain.
@@ -143,41 +162,46 @@ def _bwd_kernel(nz, n, pmode, g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_re
     """
     fwd = (fr_ref[:], fi_ref[:], frpi_ref[:])
     inv = (br_ref[:], bi_ref[:], brpi_ref[:])
-    a_pat = a_ref[0, 0]
-    p_pat = p_ref[0, 0]
+    a_pat = a_ref[:, 0]
+    p_pat = p_ref[:, 0]
     h_r, h_i = hr_ref[0], hi_ref[0]
     inv_scale = np.float32(1.0 / (n * n))
 
+    psi0_r, psi0_i = _bcast_probe(pr_ref[0], pi_ref[0], blk, pmode, n)
     chi_r, chi_i, stack = _forward_chain(
-        pr_ref[0], pi_ref[0], a_pat, p_pat, h_r, h_i, fwd, inv, n, store_stack=True
+        psi0_r, psi0_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n, dt,
+        store_stack=True,
     )
 
     # d dp/d Y: dp = sum_p (Yr^2 + Yi^2)/(N*N);  dY = 2 g Y / (N*N)
-    yr, yi = _dft2(chi_r, chi_i, fwd)
-    g = g_ref[0] * np.float32(2.0 / (n * n))
-    dyr, dyi = g[None] * yr, g[None] * yi
+    yr, yi = _dft2(chi_r, chi_i, fwd, dt)
+    g = (g_ref[...] * np.float32(2.0 / (n * n)))  # (blk, N, N)
+    gp = jnp.broadcast_to(g[:, None], (blk, pmode, n, n)).reshape(blk * pmode, n, n)
+    dyr, dyi = gp * yr, gp * yi
     # adjoint of the final fwd DFT = unnormalized inverse matrices
-    dchi_r, dchi_i = _dft2(dyr, dyi, inv)
+    dchi_r, dchi_i = _dft2(dyr, dyi, inv, dt)
 
     for z in range(nz - 1, -1, -1):
         psi_r, psi_i = stack[z]
-        tr = a_pat[z] * jnp.cos(p_pat[z])
-        ti = a_pat[z] * jnp.sin(p_pat[z])
+        tr = a_pat[:, z] * jnp.cos(p_pat[:, z])
+        ti = a_pat[:, z] * jnp.sin(p_pat[:, z])
         # chi = psi * T:   dT = dchi * conj(psi) summed over pmode
-        dtr = jnp.sum(dchi_r * psi_r + dchi_i * psi_i, axis=0)
-        dti = jnp.sum(dchi_i * psi_r - dchi_r * psi_i, axis=0)
+        prod_r = (dchi_r * psi_r + dchi_i * psi_i).reshape(blk, pmode, n, n)
+        prod_i = (dchi_i * psi_r - dchi_r * psi_i).reshape(blk, pmode, n, n)
+        dtr = jnp.sum(prod_r, axis=1)
+        dti = jnp.sum(prod_i, axis=1)
         # T = a e^{i phi}: da = Re(dT conj(e^{i phi})), dphi = a * Im(...)
-        cosp, sinp = jnp.cos(p_pat[z]), jnp.sin(p_pat[z])
-        da_ref[0, 0, z] = dtr * cosp + dti * sinp
-        dp_out_ref[0, 0, z] = a_pat[z] * (dti * cosp - dtr * sinp)
+        cosp, sinp = jnp.cos(p_pat[:, z]), jnp.sin(p_pat[:, z])
+        da_ref[:, 0, z] = dtr * cosp + dti * sinp
+        dp_out_ref[:, 0, z] = a_pat[:, z] * (dti * cosp - dtr * sinp)
         # dpsi = dchi * conj(T)
-        dpsi_r, dpsi_i = _cmul(dchi_r, dchi_i, tr[None], -ti[None])
+        dpsi_r, dpsi_i = _tmul(dchi_r, dchi_i, tr, -ti, blk, pmode, n)
         if z > 0:
             # adjoint of psi_z = IDFT(H * DFT(chi_{z-1})):
             #   u = F_fwd^T-adj(dpsi) with inverse-pass scaling -> F_fwd * 1/(N*N)
-            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, scale=inv_scale)
-            ur, ui = _cmul(ur, ui, h_r[None], -h_i[None])  # conj(H)
-            dchi_r, dchi_i = _dft2(ur, ui, inv)            # adjoint of fwd DFT
+            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt, scale=inv_scale)
+            ur, ui = _cmul(ur, ui, h_r, -h_i)             # conj(H)
+            dchi_r, dchi_i = _dft2(ur, ui, inv, dt)       # adjoint of fwd DFT
         else:
             dchi_r, dchi_i = dpsi_r, dpsi_i
 
@@ -187,28 +211,50 @@ def _bwd_kernel(nz, n, pmode, g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_re
         dpr_ref[0] = jnp.zeros((pmode, n, n), jnp.float32)
         dpi_ref[0] = jnp.zeros((pmode, n, n), jnp.float32)
 
-    dpr_ref[0] += dchi_r
-    dpi_ref[0] += dchi_i
+    dpr_ref[0] += jnp.sum(dchi_r.reshape(blk, pmode, n, n), axis=0)
+    dpi_ref[0] += jnp.sum(dchi_i.reshape(blk, pmode, n, n), axis=0)
 
 
 def _block(shape, index_map):
     return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
 
-def _common_specs(b, nz, n, pmode):
+def _common_specs(nz, n, pmode, blk):
     """BlockSpecs for (a_pat, p_pat, probe_r, probe_i, h_r, h_i, 6 DFT mats)."""
     per_b = lambda i: (i, 0, 0, 0, 0)
     rep4 = lambda i: (0, 0, 0, 0)
     rep3 = lambda i: (0, 0, 0)
     rep2 = lambda i: (0, 0)
     return [
-        _block((1, 1, nz, n, n), per_b),   # obja patches
-        _block((1, 1, nz, n, n), per_b),   # objp patches
-        _block((1, pmode, n, n), rep4),    # probe re
-        _block((1, pmode, n, n), rep4),    # probe im
-        _block((1, n, n), rep3),           # H re
-        _block((1, n, n), rep3),           # H im
+        _block((blk, 1, nz, n, n), per_b),  # obja patches
+        _block((blk, 1, nz, n, n), per_b),  # objp patches
+        _block((1, pmode, n, n), rep4),     # probe re
+        _block((1, pmode, n, n), rep4),     # probe im
+        _block((1, n, n), rep3),            # H re
+        _block((1, n, n), rep3),            # H im
     ] + [_block((n, n), rep2)] * 6
+
+
+# VMEM working-set heuristic: the forward keeps ~4 psi-sized pair buffers
+# live (psi, GEMM temps, double-buffered patch block); the backward adds the
+# nz-entry rematerialization stack.
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _pick_blk(b, nz, n, pmode, backward):
+    """Largest batch block whose working set fits VMEM; None if even blk=1
+    doesn't fit (callers must fall back to the jnp path)."""
+    for blk in (8, 4, 2, 1):
+        if b % blk:
+            continue
+        pair = 2 * blk * pmode * n * n * 4
+        patches = 2 * 2 * blk * nz * n * n * 4
+        live = 4 * pair + patches
+        if backward:
+            live += nz * pair + pair
+        if live <= _VMEM_BUDGET:
+            return blk
+    return None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -220,13 +266,14 @@ def multislice_dp_fused(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
 def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
     b, _, nz, n, _ = obja_p.shape
     pmode = probe_r.shape[1]
+    blk = _pick_blk(b, nz, n, pmode, backward=False)
     fwd_m, inv_m = _consts(n)
-    kernel = functools.partial(_fwd_kernel, nz, n, pmode)
+    kernel = functools.partial(_fwd_kernel, nz, n, pmode, blk, _gemm_dtype())
     return pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=_common_specs(b, nz, n, pmode),
-        out_specs=_block((1, n, n), lambda i: (i, 0, 0)),
+        grid=(b // blk,),
+        in_specs=_common_specs(nz, n, pmode, blk),
+        out_specs=_block((blk, n, n), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.float32),
         interpret=_INTERPRET,
     )(obja_p, objp_p, probe_r, probe_i, h_r, h_i, *fwd_m, *inv_m)
@@ -241,15 +288,16 @@ def _fused_bwd(residuals, g):
     obja_p, objp_p, probe_r, probe_i, h_r, h_i = residuals
     b, _, nz, n, _ = obja_p.shape
     pmode = probe_r.shape[1]
+    blk = _pick_blk(b, nz, n, pmode, backward=True)
     fwd_m, inv_m = _consts(n)
-    kernel = functools.partial(_bwd_kernel, nz, n, pmode)
+    kernel = functools.partial(_bwd_kernel, nz, n, pmode, blk, _gemm_dtype())
     da, dp_out, dpr, dpi = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[_block((1, n, n), lambda i: (i, 0, 0))] + _common_specs(b, nz, n, pmode),
+        grid=(b // blk,),
+        in_specs=[_block((blk, n, n), lambda i: (i, 0, 0))] + _common_specs(nz, n, pmode, blk),
         out_specs=[
-            _block((1, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
-            _block((1, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
+            _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
+            _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
             _block((1, pmode, n, n), lambda i: (0, 0, 0, 0)),
             _block((1, pmode, n, n), lambda i: (0, 0, 0, 0)),
         ],
@@ -268,11 +316,17 @@ multislice_dp_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_path_applicable(obja_patches, probes, H) -> bool:
-    """True when shapes match the kernel's supported regime."""
+    """True when the backend can run Mosaic kernels, shapes match the
+    kernel's supported regime, and the working set fits VMEM (fwd AND bwd)."""
+    b, _, nz, _, n = obja_patches.shape
+    pmode = probes.shape[1]
     return (
-        obja_patches.shape[1] == 1            # omode == 1
+        (_INTERPRET or jax.default_backend() == "tpu")
+        and obja_patches.shape[1] == 1        # omode == 1
         and probes.shape[0] == 1              # shared (unshifted) probe
         and H.shape[0] == 1                   # single fixed propagator
         and obja_patches.shape[-1] == obja_patches.shape[-2]
         and obja_patches.shape[-1] <= 256
+        and _pick_blk(b, nz, n, pmode, backward=False) is not None
+        and _pick_blk(b, nz, n, pmode, backward=True) is not None
     )
