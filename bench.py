@@ -140,7 +140,9 @@ def main():
     log(f"workload built in {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
-    params, buffers, geom = make_model(init)
+    # model_params must reach make_model so geometry enables the probe-shift
+    # path (shift_probes) — the demo config optimizes probe_pos_shifts
+    params, buffers, geom = make_model(init, {"update_params": UPDATE_PARAMS})
     jax.block_until_ready(buffers.measurements)
     log(f"model+transfer ({buffers.measurements.nbytes/1e6:.0f} MB) in {time.perf_counter()-t0:.1f}s")
 

@@ -130,19 +130,24 @@ def _forward_chain(psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n
     return psi_r, psi_i, stack
 
 
-def _bcast_probe(pr, pi, blk, pmode, n):
-    pr = jnp.broadcast_to(pr[None], (blk, pmode, n, n)).reshape(blk * pmode, n, n)
-    pi = jnp.broadcast_to(pi[None], (blk, pmode, n, n)).reshape(blk * pmode, n, n)
-    return pr, pi
+def _load_probe(pr_ref, pi_ref, shared, blk, pmode, n):
+    """Initial wavefield (blk*pmode, N, N) from a shared (1, pmode, N, N) or
+    per-position (blk, pmode, N, N) probe block."""
+    if shared:
+        pr = jnp.broadcast_to(pr_ref[0][None], (blk, pmode, n, n))
+        pi = jnp.broadcast_to(pi_ref[0][None], (blk, pmode, n, n))
+    else:
+        pr, pi = pr_ref[...], pi_ref[...]
+    return pr.reshape(blk * pmode, n, n), pi.reshape(blk * pmode, n, n)
 
 
-def _fwd_kernel(nz, n, pmode, blk, dt, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
+def _fwd_kernel(nz, n, pmode, blk, shared, dt, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
                 fr_ref, fi_ref, frpi_ref, br_ref, bi_ref, brpi_ref, dp_ref):
     fwd = (fr_ref[:], fi_ref[:], frpi_ref[:])
     inv = (br_ref[:], bi_ref[:], brpi_ref[:])
     a_pat = a_ref[:, 0]  # (blk, Nz, N, N)
     p_pat = p_ref[:, 0]
-    psi_r, psi_i = _bcast_probe(pr_ref[0], pi_ref[0], blk, pmode, n)
+    psi_r, psi_i = _load_probe(pr_ref, pi_ref, shared, blk, pmode, n)
     chi_r, chi_i, _ = _forward_chain(
         psi_r, psi_i, a_pat, p_pat, hr_ref[0], hi_ref[0], fwd, inv, blk, pmode, n, dt
     )
@@ -151,7 +156,7 @@ def _fwd_kernel(nz, n, pmode, blk, dt, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_
     dp_ref[...] = jnp.sum(inten, axis=1) * np.float32(1.0 / (n * n))
 
 
-def _bwd_kernel(nz, n, pmode, blk, dt, g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
+def _bwd_kernel(nz, n, pmode, blk, shared, dt, g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
                 fr_ref, fi_ref, frpi_ref, br_ref, bi_ref, brpi_ref,
                 da_ref, dp_out_ref, dpr_ref, dpi_ref):
     """Recompute forward states in VMEM, then reverse the chain.
@@ -167,7 +172,7 @@ def _bwd_kernel(nz, n, pmode, blk, dt, g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_r
     h_r, h_i = hr_ref[0], hi_ref[0]
     inv_scale = np.float32(1.0 / (n * n))
 
-    psi0_r, psi0_i = _bcast_probe(pr_ref[0], pi_ref[0], blk, pmode, n)
+    psi0_r, psi0_i = _load_probe(pr_ref, pi_ref, shared, blk, pmode, n)
     chi_r, chi_i, stack = _forward_chain(
         psi0_r, psi0_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n, dt,
         store_stack=True,
@@ -205,31 +210,41 @@ def _bwd_kernel(nz, n, pmode, blk, dt, g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_r
         else:
             dchi_r, dchi_i = dpsi_r, dpsi_i
 
-    # probe gradient accumulates across the (sequential) batch grid
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        dpr_ref[0] = jnp.zeros((pmode, n, n), jnp.float32)
-        dpi_ref[0] = jnp.zeros((pmode, n, n), jnp.float32)
+    if shared:
+        # probe gradient accumulates across the (sequential) batch grid
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            dpr_ref[0] = jnp.zeros((pmode, n, n), jnp.float32)
+            dpi_ref[0] = jnp.zeros((pmode, n, n), jnp.float32)
 
-    dpr_ref[0] += jnp.sum(dchi_r.reshape(blk, pmode, n, n), axis=0)
-    dpi_ref[0] += jnp.sum(dchi_i.reshape(blk, pmode, n, n), axis=0)
+        dpr_ref[0] += jnp.sum(dchi_r.reshape(blk, pmode, n, n), axis=0)
+        dpi_ref[0] += jnp.sum(dchi_i.reshape(blk, pmode, n, n), axis=0)
+    else:
+        # per-position probes: the gradient is per sample, no accumulation
+        dpr_ref[...] = dchi_r.reshape(blk, pmode, n, n)
+        dpi_ref[...] = dchi_i.reshape(blk, pmode, n, n)
 
 
 def _block(shape, index_map):
     return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
 
-def _common_specs(nz, n, pmode, blk):
+def _common_specs(nz, n, pmode, blk, shared):
     """BlockSpecs for (a_pat, p_pat, probe_r, probe_i, h_r, h_i, 6 DFT mats)."""
     per_b = lambda i: (i, 0, 0, 0, 0)
     rep4 = lambda i: (0, 0, 0, 0)
+    per_b4 = lambda i: (i, 0, 0, 0)
     rep3 = lambda i: (0, 0, 0)
     rep2 = lambda i: (0, 0)
+    probe_spec = (
+        _block((1, pmode, n, n), rep4) if shared
+        else _block((blk, pmode, n, n), per_b4)
+    )
     return [
         _block((blk, 1, nz, n, n), per_b),  # obja patches
         _block((blk, 1, nz, n, n), per_b),  # objp patches
-        _block((1, pmode, n, n), rep4),     # probe re
-        _block((1, pmode, n, n), rep4),     # probe im
+        probe_spec,                          # probe re
+        probe_spec,                          # probe im
         _block((1, n, n), rep3),            # H re
         _block((1, n, n), rep3),            # H im
     ] + [_block((n, n), rep2)] * 6
@@ -241,7 +256,7 @@ def _common_specs(nz, n, pmode, blk):
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _pick_blk(b, nz, n, pmode, backward):
+def _pick_blk(b, nz, n, pmode, backward, shared=True):
     """Largest batch block whose working set fits VMEM; None if even blk=1
     doesn't fit (callers must fall back to the jnp path)."""
     for blk in (8, 4, 2, 1):
@@ -250,6 +265,8 @@ def _pick_blk(b, nz, n, pmode, backward):
         pair = 2 * blk * pmode * n * n * 4
         patches = 2 * 2 * blk * nz * n * n * 4
         live = 4 * pair + patches
+        if not shared:
+            live += pair  # per-position probe block (and its bwd output)
         if backward:
             live += nz * pair + pair
         if live <= _VMEM_BUDGET:
@@ -266,13 +283,14 @@ def multislice_dp_fused(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
 def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
     b, _, nz, n, _ = obja_p.shape
     pmode = probe_r.shape[1]
-    blk = _pick_blk(b, nz, n, pmode, backward=False)
+    shared = probe_r.shape[0] == 1
+    blk = _pick_blk(b, nz, n, pmode, backward=False, shared=shared)
     fwd_m, inv_m = _consts(n)
-    kernel = functools.partial(_fwd_kernel, nz, n, pmode, blk, _gemm_dtype())
+    kernel = functools.partial(_fwd_kernel, nz, n, pmode, blk, shared, _gemm_dtype())
     return pl.pallas_call(
         kernel,
         grid=(b // blk,),
-        in_specs=_common_specs(nz, n, pmode, blk),
+        in_specs=_common_specs(nz, n, pmode, blk, shared),
         out_specs=_block((blk, n, n), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.float32),
         interpret=_INTERPRET,
@@ -288,24 +306,31 @@ def _fused_bwd(residuals, g):
     obja_p, objp_p, probe_r, probe_i, h_r, h_i = residuals
     b, _, nz, n, _ = obja_p.shape
     pmode = probe_r.shape[1]
-    blk = _pick_blk(b, nz, n, pmode, backward=True)
+    shared = probe_r.shape[0] == 1
+    blk = _pick_blk(b, nz, n, pmode, backward=True, shared=shared)
     fwd_m, inv_m = _consts(n)
-    kernel = functools.partial(_bwd_kernel, nz, n, pmode, blk, _gemm_dtype())
+    kernel = functools.partial(_bwd_kernel, nz, n, pmode, blk, shared, _gemm_dtype())
+    if shared:
+        dprobe_spec = _block((1, pmode, n, n), lambda i: (0, 0, 0, 0))
+        dprobe_shape = jax.ShapeDtypeStruct((1, pmode, n, n), jnp.float32)
+    else:
+        dprobe_spec = _block((blk, pmode, n, n), lambda i: (i, 0, 0, 0))
+        dprobe_shape = jax.ShapeDtypeStruct((b, pmode, n, n), jnp.float32)
     da, dp_out, dpr, dpi = pl.pallas_call(
         kernel,
         grid=(b // blk,),
-        in_specs=[_block((blk, n, n), lambda i: (i, 0, 0))] + _common_specs(nz, n, pmode, blk),
+        in_specs=[_block((blk, n, n), lambda i: (i, 0, 0))] + _common_specs(nz, n, pmode, blk, shared),
         out_specs=[
             _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
             _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
-            _block((1, pmode, n, n), lambda i: (0, 0, 0, 0)),
-            _block((1, pmode, n, n), lambda i: (0, 0, 0, 0)),
+            dprobe_spec,
+            dprobe_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, nz, n, n), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, nz, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, pmode, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, pmode, n, n), jnp.float32),
+            dprobe_shape,
+            dprobe_shape,
         ],
         interpret=_INTERPRET,
     )(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *fwd_m, *inv_m)
@@ -320,13 +345,14 @@ def fused_path_applicable(obja_patches, probes, H) -> bool:
     kernel's supported regime, and the working set fits VMEM (fwd AND bwd)."""
     b, _, nz, _, n = obja_patches.shape
     pmode = probes.shape[1]
+    shared = probes.shape[0] == 1
     return (
         (_INTERPRET or jax.default_backend() == "tpu")
         and obja_patches.shape[1] == 1        # omode == 1
-        and probes.shape[0] == 1              # shared (unshifted) probe
+        and probes.shape[0] in (1, b)         # shared OR per-position probes
         and H.shape[0] == 1                   # single fixed propagator
         and obja_patches.shape[-1] == obja_patches.shape[-2]
         and obja_patches.shape[-1] <= 256
-        and _pick_blk(b, nz, n, pmode, backward=False) is not None
-        and _pick_blk(b, nz, n, pmode, backward=True) is not None
+        and _pick_blk(b, nz, n, pmode, backward=False, shared=shared) is not None
+        and _pick_blk(b, nz, n, pmode, backward=True, shared=shared) is not None
     )

@@ -250,8 +250,9 @@ class TestPallasFusedPath:
         from ptyrad_tpu.ops import pallas_multislice as pm
 
         init = make_toy_init(rng, omode=1, nz=3, pmode=2, npix=16, n_scans=6)
-        params, buffers, geom = make_model(init)
-        geom_fused = dataclasses.replace(geom, fwd_fused=True)
+        params, buffers, geom_default = make_model(init)
+        geom = dataclasses.replace(geom_default, fwd_fused=False)  # jnp reference
+        geom_fused = dataclasses.replace(geom_default, fwd_fused=True)
         idx = jnp.arange(4)
 
         pm.set_interpret(True)
@@ -282,14 +283,61 @@ class TestPallasFusedPath:
         finally:
             pm.set_interpret(False)
 
+    def test_fused_per_position_probes(self, rng):
+        """shift_probes gives per-position (B, pmode, N, N) probes; the fused
+        kernel's per-sample probe-gradient path must match jnp, including
+        gradients flowing through fourier_shift to the position shifts."""
+        import dataclasses
+
+        import jax
+
+        from ptyrad_tpu.ops import pallas_multislice as pm
+
+        init = make_toy_init(rng, omode=1, nz=2, pmode=2, npix=16, n_scans=6)
+        init["probe_pos_shifts"] = 0.3 * rng.standard_normal((6, 2)).astype(np.float32)
+        params, buffers, geom0 = make_model(
+            init, {"update_params": {"probe_pos_shifts": {"lr": 1e-4, "start_iter": 1}}}
+        )
+        assert geom0.shift_probes
+        geom = dataclasses.replace(geom0, fwd_fused=False)
+        geom_fused = dataclasses.replace(geom0, fwd_fused=True)
+        idx = jnp.arange(4)
+
+        pm.set_interpret(True)
+        try:
+            dp_ref, _ = forward(params, buffers, geom, idx)
+            dp_fused, _ = forward(params, buffers, geom_fused, idx)
+            np.testing.assert_allclose(
+                np.asarray(dp_fused), np.asarray(dp_ref), rtol=1e-4, atol=1e-7
+            )
+
+            def loss(geom_used):
+                def f(p):
+                    dp, _ = forward(p, buffers, geom_used, idx)
+                    return jnp.sum(jnp.sqrt(dp))
+                return f
+
+            g_ref = jax.grad(loss(geom))(params)
+            g_fused = jax.grad(loss(geom_fused))(params)
+            np.testing.assert_allclose(
+                np.asarray(g_fused.probe.re), np.asarray(g_ref.probe.re), rtol=1e-3, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(g_fused.probe_pos_shifts), np.asarray(g_ref.probe_pos_shifts),
+                rtol=1e-3, atol=1e-6,
+            )
+        finally:
+            pm.set_interpret(False)
+
     def test_fused_falls_back_when_inapplicable(self, rng):
         """omode > 1 is outside the kernel's regime -> jnp path, same results."""
         import dataclasses
 
         init = make_toy_init(rng, omode=2, nz=2, pmode=2, npix=16, n_scans=6)
         params, buffers, geom = make_model(init)
+        geom_ref = dataclasses.replace(geom, fwd_fused=False)
         geom_fused = dataclasses.replace(geom, fwd_fused=True)
         idx = jnp.arange(3)
-        dp_ref, _ = forward(params, buffers, geom, idx)
+        dp_ref, _ = forward(params, buffers, geom_ref, idx)
         dp_fused, _ = forward(params, buffers, geom_fused, idx)
         np.testing.assert_allclose(np.asarray(dp_fused), np.asarray(dp_ref), atol=1e-7)
