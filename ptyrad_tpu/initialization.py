@@ -240,49 +240,47 @@ class Initializer:
         self.init_params["pos_N_scan_fast"] = meas.shape[1]
         return meas.reshape(-1, *meas.shape[-2:])
 
+    # mode tables for the measurement-cleanup stages; modes marked True
+    # require an explicit cfg 'value' (reference initialization.py semantics)
+    _REMOVE_NEG_MODES = {
+        "clip_neg": (False, lambda m, v: np.clip(m, 0, None)),
+        "subtract_min": (False, lambda m, v: m - m.min()),
+        "clip_value": (True, lambda m, v: np.where(m < v, 0, m)),
+        "subtract_value": (True, lambda m, v: m - v),
+    }
+
+    _NORMALIZE_MODES = {
+        "max_at_one": (False, lambda m, v: m.mean(0).max()),
+        "mean_at_one": (False, lambda m, v: m.mean(0).mean()),
+        "sum_to_one": (False, lambda m, v: m.mean(0).sum()),
+        "divide_const": (True, lambda m, v: v),
+    }
+
+    @staticmethod
+    def _dispatch(table: dict, mode: str, meas, value, what: str):
+        if mode not in table:
+            raise ValueError(f"Unsupported {what} mode '{mode}'; use one of {sorted(table)}")
+        needs_value, fn = table[mode]
+        if needs_value and value is None:
+            raise KeyError(f"Mode '{mode}' requires a 'value'")
+        return fn(meas, value)
+
     def _meas_remove_neg(self, meas, cfg):
         cfg = cfg or {}
-        mode = cfg.get("mode", "clip_neg")
-        value = cfg.get("value")
-        force = cfg.get("force", False)
-        if not (meas < 0).any() and not force:
+        if not (meas < 0).any() and not cfg.get("force", False):
             return meas
-        if mode == "subtract_min":
-            meas = meas - meas.min()
-        elif mode == "clip_value":
-            if value is None:
-                raise KeyError("Mode 'clip_value' requires a 'value'")
-            meas = np.where(meas < value, 0, meas)
-        elif mode == "subtract_value":
-            if value is None:
-                raise KeyError("Mode 'subtract_value' requires a 'value'")
-            meas = meas - value
-        elif mode == "clip_neg":
-            meas = np.clip(meas, 0, None)
-        else:
-            raise ValueError(
-                f"Unsupported remove_neg mode '{mode}'; use 'clip_neg', 'subtract_min', 'clip_value', or 'subtract_value'"
-            )
+        meas = self._dispatch(
+            self._REMOVE_NEG_MODES, cfg.get("mode", "clip_neg"), meas,
+            cfg.get("value"), "remove_neg",
+        )
         return np.clip(meas, 0, None)
 
     def _meas_normalize(self, meas, cfg):
         cfg = cfg or {}
-        mode = cfg.get("mode", "max_at_one")
-        value = cfg.get("value")
-        if mode == "max_at_one":
-            const = meas.mean(0).max()
-        elif mode == "mean_at_one":
-            const = meas.mean(0).mean()
-        elif mode == "sum_to_one":
-            const = meas.mean(0).sum()
-        elif mode == "divide_const":
-            if value is None:
-                raise KeyError("Mode 'divide_const' requires a 'value'")
-            const = value
-        else:
-            raise ValueError(
-                f"Unsupported normalization mode '{mode}'; use 'max_at_one', 'mean_at_one', 'sum_to_one', or 'divide_const'"
-            )
+        const = self._dispatch(
+            self._NORMALIZE_MODES, cfg.get("mode", "max_at_one"), meas,
+            cfg.get("value"), "normalization",
+        )
         return (meas / const).astype("float32")
 
     def _meas_pad(self, meas, cfg):
@@ -311,20 +309,22 @@ class Initializer:
         center = (h // 2 + py1, w // 2 + px1)
         r = np.sqrt((y - center[0]) ** 2 + (x - center[1]) ** 2) + 1e-10
 
-        if padding_type == "constant":
-            amp_padded = np.pad(amp_avg, ((py1, py2), (px1, px2)), mode="constant", constant_values=value)
-        elif padding_type == "edge":
-            amp_padded = np.pad(amp_avg, ((py1, py2), (px1, px2)), mode="edge")
-        elif padding_type == "linear_ramp":
-            amp_padded = np.pad(amp_avg, ((py1, py2), (px1, px2)), mode="linear_ramp", end_values=value)
-        elif padding_type == "exp":
+        def _fitted(kind, model_fn):
             mask = create_one_hot_mask(amp_avg, percentile=threshold)
-            amp_padded = exponential_decay(r, *fit_background(amp_avg, mask, "exp"))
-        elif padding_type == "power":
-            mask = create_one_hot_mask(amp_avg, percentile=threshold)
-            amp_padded = power_law(r, *fit_background(amp_avg, mask, "power"))
-        else:
-            raise ValueError(f"Unsupported padding_type '{padding_type}'")
+            return model_fn(r, *fit_background(amp_avg, mask, kind))
+
+        pad_table = {
+            "constant": lambda: np.pad(amp_avg, ((py1, py2), (px1, px2)),
+                                       mode="constant", constant_values=value),
+            "edge": lambda: np.pad(amp_avg, ((py1, py2), (px1, px2)), mode="edge"),
+            "linear_ramp": lambda: np.pad(amp_avg, ((py1, py2), (px1, px2)),
+                                          mode="linear_ramp", end_values=value),
+            "exp": lambda: _fitted("exp", exponential_decay),
+            "power": lambda: _fitted("power", power_law),
+        }
+        if padding_type not in pad_table:
+            raise ValueError(f"Unsupported padding_type '{padding_type}'; use one of {sorted(pad_table)}")
+        amp_padded = pad_table[padding_type]()
 
         meas_padded = np.square(amp_padded)[None].astype("float32")
         meas_padded[..., h1:h2, w1:w2] = 0
