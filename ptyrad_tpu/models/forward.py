@@ -132,7 +132,12 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
     obja_p, objp_p = get_obj_patches(params, buffers, geom, indices)
     probes = get_probes(params, geom, indices)
     H = compute_propagators(params, buffers, geom, indices)
-    if geom.fwd_fused:
+    # the fused kernel treats H as a constant (returns zero cotangents for
+    # it), so it must not be used when H carries gradients — i.e. when slice
+    # thickness or tilts are optimizable (compute_propagators builds H from
+    # params in those regimes)
+    h_differentiable = geom.change_thickness or geom.tilt_obj
+    if geom.fwd_fused and not h_differentiable:
         from ptyrad_tpu.ops.pallas_multislice import (
             fused_path_applicable,
             multislice_dp_fused,

@@ -341,3 +341,37 @@ class TestPallasFusedPath:
         dp_ref, _ = forward(params, buffers, geom_ref, idx)
         dp_fused, _ = forward(params, buffers, geom_fused, idx)
         np.testing.assert_allclose(np.asarray(dp_fused), np.asarray(dp_ref), atol=1e-7)
+
+    def test_fused_never_drops_dz_tilt_gradients(self, rng):
+        """The kernel zeroes H cotangents, so with optimizable slice thickness
+        or tilts (H built from params) forward() must route to the jnp path —
+        dz/tilt gradients must be nonzero even with fwd_fused on (default)."""
+        import jax
+
+        init = make_toy_init(rng, omode=1, nz=3, pmode=2, npix=16, n_scans=6)
+        init["obj_tilts"] = np.full((1, 2), 0.5, np.float32)
+        params, buffers, geom = make_model(
+            init,
+            {"update_params": {
+                "slice_thickness": {"lr": 1e-4, "start_iter": 1},
+                "obj_tilts": {"lr": 1e-4, "start_iter": 1},
+            }},
+        )
+        assert geom.fwd_fused and geom.change_thickness and geom.tilt_obj
+        idx = jnp.arange(4)
+
+        def f(p):
+            dp, _ = forward(p, buffers, geom, idx)
+            return jnp.sum(jnp.sqrt(dp))
+
+        # interpret mode makes the kernel available on CPU, so only the
+        # H-differentiability gate stands between us and zeroed gradients
+        from ptyrad_tpu.ops import pallas_multislice as pm
+
+        pm.set_interpret(True)
+        try:
+            g = jax.grad(f)(params)
+        finally:
+            pm.set_interpret(False)
+        assert float(jnp.abs(g.slice_thickness)) > 0.0
+        assert float(jnp.abs(g.obj_tilts).max()) > 0.0
