@@ -335,10 +335,12 @@ class PtyRADSolver:
         self.mesh = mesh
         if self.mesh is None and n_devices is not None and n_devices > 1:
             self.mesh = make_mesh(n_devices)
-        if self.mesh is not None and "fwd_fused" not in model_params:
+        if self.mesh is not None and model_params.get("fwd_fused") is None:
             # Pallas kernels carry no SPMD partitioning rules: on a mesh XLA
             # would gather the sharded batch around the fused call. Use the
             # natively-partitioned jnp path unless explicitly requested.
+            # (None covers both absent and schema-validated-default configs —
+            # pydantic injects fwd_fused=None, never True, by default.)
             import dataclasses as _dc
 
             self.geom = _dc.replace(self.geom, fwd_fused=False)

@@ -285,6 +285,12 @@ def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
     pmode = probe_r.shape[1]
     shared = probe_r.shape[0] == 1
     blk = _pick_blk(b, nz, n, pmode, backward=False, shared=shared)
+    if blk is None:
+        raise ValueError(
+            f"multislice_dp_fused: working set for shapes (B={b}, nz={nz}, "
+            f"N={n}, pmode={pmode}) exceeds the VMEM budget even at blk=1 — "
+            "use the jnp path (fused_path_applicable would have declined this)"
+        )
     fwd_m, inv_m = _consts(n)
     kernel = functools.partial(_fwd_kernel, nz, n, pmode, blk, shared, _gemm_dtype())
     return pl.pallas_call(
@@ -308,6 +314,12 @@ def _fused_bwd(residuals, g):
     pmode = probe_r.shape[1]
     shared = probe_r.shape[0] == 1
     blk = _pick_blk(b, nz, n, pmode, backward=True, shared=shared)
+    if blk is None:
+        raise ValueError(
+            f"multislice_dp_fused backward: working set for shapes (B={b}, "
+            f"nz={nz}, N={n}, pmode={pmode}) exceeds the VMEM budget even at "
+            "blk=1 — use the jnp path (fused_path_applicable would have declined this)"
+        )
     fwd_m, inv_m = _consts(n)
     kernel = functools.partial(_bwd_kernel, nz, n, pmode, blk, shared, _gemm_dtype())
     if shared:

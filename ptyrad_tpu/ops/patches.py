@@ -157,7 +157,25 @@ def _kernel_fits(canvas_shape: tuple[int, ...], ny: int, nx: int, itemsize: int 
 
 
 def _use_pallas_scatter() -> bool:
-    return _HAVE_PALLAS and jax.default_backend() == "tpu"
+    # single-device TPU only: pallas_call has no SPMD partitioning rules, so
+    # on a mesh the (correctly partitioned) XLA transpose is used instead
+    return _HAVE_PALLAS and jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+def _scatter_fori(canvas_shape, patches, crop_pos):
+    """Sequential dynamic-update-slice scatter-add (the jnp adjoint)."""
+    ny, nx = patches.shape[-2], patches.shape[-1]
+    lead = canvas_shape[:-2]
+    zeros = (jnp.int32(0),) * len(lead)
+
+    def body(i, acc):
+        pos = crop_pos[i]
+        start = zeros + (pos[0], pos[1])
+        cur = lax.dynamic_slice(acc, start, lead + (ny, nx))
+        return lax.dynamic_update_slice(acc, cur + patches[i], start)
+
+    init = jnp.zeros(canvas_shape, dtype=patches.dtype)
+    return lax.fori_loop(0, patches.shape[0], body, init)
 
 
 # ---------------------------------------------------------------------------
@@ -194,10 +212,7 @@ def _extract_bwd(patch_shape, res, g):
     if _use_pallas_scatter() and _kernel_fits(canvas_shape, ny, nx):
         dcanvas = pallas_scatter_add(canvas_shape, g, crop_pos)
     else:
-        # XLA's own transpose of the gather
-        _, vjp = jax.vjp(lambda c: _extract_impl(c, crop_pos, patch_shape),
-                         jnp.zeros(canvas_shape, g.dtype))
-        (dcanvas,) = vjp(g)
+        dcanvas = _scatter_fori(canvas_shape, g, crop_pos)
     dpos = np.zeros(crop_pos.shape, dtype=jax.dtypes.float0)
     return dcanvas, dpos
 
@@ -217,16 +232,4 @@ def scatter_add_patches(
     ny, nx = patches.shape[-2], patches.shape[-1]
     if _use_pallas_scatter() and _kernel_fits(canvas_shape, ny, nx):
         return pallas_scatter_add(canvas_shape, patches, crop_pos)
-
-    ny, nx = patches.shape[-2], patches.shape[-1]
-    lead = canvas_shape[:-2]
-    zeros = (jnp.int32(0),) * len(lead)
-
-    def body(i, acc):
-        pos = crop_pos[i]
-        start = zeros + (pos[0], pos[1])
-        cur = lax.dynamic_slice(acc, start, lead + (ny, nx))
-        return lax.dynamic_update_slice(acc, cur + patches[i], start)
-
-    init = jnp.zeros(canvas_shape, dtype=patches.dtype)
-    return lax.fori_loop(0, patches.shape[0], body, init)
+    return _scatter_fori(canvas_shape, patches, crop_pos)

@@ -193,18 +193,31 @@ def _apply_keystr_dict(opt_state_template, values: Dict[str, Any]):
     Leaves missing from `values` keep their template value (non-array state
     leaves are never serialized); array dtypes/shapes are coerced to the
     template so a resumed state is structurally identical to a fresh one.
+    Raises if NOTHING matches — that means the checkpoint was written by a
+    structurally different optimizer (e.g. with/without grad accumulation,
+    whose MultiSteps wrapper prefixes every path) and a silent fresh state
+    would masquerade as a successful resume.
     """
     import numpy as np
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state_template)
     leaves = []
+    matched = 0
     for path, leaf in flat:
         key = jax.tree_util.keystr(path)
         if key in values and hasattr(leaf, "shape"):
             arr = np.asarray(values[key])
             leaves.append(jnp.asarray(arr.reshape(leaf.shape), dtype=leaf.dtype))
+            matched += 1
         else:
             leaves.append(leaf)
+    if matched == 0:
+        sample = next(iter(values), "<empty>")
+        raise ValueError(
+            "optimizer state mismatch: no checkpoint key matches the current "
+            f"optimizer's structure (checkpoint keys look like '{sample}') — "
+            "was it saved with a different optimizer or grad_accumulation?"
+        )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -217,6 +230,12 @@ def convert_torch_optim_state(torch_state: Dict[str, Any], update_params: Option
     is the i-th nonzero-lr name. torch's per-param 'step' maps onto our
     per-label transform count; 'exp_avg'/'exp_avg_sq' map onto mu/nu, with
     the probe's trailing real-view axis split into the Cplx (re, im) pair.
+
+    Contract (same as the reference's own reload, reconstruction.py:287-368,
+    which matches param indices against the CURRENT config): `update_params`
+    must list the optimizable tensors in the same order as the run that wrote
+    the checkpoint — the torch state carries only indices, and same-shaped
+    tensors (obja/objp) cannot be disambiguated by shape.
     """
     import numpy as np
 

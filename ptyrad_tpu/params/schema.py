@@ -281,8 +281,10 @@ class ModelParams(BaseModel):
     detector_blur_std: Optional[float] = Field(default=None, ge=0.0)
     optimizer_params: OptimizerParams = Field(default_factory=OptimizerParams)
     update_params: UpdateParams = Field(default_factory=UpdateParams)
-    # TPU-specific extensions (absent from reference configs; defaults apply)
-    fwd_fused: bool = True   # fused Pallas multislice kernel where applicable
+    # TPU-specific extensions (absent from reference configs).
+    # fwd_fused None = auto: on for single-device runs, off on a mesh
+    # (Pallas kernels carry no SPMD partitioning rules); True/False forces.
+    fwd_fused: Optional[bool] = None
     fwd_remat: bool = False  # rematerialize the multislice loop (HBM saver)
 
 

@@ -303,6 +303,26 @@ class TestOptStateHdf5Resume:
         np.testing.assert_array_equal(np.asarray(p3a.obja), np.asarray(p3b.obja))
         np.testing.assert_array_equal(np.asarray(p3a.probe.re), np.asarray(p3b.probe.re))
 
+    def test_structural_mismatch_raises_not_silent(self, rng, tmp_path):
+        """Resuming into a structurally different optimizer (grad
+        accumulation wraps every state path in MultiSteps) must raise, not
+        silently hand back a fresh state (review finding r2)."""
+        from ptyrad_tpu.optim import load_opt_state_hdf5
+        from ptyrad_tpu.save import save_dict_to_hdf5
+
+        init, _ = make_synthetic(rng)
+        params, buffers, geom = make_model(init)
+        upd = {"objp": {"lr": 5e-3, "start_iter": 1}}
+        tx, st, _, _ = create_optimizer({"name": "Adam"}, upd, params)
+        flat, _ = jax.tree_util.tree_flatten_with_path(st)
+        sd = {jax.tree_util.keystr(p): np.asarray(l) for p, l in flat if hasattr(l, "shape")}
+        path = str(tmp_path / "m.hdf5")
+        save_dict_to_hdf5({"optim_state_dict": sd}, path)
+
+        tx2, st2, _, _ = create_optimizer({"name": "Adam"}, upd, params, grad_accumulation=2)
+        with pytest.raises(ValueError, match="mismatch"):
+            load_opt_state_hdf5(st2, path, upd)
+
     def test_solver_load_state_from_hdf5(self, rng, tmp_path):
         """The solver's optimizer_params.load_state accepts a model.hdf5 path."""
         import os
