@@ -132,12 +132,11 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
     obja_p, objp_p = get_obj_patches(params, buffers, geom, indices)
     probes = get_probes(params, geom, indices)
     H = compute_propagators(params, buffers, geom, indices)
-    # the fused kernel treats H as a constant (returns zero cotangents for
-    # it), so it must not be used when H carries gradients — i.e. when slice
-    # thickness or tilts are optimizable (compute_propagators builds H from
-    # params in those regimes)
+    # when slice thickness or tilts are optimizable, compute_propagators
+    # builds H from params, so the kernel must also produce H cotangents
+    # (need_dh); with a fixed H that extra per-slice DFT is skipped
     h_differentiable = geom.change_thickness or geom.tilt_obj
-    if geom.fwd_fused and not h_differentiable:
+    if geom.fwd_fused:
         from ptyrad_tpu.ops.pallas_multislice import (
             fused_path_applicable,
             multislice_dp_fused,
@@ -145,7 +144,8 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
 
         if fused_path_applicable(obja_p, probes, H):
             raw = multislice_dp_fused(
-                obja_p, objp_p, probes.re, probes.im, H.re, H.im
+                obja_p, objp_p, probes.re, probes.im, H.re, H.im,
+                h_differentiable,
             )
             dp = fftshift2(raw) * buffers.omode_occu[0] + geom.eps
         else:

@@ -109,11 +109,21 @@ def _tmul(psi_r, psi_i, tr, ti, blk, pmode, n):
     return outr.reshape(blk * pmode, n, n), outi.reshape(blk * pmode, n, n)
 
 
+def _hmul(kr, ki, h_r, h_i, conj, blk, pmode, n):
+    """k-field (blk*pmode, N, N) times the propagator — h is (N, N) when
+    shared or (blk, N, N) when per-position (broadcast over pmode)."""
+    hi = -h_i if conj else h_i
+    if h_r.ndim == 2:
+        return _cmul(kr, ki, h_r, hi)
+    out_r, out_i = _tmul(kr, ki, h_r, hi, blk, pmode, n)
+    return out_r, out_i
+
+
 def _forward_chain(psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n,
                    dt, store_stack=False):
     """Shared forward recurrence on (blk*pmode, N, N) pairs. a_pat/p_pat are
-    (blk, Nz, N, N). Returns final (chi_r, chi_i) and optionally the
-    per-slice entry states."""
+    (blk, Nz, N, N); h is (N, N) or (blk, N, N). Returns final (chi_r, chi_i)
+    and optionally the per-slice entry states."""
     nz = a_pat.shape[1]
     inv_scale = np.float32(1.0 / (n * n))
     stack = []
@@ -125,7 +135,7 @@ def _forward_chain(psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n
         psi_r, psi_i = _tmul(psi_r, psi_i, tr, ti, blk, pmode, n)
         if z < nz - 1:
             kr, ki = _dft2(psi_r, psi_i, fwd, dt)
-            kr, ki = _cmul(kr, ki, h_r, h_i)
+            kr, ki = _hmul(kr, ki, h_r, h_i, False, blk, pmode, n)
             psi_r, psi_i = _dft2(kr, ki, inv, dt, scale=inv_scale)
     return psi_r, psi_i, stack
 
@@ -141,35 +151,51 @@ def _load_probe(pr_ref, pi_ref, shared, blk, pmode, n):
     return pr.reshape(blk * pmode, n, n), pi.reshape(blk * pmode, n, n)
 
 
-def _fwd_kernel(nz, n, pmode, blk, shared, dt, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
+def _load_h(hr_ref, hi_ref, h_shared):
+    """(N, N) when shared, (blk, N, N) when per-position."""
+    if h_shared:
+        return hr_ref[0], hi_ref[0]
+    return hr_ref[...], hi_ref[...]
+
+
+def _fwd_kernel(nz, n, pmode, blk, shared, h_shared, dt,
+                a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
                 fr_ref, fi_ref, frpi_ref, br_ref, bi_ref, brpi_ref, dp_ref):
     fwd = (fr_ref[:], fi_ref[:], frpi_ref[:])
     inv = (br_ref[:], bi_ref[:], brpi_ref[:])
     a_pat = a_ref[:, 0]  # (blk, Nz, N, N)
     p_pat = p_ref[:, 0]
     psi_r, psi_i = _load_probe(pr_ref, pi_ref, shared, blk, pmode, n)
+    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
     chi_r, chi_i, _ = _forward_chain(
-        psi_r, psi_i, a_pat, p_pat, hr_ref[0], hi_ref[0], fwd, inv, blk, pmode, n, dt
+        psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n, dt
     )
     yr, yi = _dft2(chi_r, chi_i, fwd, dt)  # unnormalized; ortho = /(N*N) on |Y|^2
     inten = (yr * yr + yi * yi).reshape(blk, pmode, n, n)
     dp_ref[...] = jnp.sum(inten, axis=1) * np.float32(1.0 / (n * n))
 
 
-def _bwd_kernel(nz, n, pmode, blk, shared, dt, g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
+def _bwd_kernel(nz, n, pmode, blk, shared, h_shared, need_dh, dt,
+                g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
                 fr_ref, fi_ref, frpi_ref, br_ref, bi_ref, brpi_ref,
-                da_ref, dp_out_ref, dpr_ref, dpi_ref):
+                da_ref, dp_out_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref):
     """Recompute forward states in VMEM, then reverse the chain.
 
     Adjoint DFT trick: transpose of (multiply by F_fwd) = multiply by the
     UNNORMALIZED inverse matrices (conj(F), F symmetric); transpose of the
     scaled inverse pass = multiply by F_fwd * 1/(N*N).
+
+    When need_dh (slice thickness / tilts optimizable), the propagator
+    cotangent is accumulated too: for each inter-slice step
+    psi_{z+1} = IDFT(H ∘ K_z) with K_z = DFT(chi_z), the cotangent of the
+    product is dM_z (= the scaled fwd-DFT of dpsi_{z+1}, computed anyway),
+    and dH += sum_p dM_z ∘ conj(K_z) — K_z costs one extra DFT per slice.
     """
     fwd = (fr_ref[:], fi_ref[:], frpi_ref[:])
     inv = (br_ref[:], bi_ref[:], brpi_ref[:])
     a_pat = a_ref[:, 0]
     p_pat = p_ref[:, 0]
-    h_r, h_i = hr_ref[0], hi_ref[0]
+    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
     inv_scale = np.float32(1.0 / (n * n))
 
     psi0_r, psi0_i = _load_probe(pr_ref, pi_ref, shared, blk, pmode, n)
@@ -186,6 +212,7 @@ def _bwd_kernel(nz, n, pmode, blk, shared, dt, g_ref, a_ref, p_ref, pr_ref, pi_r
     # adjoint of the final fwd DFT = unnormalized inverse matrices
     dchi_r, dchi_i = _dft2(dyr, dyi, inv, dt)
 
+    dh_acc_r = dh_acc_i = None
     for z in range(nz - 1, -1, -1):
         psi_r, psi_i = stack[z]
         tr = a_pat[:, z] * jnp.cos(p_pat[:, z])
@@ -204,9 +231,23 @@ def _bwd_kernel(nz, n, pmode, blk, shared, dt, g_ref, a_ref, p_ref, pr_ref, pi_r
         if z > 0:
             # adjoint of psi_z = IDFT(H * DFT(chi_{z-1})):
             #   u = F_fwd^T-adj(dpsi) with inverse-pass scaling -> F_fwd * 1/(N*N)
-            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt, scale=inv_scale)
-            ur, ui = _cmul(ur, ui, h_r, -h_i)             # conj(H)
-            dchi_r, dchi_i = _dft2(ur, ui, inv, dt)       # adjoint of fwd DFT
+            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt, scale=inv_scale)  # = dM_{z-1}
+            if need_dh:
+                # K_{z-1} = DFT(psi_{z-1} ∘ T_{z-1}); dH += dM ∘ conj(K)
+                pzr, pzi = stack[z - 1]
+                tzr = a_pat[:, z - 1] * jnp.cos(p_pat[:, z - 1])
+                tzi = a_pat[:, z - 1] * jnp.sin(p_pat[:, z - 1])
+                czr, czi = _tmul(pzr, pzi, tzr, tzi, blk, pmode, n)
+                kzr, kzi = _dft2(czr, czi, fwd, dt)
+                contrib_r = (ur * kzr + ui * kzi).reshape(blk, pmode, n, n).sum(1)
+                contrib_i = (ui * kzr - ur * kzi).reshape(blk, pmode, n, n).sum(1)
+                if dh_acc_r is None:
+                    dh_acc_r, dh_acc_i = contrib_r, contrib_i
+                else:
+                    dh_acc_r = dh_acc_r + contrib_r
+                    dh_acc_i = dh_acc_i + contrib_i
+            ur, ui = _hmul(ur, ui, h_r, h_i, True, blk, pmode, n)  # conj(H)
+            dchi_r, dchi_i = _dft2(ur, ui, inv, dt)                # adjoint of fwd DFT
         else:
             dchi_r, dchi_i = dpsi_r, dpsi_i
 
@@ -224,29 +265,56 @@ def _bwd_kernel(nz, n, pmode, blk, shared, dt, g_ref, a_ref, p_ref, pr_ref, pi_r
         dpr_ref[...] = dchi_r.reshape(blk, pmode, n, n)
         dpi_ref[...] = dchi_i.reshape(blk, pmode, n, n)
 
+    if need_dh and nz > 1:
+        if h_shared:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                dhr_ref[0] = jnp.zeros((n, n), jnp.float32)
+                dhi_ref[0] = jnp.zeros((n, n), jnp.float32)
+
+            dhr_ref[0] += jnp.sum(dh_acc_r, axis=0)
+            dhi_ref[0] += jnp.sum(dh_acc_i, axis=0)
+        else:
+            dhr_ref[...] = dh_acc_r
+            dhi_ref[...] = dh_acc_i
+    else:
+        if h_shared:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                dhr_ref[0] = jnp.zeros((n, n), jnp.float32)
+                dhi_ref[0] = jnp.zeros((n, n), jnp.float32)
+        else:
+            dhr_ref[...] = jnp.zeros_like(dhr_ref)
+            dhi_ref[...] = jnp.zeros_like(dhi_ref)
+
 
 def _block(shape, index_map):
     return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
 
-def _common_specs(nz, n, pmode, blk, shared):
+def _common_specs(nz, n, pmode, blk, shared, h_shared):
     """BlockSpecs for (a_pat, p_pat, probe_r, probe_i, h_r, h_i, 6 DFT mats)."""
     per_b = lambda i: (i, 0, 0, 0, 0)
     rep4 = lambda i: (0, 0, 0, 0)
     per_b4 = lambda i: (i, 0, 0, 0)
     rep3 = lambda i: (0, 0, 0)
+    per_b3 = lambda i: (i, 0, 0)
     rep2 = lambda i: (0, 0)
     probe_spec = (
         _block((1, pmode, n, n), rep4) if shared
         else _block((blk, pmode, n, n), per_b4)
+    )
+    h_spec = (
+        _block((1, n, n), rep3) if h_shared
+        else _block((blk, n, n), per_b3)
     )
     return [
         _block((blk, 1, nz, n, n), per_b),  # obja patches
         _block((blk, 1, nz, n, n), per_b),  # objp patches
         probe_spec,                          # probe re
         probe_spec,                          # probe im
-        _block((1, n, n), rep3),            # H re
-        _block((1, n, n), rep3),            # H im
+        h_spec,                              # H re
+        h_spec,                              # H im
     ] + [_block((n, n), rep2)] * 6
 
 
@@ -274,9 +342,14 @@ def _pick_blk(b, nz, n, pmode, backward, shared=True):
     return None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def multislice_dp_fused(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
-    """dp (B, N, N) — corner-centered (caller applies fftshift + occu + eps)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def multislice_dp_fused(obja_p, objp_p, probe_r, probe_i, h_r, h_i, need_dh=False):
+    """dp (B, N, N) — corner-centered (caller applies fftshift + occu + eps).
+
+    need_dh (static): compute propagator cotangents in the backward kernel
+    (required when slice thickness or tilts are optimizable — H then depends
+    on params); False skips the extra per-slice DFT and returns zero dH.
+    """
     return _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i)
 
 
@@ -284,6 +357,7 @@ def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
     b, _, nz, n, _ = obja_p.shape
     pmode = probe_r.shape[1]
     shared = probe_r.shape[0] == 1
+    h_shared = h_r.shape[0] == 1
     blk = _pick_blk(b, nz, n, pmode, backward=False, shared=shared)
     if blk is None:
         raise ValueError(
@@ -292,27 +366,30 @@ def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
             "use the jnp path (fused_path_applicable would have declined this)"
         )
     fwd_m, inv_m = _consts(n)
-    kernel = functools.partial(_fwd_kernel, nz, n, pmode, blk, shared, _gemm_dtype())
+    kernel = functools.partial(
+        _fwd_kernel, nz, n, pmode, blk, shared, h_shared, _gemm_dtype()
+    )
     return pl.pallas_call(
         kernel,
         grid=(b // blk,),
-        in_specs=_common_specs(nz, n, pmode, blk, shared),
+        in_specs=_common_specs(nz, n, pmode, blk, shared, h_shared),
         out_specs=_block((blk, n, n), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.float32),
         interpret=_INTERPRET,
     )(obja_p, objp_p, probe_r, probe_i, h_r, h_i, *fwd_m, *inv_m)
 
 
-def _fused_fwd(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
+def _fused_fwd(obja_p, objp_p, probe_r, probe_i, h_r, h_i, need_dh=False):
     dp = _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i)
     return dp, (obja_p, objp_p, probe_r, probe_i, h_r, h_i)
 
 
-def _fused_bwd(residuals, g):
+def _fused_bwd(need_dh, residuals, g):
     obja_p, objp_p, probe_r, probe_i, h_r, h_i = residuals
     b, _, nz, n, _ = obja_p.shape
     pmode = probe_r.shape[1]
     shared = probe_r.shape[0] == 1
+    h_shared = h_r.shape[0] == 1
     blk = _pick_blk(b, nz, n, pmode, backward=True, shared=shared)
     if blk is None:
         raise ValueError(
@@ -321,32 +398,45 @@ def _fused_bwd(residuals, g):
             "blk=1 — use the jnp path (fused_path_applicable would have declined this)"
         )
     fwd_m, inv_m = _consts(n)
-    kernel = functools.partial(_bwd_kernel, nz, n, pmode, blk, shared, _gemm_dtype())
+    kernel = functools.partial(
+        _bwd_kernel, nz, n, pmode, blk, shared, h_shared, bool(need_dh), _gemm_dtype()
+    )
     if shared:
         dprobe_spec = _block((1, pmode, n, n), lambda i: (0, 0, 0, 0))
         dprobe_shape = jax.ShapeDtypeStruct((1, pmode, n, n), jnp.float32)
     else:
         dprobe_spec = _block((blk, pmode, n, n), lambda i: (i, 0, 0, 0))
         dprobe_shape = jax.ShapeDtypeStruct((b, pmode, n, n), jnp.float32)
-    da, dp_out, dpr, dpi = pl.pallas_call(
+    if h_shared:
+        dh_spec = _block((1, n, n), lambda i: (0, 0, 0))
+        dh_shape = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
+    else:
+        dh_spec = _block((blk, n, n), lambda i: (i, 0, 0))
+        dh_shape = jax.ShapeDtypeStruct((b, n, n), jnp.float32)
+    da, dp_out, dpr, dpi, dhr, dhi = pl.pallas_call(
         kernel,
         grid=(b // blk,),
-        in_specs=[_block((blk, n, n), lambda i: (i, 0, 0))] + _common_specs(nz, n, pmode, blk, shared),
+        in_specs=[_block((blk, n, n), lambda i: (i, 0, 0))]
+        + _common_specs(nz, n, pmode, blk, shared, h_shared),
         out_specs=[
             _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
             _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
             dprobe_spec,
             dprobe_spec,
+            dh_spec,
+            dh_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, nz, n, n), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, nz, n, n), jnp.float32),
             dprobe_shape,
             dprobe_shape,
+            dh_shape,
+            dh_shape,
         ],
         interpret=_INTERPRET,
     )(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *fwd_m, *inv_m)
-    return da, dp_out, dpr, dpi, jnp.zeros_like(h_r), jnp.zeros_like(h_i)
+    return da, dp_out, dpr, dpi, dhr, dhi
 
 
 multislice_dp_fused.defvjp(_fused_fwd, _fused_bwd)
@@ -362,7 +452,7 @@ def fused_path_applicable(obja_patches, probes, H) -> bool:
         (_INTERPRET or jax.default_backend() == "tpu")
         and obja_patches.shape[1] == 1        # omode == 1
         and probes.shape[0] in (1, b)         # shared OR per-position probes
-        and H.shape[0] == 1                   # single fixed propagator
+        and H.shape[0] in (1, b)              # shared OR per-position propagator
         and obja_patches.shape[-1] == obja_patches.shape[-2]
         and obja_patches.shape[-1] <= 256
         and _pick_blk(b, nz, n, pmode, backward=False, shared=shared) is not None
