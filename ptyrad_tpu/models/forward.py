@@ -143,10 +143,26 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
         )
 
         if fused_path_applicable(obja_p, probes, H):
-            raw = multislice_dp_fused(
-                obja_p, objp_p, probes.re, probes.im, H.re, H.im,
-                h_differentiable,
-            )
+            if geom.shift_probes:
+                # hand the kernel the shifted SPECTRUM: the batch-wide
+                # inverse transform (and its adjoint) run in VMEM instead of
+                # on the XLA path; only the tiny shared-probe fft2 + phase
+                # ramp (and their autodiff, which carries the position-shift
+                # gradients) stay outside
+                from ptyrad_tpu.ops.shift import fourier_shift_kspace
+
+                probes_k = fourier_shift_kspace(
+                    params.probe, params.probe_pos_shifts[indices]
+                )
+                raw = multislice_dp_fused(
+                    obja_p, objp_p, probes_k.re, probes_k.im, H.re, H.im,
+                    h_differentiable, True,
+                )
+            else:
+                raw = multislice_dp_fused(
+                    obja_p, objp_p, probes.re, probes.im, H.re, H.im,
+                    h_differentiable, False,
+                )
             dp = fftshift2(raw) * buffers.omode_occu[0] + geom.eps
         else:
             dp = multislice_dp(

@@ -140,15 +140,21 @@ def _forward_chain(psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n
     return psi_r, psi_i, stack
 
 
-def _load_probe(pr_ref, pi_ref, shared, blk, pmode, n):
+def _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n):
     """Initial wavefield (blk*pmode, N, N) from a shared (1, pmode, N, N) or
-    per-position (blk, pmode, N, N) probe block."""
+    per-position (blk, pmode, N, N) probe block. When kspace, the block is
+    the shifted SPECTRUM (ops/shift.fourier_shift_kspace) and the inverse
+    transform runs here in VMEM."""
     if shared:
         pr = jnp.broadcast_to(pr_ref[0][None], (blk, pmode, n, n))
         pi = jnp.broadcast_to(pi_ref[0][None], (blk, pmode, n, n))
     else:
         pr, pi = pr_ref[...], pi_ref[...]
-    return pr.reshape(blk * pmode, n, n), pi.reshape(blk * pmode, n, n)
+    pr = pr.reshape(blk * pmode, n, n)
+    pi = pi.reshape(blk * pmode, n, n)
+    if kspace:
+        pr, pi = _dft2(pr, pi, inv, dt, scale=np.float32(1.0 / (n * n)))
+    return pr, pi
 
 
 def _load_h(hr_ref, hi_ref, h_shared):
@@ -158,14 +164,14 @@ def _load_h(hr_ref, hi_ref, h_shared):
     return hr_ref[...], hi_ref[...]
 
 
-def _fwd_kernel(nz, n, pmode, blk, shared, h_shared, dt,
+def _fwd_kernel(nz, n, pmode, blk, shared, h_shared, kspace, dt,
                 a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
                 fr_ref, fi_ref, frpi_ref, br_ref, bi_ref, brpi_ref, dp_ref):
     fwd = (fr_ref[:], fi_ref[:], frpi_ref[:])
     inv = (br_ref[:], bi_ref[:], brpi_ref[:])
     a_pat = a_ref[:, 0]  # (blk, Nz, N, N)
     p_pat = p_ref[:, 0]
-    psi_r, psi_i = _load_probe(pr_ref, pi_ref, shared, blk, pmode, n)
+    psi_r, psi_i = _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n)
     h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
     chi_r, chi_i, _ = _forward_chain(
         psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n, dt
@@ -175,7 +181,7 @@ def _fwd_kernel(nz, n, pmode, blk, shared, h_shared, dt,
     dp_ref[...] = jnp.sum(inten, axis=1) * np.float32(1.0 / (n * n))
 
 
-def _bwd_kernel(nz, n, pmode, blk, shared, h_shared, need_dh, dt,
+def _bwd_kernel(nz, n, pmode, blk, shared, h_shared, need_dh, kspace, dt,
                 g_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
                 fr_ref, fi_ref, frpi_ref, br_ref, bi_ref, brpi_ref,
                 da_ref, dp_out_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref):
@@ -198,7 +204,7 @@ def _bwd_kernel(nz, n, pmode, blk, shared, h_shared, need_dh, dt,
     h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
     inv_scale = np.float32(1.0 / (n * n))
 
-    psi0_r, psi0_i = _load_probe(pr_ref, pi_ref, shared, blk, pmode, n)
+    psi0_r, psi0_i = _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n)
     chi_r, chi_i, stack = _forward_chain(
         psi0_r, psi0_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n, dt,
         store_stack=True,
@@ -251,6 +257,10 @@ def _bwd_kernel(nz, n, pmode, blk, shared, h_shared, need_dh, dt,
         else:
             dchi_r, dchi_i = dpsi_r, dpsi_i
 
+    if kspace:
+        # adjoint of the in-kernel scaled IDFT that produced psi0 from the
+        # shifted spectrum: multiply by F_fwd * 1/(N*N)
+        dchi_r, dchi_i = _dft2(dchi_r, dchi_i, fwd, dt, scale=inv_scale)
     if shared:
         # probe gradient accumulates across the (sequential) batch grid
         @pl.when(pl.program_id(0) == 0)
@@ -342,18 +352,24 @@ def _pick_blk(b, nz, n, pmode, backward, shared=True):
     return None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def multislice_dp_fused(obja_p, objp_p, probe_r, probe_i, h_r, h_i, need_dh=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def multislice_dp_fused(obja_p, objp_p, probe_r, probe_i, h_r, h_i,
+                        need_dh=False, probe_kspace=False):
     """dp (B, N, N) — corner-centered (caller applies fftshift + occu + eps).
 
     need_dh (static): compute propagator cotangents in the backward kernel
     (required when slice thickness or tilts are optimizable — H then depends
     on params); False skips the extra per-slice DFT and returns zero dH.
+
+    probe_kspace (static): the probe inputs are the shifted SPECTRUM
+    (ops/shift.fourier_shift_kspace); the inverse transform (and its adjoint)
+    run inside the kernel, keeping the batch-wide probe-shift DFT off the
+    XLA path.
     """
-    return _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i)
+    return _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, probe_kspace)
 
 
-def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
+def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, probe_kspace=False):
     b, _, nz, n, _ = obja_p.shape
     pmode = probe_r.shape[1]
     shared = probe_r.shape[0] == 1
@@ -367,7 +383,8 @@ def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
         )
     fwd_m, inv_m = _consts(n)
     kernel = functools.partial(
-        _fwd_kernel, nz, n, pmode, blk, shared, h_shared, _gemm_dtype()
+        _fwd_kernel, nz, n, pmode, blk, shared, h_shared, bool(probe_kspace),
+        _gemm_dtype(),
     )
     return pl.pallas_call(
         kernel,
@@ -379,12 +396,13 @@ def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i):
     )(obja_p, objp_p, probe_r, probe_i, h_r, h_i, *fwd_m, *inv_m)
 
 
-def _fused_fwd(obja_p, objp_p, probe_r, probe_i, h_r, h_i, need_dh=False):
-    dp = _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i)
+def _fused_fwd(obja_p, objp_p, probe_r, probe_i, h_r, h_i,
+               need_dh=False, probe_kspace=False):
+    dp = _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, probe_kspace)
     return dp, (obja_p, objp_p, probe_r, probe_i, h_r, h_i)
 
 
-def _fused_bwd(need_dh, residuals, g):
+def _fused_bwd(need_dh, probe_kspace, residuals, g):
     obja_p, objp_p, probe_r, probe_i, h_r, h_i = residuals
     b, _, nz, n, _ = obja_p.shape
     pmode = probe_r.shape[1]
@@ -399,7 +417,8 @@ def _fused_bwd(need_dh, residuals, g):
         )
     fwd_m, inv_m = _consts(n)
     kernel = functools.partial(
-        _bwd_kernel, nz, n, pmode, blk, shared, h_shared, bool(need_dh), _gemm_dtype()
+        _bwd_kernel, nz, n, pmode, blk, shared, h_shared, bool(need_dh),
+        bool(probe_kspace), _gemm_dtype(),
     )
     if shared:
         dprobe_spec = _block((1, pmode, n, n), lambda i: (0, 0, 0, 0))
