@@ -130,45 +130,49 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
     object-dependent loss terms (reference models.py:422-435).
     """
     obja_p, objp_p = get_obj_patches(params, buffers, geom, indices)
-    probes = get_probes(params, geom, indices)
     H = compute_propagators(params, buffers, geom, indices)
     # when slice thickness or tilts are optimizable, compute_propagators
     # builds H from params, so the kernel must also produce H cotangents
     # (need_dh); with a fixed H that extra per-slice DFT is skipped
     h_differentiable = geom.change_thickness or geom.tilt_obj
+
+    use_fused = False
     if geom.fwd_fused:
         from ptyrad_tpu.ops.pallas_multislice import (
-            fused_path_applicable,
+            fused_applicable_shapes,
             multislice_dp_fused,
         )
 
-        if fused_path_applicable(obja_p, probes, H):
-            if geom.shift_probes:
-                # hand the kernel the shifted SPECTRUM: the batch-wide
-                # inverse transform (and its adjoint) run in VMEM instead of
-                # on the XLA path; only the tiny shared-probe fft2 + phase
-                # ramp (and their autodiff, which carries the position-shift
-                # gradients) stay outside
-                from ptyrad_tpu.ops.shift import fourier_shift_kspace
+        b = obja_p.shape[0]
+        probe_b = b if geom.shift_probes else 1
+        use_fused = fused_applicable_shapes(
+            b, obja_p.shape[1], obja_p.shape[2], obja_p.shape[3], obja_p.shape[4],
+            probe_b, params.probe.shape[0], H.shape[0], need_dh=h_differentiable,
+        )
 
-                probes_k = fourier_shift_kspace(
-                    params.probe, params.probe_pos_shifts[indices]
-                )
-                raw = multislice_dp_fused(
-                    obja_p, objp_p, probes_k.re, probes_k.im, H.re, H.im,
-                    h_differentiable, True,
-                )
-            else:
-                raw = multislice_dp_fused(
-                    obja_p, objp_p, probes.re, probes.im, H.re, H.im,
-                    h_differentiable, False,
-                )
-            dp = fftshift2(raw) * buffers.omode_occu[0] + geom.eps
-        else:
-            dp = multislice_dp(
-                obja_p, objp_p, probes, H, buffers.omode_occu, eps=geom.eps, remat=geom.fwd_remat
+    if use_fused:
+        if geom.shift_probes:
+            # hand the kernel the shifted SPECTRUM: the batch-wide inverse
+            # transform (and its adjoint) run in VMEM instead of on the XLA
+            # path; only the tiny shared-probe fft2 + phase ramp (and their
+            # autodiff, which carries the position-shift gradients) stay out
+            from ptyrad_tpu.ops.shift import fourier_shift_kspace
+
+            probes_k = fourier_shift_kspace(
+                params.probe, params.probe_pos_shifts[indices]
             )
+            raw = multislice_dp_fused(
+                obja_p, objp_p, probes_k.re, probes_k.im, H.re, H.im,
+                h_differentiable, True,
+            )
+        else:
+            raw = multislice_dp_fused(
+                obja_p, objp_p, params.probe[None].re, params.probe[None].im,
+                H.re, H.im, h_differentiable, False,
+            )
+        dp = fftshift2(raw) * buffers.omode_occu[0] + geom.eps
     else:
+        probes = get_probes(params, geom, indices)
         dp = multislice_dp(
             obja_p, objp_p, probes, H, buffers.omode_occu, eps=geom.eps, remat=geom.fwd_remat
         )

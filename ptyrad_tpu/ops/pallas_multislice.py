@@ -33,9 +33,13 @@ Real-pair transpose rule: the adjoint of multiply-by-F is multiply-by-conj(F)
 = the unnormalized opposite-direction DFT matrices, since F is symmetric.
 
 Scope (falls back to the jnp path otherwise — models/forward.py checks):
-  - omode == 1, a single shared probe (1, pmode, N, N), a single fixed
-    propagator H (1, N, N): exactly the flagship tBL_WSe2 regime
-  - gradients w.r.t. object patches and probe (H fixed: no dz/tilt grads)
+  - omode == 1; square patches (N x N, N <= 256); working set fits VMEM
+  - probes: shared (1, pmode, N, N) OR per-position (B, pmode, N, N), in
+    real space or as the shifted spectrum (probe_kspace — the inverse
+    transform and its adjoint run in VMEM)
+  - propagator: shared (1, N, N) OR per-position (B, N, N); when slice
+    thickness / tilts are optimizable, pass need_dh=True and the backward
+    kernel also accumulates propagator cotangents (dz/tilt gradients flow)
 """
 
 from __future__ import annotations
@@ -219,31 +223,36 @@ def _bwd_kernel(nz, n, pmode, blk, shared, h_shared, need_dh, kspace, dt,
     dchi_r, dchi_i = _dft2(dyr, dyi, inv, dt)
 
     dh_acc_r = dh_acc_i = None
+    cosp_z = sinp_z = None  # carried T components for slice z (computed once)
     for z in range(nz - 1, -1, -1):
         psi_r, psi_i = stack[z]
-        tr = a_pat[:, z] * jnp.cos(p_pat[:, z])
-        ti = a_pat[:, z] * jnp.sin(p_pat[:, z])
+        if cosp_z is None:
+            cosp_z, sinp_z = jnp.cos(p_pat[:, z]), jnp.sin(p_pat[:, z])
+        cosp, sinp = cosp_z, sinp_z
+        tr = a_pat[:, z] * cosp
+        ti = a_pat[:, z] * sinp
         # chi = psi * T:   dT = dchi * conj(psi) summed over pmode
         prod_r = (dchi_r * psi_r + dchi_i * psi_i).reshape(blk, pmode, n, n)
         prod_i = (dchi_i * psi_r - dchi_r * psi_i).reshape(blk, pmode, n, n)
         dtr = jnp.sum(prod_r, axis=1)
         dti = jnp.sum(prod_i, axis=1)
         # T = a e^{i phi}: da = Re(dT conj(e^{i phi})), dphi = a * Im(...)
-        cosp, sinp = jnp.cos(p_pat[:, z]), jnp.sin(p_pat[:, z])
         da_ref[:, 0, z] = dtr * cosp + dti * sinp
         dp_out_ref[:, 0, z] = a_pat[:, z] * (dti * cosp - dtr * sinp)
         # dpsi = dchi * conj(T)
         dpsi_r, dpsi_i = _tmul(dchi_r, dchi_i, tr, -ti, blk, pmode, n)
+        cosp_z = sinp_z = None
         if z > 0:
             # adjoint of psi_z = IDFT(H * DFT(chi_{z-1})):
             #   u = F_fwd^T-adj(dpsi) with inverse-pass scaling -> F_fwd * 1/(N*N)
             ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt, scale=inv_scale)  # = dM_{z-1}
+            # T_{z-1} is needed here (for K) and by the next iteration; compute once
+            cosp_z, sinp_z = jnp.cos(p_pat[:, z - 1]), jnp.sin(p_pat[:, z - 1])
             if need_dh:
                 # K_{z-1} = DFT(psi_{z-1} ∘ T_{z-1}); dH += dM ∘ conj(K)
                 pzr, pzi = stack[z - 1]
-                tzr = a_pat[:, z - 1] * jnp.cos(p_pat[:, z - 1])
-                tzi = a_pat[:, z - 1] * jnp.sin(p_pat[:, z - 1])
-                czr, czi = _tmul(pzr, pzi, tzr, tzi, blk, pmode, n)
+                czr, czi = _tmul(pzr, pzi, a_pat[:, z - 1] * cosp_z,
+                                 a_pat[:, z - 1] * sinp_z, blk, pmode, n)
                 kzr, kzi = _dft2(czr, czi, fwd, dt)
                 contrib_r = (ur * kzr + ui * kzi).reshape(blk, pmode, n, n).sum(1)
                 contrib_i = (ui * kzr - ur * kzi).reshape(blk, pmode, n, n).sum(1)
@@ -334,7 +343,7 @@ def _common_specs(nz, n, pmode, blk, shared, h_shared):
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _pick_blk(b, nz, n, pmode, backward, shared=True):
+def _pick_blk(b, nz, n, pmode, backward, shared=True, h_shared=True, need_dh=False):
     """Largest batch block whose working set fits VMEM; None if even blk=1
     doesn't fit (callers must fall back to the jnp path)."""
     for blk in (8, 4, 2, 1):
@@ -342,11 +351,16 @@ def _pick_blk(b, nz, n, pmode, backward, shared=True):
             continue
         pair = 2 * blk * pmode * n * n * 4
         patches = 2 * 2 * blk * nz * n * n * 4
-        live = 4 * pair + patches
+        mats = 6 * n * n * 4
+        h_block = 2 * (blk if not h_shared else 1) * n * n * 4
+        live = 4 * pair + patches + mats + 2 * h_block
         if not shared:
             live += pair  # per-position probe block (and its bwd output)
         if backward:
             live += nz * pair + pair
+            live += h_block  # dH output blocks
+            if need_dh:
+                live += 2 * pair  # K_z/chi_z recompute temporaries + dh acc
         if live <= _VMEM_BUDGET:
             return blk
     return None
@@ -374,7 +388,7 @@ def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, probe_kspace=Fal
     pmode = probe_r.shape[1]
     shared = probe_r.shape[0] == 1
     h_shared = h_r.shape[0] == 1
-    blk = _pick_blk(b, nz, n, pmode, backward=False, shared=shared)
+    blk = _pick_blk(b, nz, n, pmode, backward=False, shared=shared, h_shared=h_shared)
     if blk is None:
         raise ValueError(
             f"multislice_dp_fused: working set for shapes (B={b}, nz={nz}, "
@@ -408,7 +422,8 @@ def _fused_bwd(need_dh, probe_kspace, residuals, g):
     pmode = probe_r.shape[1]
     shared = probe_r.shape[0] == 1
     h_shared = h_r.shape[0] == 1
-    blk = _pick_blk(b, nz, n, pmode, backward=True, shared=shared)
+    blk = _pick_blk(b, nz, n, pmode, backward=True, shared=shared,
+                    h_shared=h_shared, need_dh=bool(need_dh))
     if blk is None:
         raise ValueError(
             f"multislice_dp_fused backward: working set for shapes (B={b}, "
@@ -461,19 +476,30 @@ def _fused_bwd(need_dh, probe_kspace, residuals, g):
 multislice_dp_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_path_applicable(obja_patches, probes, H) -> bool:
-    """True when the backend can run Mosaic kernels, shapes match the
-    kernel's supported regime, and the working set fits VMEM (fwd AND bwd)."""
-    b, _, nz, _, n = obja_patches.shape
-    pmode = probes.shape[1]
-    shared = probes.shape[0] == 1
+def fused_applicable_shapes(b, omode, nz, ny, nx, probe_b, pmode, h_b,
+                            need_dh=False) -> bool:
+    """Shape-level applicability check (no arrays needed): the backend can
+    run Mosaic kernels, shapes match the kernel's supported regime, and the
+    working set fits VMEM (fwd AND bwd)."""
+    shared = probe_b == 1
+    h_shared = h_b == 1
+    kw = dict(shared=shared, h_shared=h_shared, need_dh=need_dh)
     return (
         (_INTERPRET or jax.default_backend() == "tpu")
-        and obja_patches.shape[1] == 1        # omode == 1
-        and probes.shape[0] in (1, b)         # shared OR per-position probes
-        and H.shape[0] in (1, b)              # shared OR per-position propagator
-        and obja_patches.shape[-1] == obja_patches.shape[-2]
-        and obja_patches.shape[-1] <= 256
-        and _pick_blk(b, nz, n, pmode, backward=False, shared=shared) is not None
-        and _pick_blk(b, nz, n, pmode, backward=True, shared=shared) is not None
+        and omode == 1
+        and probe_b in (1, b)                 # shared OR per-position probes
+        and h_b in (1, b)                     # shared OR per-position propagator
+        and ny == nx
+        and nx <= 256
+        and _pick_blk(b, nz, nx, pmode, backward=False, **kw) is not None
+        and _pick_blk(b, nz, nx, pmode, backward=True, **kw) is not None
+    )
+
+
+def fused_path_applicable(obja_patches, probes, H, need_dh=False) -> bool:
+    """Array-level wrapper around fused_applicable_shapes."""
+    b, omode, nz, ny, nx = obja_patches.shape
+    return fused_applicable_shapes(
+        b, omode, nz, ny, nx, probes.shape[0], probes.shape[1], H.shape[0],
+        need_dh=need_dh,
     )

@@ -48,13 +48,22 @@ def fourier_shift(img, shifts: jnp.ndarray, grid: jnp.ndarray | None = None) -> 
     forward model through |FFT(psi)|^2, the two are loss- and
     gradient-equivalent.
     """
-    if isinstance(img, Cplx):
-        ny, nx = img.shape[-2], img.shape[-1]
-        ndim = img.ndim
-    else:
+    return ifft2(fourier_shift_kspace(img, shifts, grid))
+
+
+def fourier_shift_kspace(img, shifts: jnp.ndarray, grid: jnp.ndarray | None = None) -> Cplx:
+    """The shifted SPECTRUM (fourier_shift without the final ifft2):
+    fft2(img) times the phase ramp, (B, ..., Ny, Nx) corner layout.
+
+    Used by the fused multislice kernel's probe_kspace mode: the final
+    inverse transform runs inside the kernel (VMEM-resident, ~2-3x cheaper
+    than the XLA DFT), so only the tiny shared-probe fft2 and the ramp
+    stay outside — along with their autodiff, which keeps position-shift
+    gradients exact with no custom adjoint."""
+    if not isinstance(img, Cplx):
         img = jnp.asarray(img)
-        ny, nx = img.shape[-2], img.shape[-1]
-        ndim = img.ndim
+    ny, nx = img.shape[-2], img.shape[-1]
+    ndim = img.ndim
     if grid is not None:
         gy, gx = grid[0], grid[1]
     else:
@@ -69,27 +78,4 @@ def fourier_shift(img, shifts: jnp.ndarray, grid: jnp.ndarray | None = None) -> 
     gx = gx.reshape(*([1] * (ndim - 1)), ny, nx)
 
     w = expi(-2.0 * jnp.pi * (sx * gx + sy * gy))  # Cplx (B, 1..., Ny, Nx)
-    return ifft2(fft2(img) * w)
-
-
-def fourier_shift_kspace(img, shifts: jnp.ndarray) -> Cplx:
-    """Like fourier_shift but returns the shifted SPECTRUM (no final ifft2):
-    fft2(img) times the phase ramp, (B, ..., Ny, Nx) corner layout.
-
-    Used by the fused multislice kernel's probe_kspace mode: the final
-    inverse transform runs inside the kernel (VMEM-resident, ~2-3x cheaper
-    than the XLA DFT), so only the tiny shared-probe fft2 and the ramp
-    stay outside — along with their autodiff, which keeps position-shift
-    gradients exact with no custom adjoint."""
-    if not isinstance(img, Cplx):
-        img = jnp.asarray(img)
-    ny, nx = img.shape[-2], img.shape[-1]
-    ndim = img.ndim
-    g = shift_grid(ny, nx)
-    gy, gx = g[0], g[1]
-    s = shifts.reshape(shifts.shape[0], 2, *([1] * ndim))
-    sy, sx = s[:, 0], s[:, 1]
-    gy = gy.reshape(*([1] * (ndim - 1)), ny, nx)
-    gx = gx.reshape(*([1] * (ndim - 1)), ny, nx)
-    w = expi(-2.0 * jnp.pi * (sx * gx + sy * gy))
     return fft2(img) * w
