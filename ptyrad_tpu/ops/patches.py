@@ -104,6 +104,67 @@ def _scatter_kernel(pos_ref, patch_ref, out_ref, pad_ref):
     )
 
 
+def _gather_kernel(pos_ref, canvas_ref, out_ref, pad_ref):
+    """Grid step i reads patch i out of the VMEM-resident canvas.
+
+    Mirror of _scatter_kernel: the aligned window at the tile-aligned base is
+    read, rolled by the NEGATIVE in-tile residual (as a positive circular
+    shift of window_size - residual; the wrap never reaches the [:ny, :nx]
+    corner that is written out), and the patch corner stored."""
+    i = pl.program_id(0)
+    _, ny, nx = out_ref.shape[1:]
+    wy, wx = pad_ref.shape[-2:]
+    h, w = canvas_ref.shape[-2:]  # already padded past the max corner
+    y = jnp.clip(pos_ref[i, 0], 0, h - wy)
+    x = jnp.clip(pos_ref[i, 1], 0, w - wx)
+    y0 = pl.multiple_of((y // _SUB) * _SUB, _SUB)
+    x0 = pl.multiple_of((x // _LANE) * _LANE, _LANE)
+
+    pad_ref[...] = canvas_ref[:, pl.ds(y0, wy), pl.ds(x0, wx)]
+    rolled = pltpu.roll(pad_ref[...], wy - (y - y0), axis=1)
+    rolled = pltpu.roll(rolled, wx - (x - x0), axis=2)
+    out_ref[0] = rolled[:, :ny, :nx]
+
+
+def pallas_gather(
+    canvas: jnp.ndarray, crop_pos: jnp.ndarray, patch_shape: tuple[int, int],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Gather (B, ..., Ny, Nx) patches with the canvas held in VMEM."""
+    if not _HAVE_PALLAS:
+        raise RuntimeError("pallas_gather requires jax.experimental.pallas")
+    ny, nx = patch_shape
+    b = crop_pos.shape[0]
+    lead = canvas.shape[:-2]
+    l = int(np.prod(lead)) if lead else 1
+    h, w = canvas.shape[-2], canvas.shape[-1]
+    wy, wx = _window_dims(ny, nx)
+    hp, wp = h + (wy - ny), w + (wx - nx)
+    canvas3 = jnp.pad(
+        canvas.reshape(l, h, w), ((0, 0), (0, hp - h), (0, wp - w))
+    )
+
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((l, hp, wp), lambda i, pos: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, l, ny, nx), lambda i, pos: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((l, wy, wx), canvas.dtype),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, l, ny, nx), canvas.dtype),
+        interpret=interpret,
+    )(crop_pos.astype(jnp.int32), canvas3)
+    return out.reshape((b,) + lead + (ny, nx))
+
+
 def pallas_scatter_add(
     canvas_shape: tuple[int, ...], patches: jnp.ndarray, crop_pos: jnp.ndarray,
     interpret: bool = False,
@@ -182,6 +243,13 @@ def _scatter_fori(canvas_shape, patches, crop_pos):
 # Public gather with the fast adjoint
 # ---------------------------------------------------------------------------
 
+def _gather_impl(canvas, crop_pos, patch_shape):
+    ny, nx = patch_shape
+    if _use_pallas_scatter() and _kernel_fits(canvas.shape, ny, nx):
+        return pallas_gather(canvas, crop_pos, patch_shape)
+    return _extract_impl(canvas, crop_pos, patch_shape)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def extract_patches(canvas: jnp.ndarray, crop_pos: jnp.ndarray, patch_shape: tuple[int, int]) -> jnp.ndarray:
     """Gather patches from `canvas` at integer top-left corners.
@@ -191,19 +259,21 @@ def extract_patches(canvas: jnp.ndarray, crop_pos: jnp.ndarray, patch_shape: tup
         whole into each patch.
       crop_pos: (B, 2) int32 top-left (y, x) corners; caller guarantees
         0 <= y <= Noy-Ny and 0 <= x <= Nox-Nx (lax.dynamic_slice clamps
-        out-of-range starts rather than erroring; the adjoint clamps the
-        same way).
+        out-of-range starts rather than erroring; the Pallas kernels and the
+        adjoint clamp the same way).
       patch_shape: static (Ny, Nx).
 
     Returns:
-      (B, ..., Ny, Nx) patches. Differentiable w.r.t. `canvas`; the VJP is
-      the Pallas VMEM-resident scatter-add on TPU (XLA transpose elsewhere).
+      (B, ..., Ny, Nx) patches. On single-device TPU both directions run as
+      Pallas kernels with the canvas resident in VMEM (pallas_gather /
+      pallas_scatter_add); elsewhere the vmap-dynamic_slice gather and the
+      sequential jnp scatter.
     """
-    return _extract_impl(canvas, crop_pos, patch_shape)
+    return _gather_impl(canvas, crop_pos, patch_shape)
 
 
 def _extract_fwd(canvas, crop_pos, patch_shape):
-    return _extract_impl(canvas, crop_pos, patch_shape), (crop_pos, canvas.shape)
+    return _gather_impl(canvas, crop_pos, patch_shape), (crop_pos, canvas.shape)
 
 
 def _extract_bwd(patch_shape, res, g):

@@ -141,6 +141,21 @@ class TestPatches:
         out = pallas_scatter_add(canvas_shape, patches, pos, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
+    def test_pallas_gather_matches_dynamic_slice(self, rng):
+        """The VMEM gather kernel (interpreted here) must equal the
+        vmap-dynamic_slice gather bitwise, including corner clamping."""
+        from ptyrad_tpu.ops.patches import _extract_impl, pallas_gather
+
+        canvas = jnp.asarray(rng.standard_normal((2, 3, 50, 60)).astype(np.float32))
+        pos = np.asarray(rng.integers(0, 34, (7, 2)), np.int32)
+        pos[4] = [34, 44]  # exactly at the clamp edge
+        pos[5] = [99, 99]  # out of range -> clamps like dynamic_slice
+        pos = jnp.asarray(pos)
+
+        ref = _extract_impl(canvas, pos, (16, 16))
+        out = pallas_gather(canvas, pos, (16, 16), interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_custom_vjp_matches_xla_transpose(self, rng):
         """extract_patches carries a custom VJP (Pallas on TPU); on CPU it
         must route to — and match — XLA's native transpose."""
