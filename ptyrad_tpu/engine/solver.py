@@ -335,15 +335,6 @@ class PtyRADSolver:
         self.mesh = mesh
         if self.mesh is None and n_devices is not None and n_devices > 1:
             self.mesh = make_mesh(n_devices)
-        if self.mesh is not None and model_params.get("fwd_fused") is None:
-            # Pallas kernels carry no SPMD partitioning rules: on a mesh XLA
-            # would gather the sharded batch around the fused call. Use the
-            # natively-partitioned jnp path unless explicitly requested.
-            # (None covers both absent and schema-validated-default configs —
-            # pydantic injects fwd_fused=None, never True, by default.)
-            import dataclasses as _dc
-
-            self.geom = _dc.replace(self.geom, fwd_fused=False)
         self.history = ReconHistory()
 
     # -- preparation --------------------------------------------------------
@@ -368,6 +359,13 @@ class PtyRADSolver:
         return self.batch_idx, self.batch_mask
 
     def _build(self):
+        # Register (or clear) the kernel mesh BEFORE any step is traced: the
+        # Pallas kernels consult it at trace time to wrap themselves in
+        # shard_map over 'data', keeping per-chip kernel throughput on a mesh
+        # instead of falling back to the XLA path (see ops/mesh_env.py).
+        from ptyrad_tpu.ops.mesh_env import set_kernel_mesh
+
+        set_kernel_mesh(self.mesh)
         optimizer_params = self.model_params.get("optimizer_params", {"name": "Adam"})
         self.optimizer_name = optimizer_params.get("name", "Adam")
         self.optimizer, self.opt_state, self.lr_dict, self.start_dict = create_optimizer(

@@ -216,7 +216,7 @@ def make_model(init_variables: dict, model_params: Optional[dict] = None):
         meas_padded_shape=(tuple(np.asarray(meas_padded).shape[-2:]) if meas_padded is not None else None),
         meas_scale_factors=(tuple(float(s) for s in meas_scale) if meas_scale is not None else None),
         fwd_remat=bool(model_params.get("fwd_remat", False)),
-        # None = auto (on; the solver turns it off on a mesh)
+        # None = auto (on; off-regime shapes fall back inside forward())
         fwd_fused=(True if model_params.get("fwd_fused") is None
                    else bool(model_params["fwd_fused"])),
     )

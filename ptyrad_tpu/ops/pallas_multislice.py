@@ -51,8 +51,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 from ptyrad_tpu.ops.fourier import _dft_consts, get_matmul_dtype
+from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
 _INTERPRET = False  # flipped by tests for CPU development
 
@@ -383,31 +385,53 @@ def multislice_dp_fused(obja_p, objp_p, probe_r, probe_i, h_r, h_i,
     return _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, probe_kspace)
 
 
+def _operand_specs(shared, h_shared):
+    """shard_map PartitionSpecs for (obja_p, objp_p, probe_r/i, h_r/i, 6 DFT
+    mats): batch-major operands split over 'data', shared ones replicate."""
+    d = P(DATA_AXIS)
+    probe = P() if shared else d
+    h = P() if h_shared else d
+    return (d, d, probe, probe, h, h) + (P(),) * 6
+
+
 def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, probe_kspace=False):
     b, _, nz, n, _ = obja_p.shape
     pmode = probe_r.shape[1]
     shared = probe_r.shape[0] == 1
     h_shared = h_r.shape[0] == 1
-    blk = _pick_blk(b, nz, n, pmode, backward=False, shared=shared, h_shared=h_shared)
+    mesh = get_kernel_mesh()
+    b_local = b // kernel_mesh_size()
+    blk = _pick_blk(b_local, nz, n, pmode, backward=False, shared=shared, h_shared=h_shared)
     if blk is None:
         raise ValueError(
-            f"multislice_dp_fused: working set for shapes (B={b}, nz={nz}, "
+            f"multislice_dp_fused: working set for shapes (B={b_local}, nz={nz}, "
             f"N={n}, pmode={pmode}) exceeds the VMEM budget even at blk=1 — "
             "use the jnp path (fused_path_applicable would have declined this)"
         )
     fwd_m, inv_m = _consts(n)
-    kernel = functools.partial(
-        _fwd_kernel, nz, n, pmode, blk, shared, h_shared, bool(probe_kspace),
-        _gemm_dtype(),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(b // blk,),
-        in_specs=_common_specs(nz, n, pmode, blk, shared, h_shared),
-        out_specs=_block((blk, n, n), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-        interpret=_INTERPRET,
-    )(obja_p, objp_p, probe_r, probe_i, h_r, h_i, *fwd_m, *inv_m)
+
+    def run(obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats):
+        # shapes here are shard-LOCAL when wrapped in shard_map
+        bl = obja_p.shape[0]
+        kernel = functools.partial(
+            _fwd_kernel, nz, n, pmode, blk, shared, h_shared, bool(probe_kspace),
+            _gemm_dtype(),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(bl // blk,),
+            in_specs=_common_specs(nz, n, pmode, blk, shared, h_shared),
+            out_specs=_block((blk, n, n), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((bl, n, n), jnp.float32),
+            interpret=_INTERPRET,
+        )(obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats)
+
+    if mesh is not None:
+        run = jax.shard_map(
+            run, mesh=mesh, in_specs=_operand_specs(shared, h_shared),
+            out_specs=P(DATA_AXIS), check_vma=False,
+        )
+    return run(obja_p, objp_p, probe_r, probe_i, h_r, h_i, *fwd_m, *inv_m)
 
 
 def _fused_fwd(obja_p, objp_p, probe_r, probe_i, h_r, h_i,
@@ -422,55 +446,82 @@ def _fused_bwd(need_dh, probe_kspace, residuals, g):
     pmode = probe_r.shape[1]
     shared = probe_r.shape[0] == 1
     h_shared = h_r.shape[0] == 1
-    blk = _pick_blk(b, nz, n, pmode, backward=True, shared=shared,
+    mesh = get_kernel_mesh()
+    b_local = b // kernel_mesh_size()
+    blk = _pick_blk(b_local, nz, n, pmode, backward=True, shared=shared,
                     h_shared=h_shared, need_dh=bool(need_dh))
     if blk is None:
         raise ValueError(
-            f"multislice_dp_fused backward: working set for shapes (B={b}, "
+            f"multislice_dp_fused backward: working set for shapes (B={b_local}, "
             f"nz={nz}, N={n}, pmode={pmode}) exceeds the VMEM budget even at "
             "blk=1 — use the jnp path (fused_path_applicable would have declined this)"
         )
     fwd_m, inv_m = _consts(n)
-    kernel = functools.partial(
-        _bwd_kernel, nz, n, pmode, blk, shared, h_shared, bool(need_dh),
-        bool(probe_kspace), _gemm_dtype(),
-    )
-    if shared:
-        dprobe_spec = _block((1, pmode, n, n), lambda i: (0, 0, 0, 0))
-        dprobe_shape = jax.ShapeDtypeStruct((1, pmode, n, n), jnp.float32)
-    else:
-        dprobe_spec = _block((blk, pmode, n, n), lambda i: (i, 0, 0, 0))
-        dprobe_shape = jax.ShapeDtypeStruct((b, pmode, n, n), jnp.float32)
-    if h_shared:
-        dh_spec = _block((1, n, n), lambda i: (0, 0, 0))
-        dh_shape = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
-    else:
-        dh_spec = _block((blk, n, n), lambda i: (i, 0, 0))
-        dh_shape = jax.ShapeDtypeStruct((b, n, n), jnp.float32)
-    da, dp_out, dpr, dpi, dhr, dhi = pl.pallas_call(
-        kernel,
-        grid=(b // blk,),
-        in_specs=[_block((blk, n, n), lambda i: (i, 0, 0))]
-        + _common_specs(nz, n, pmode, blk, shared, h_shared),
-        out_specs=[
-            _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
-            _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
-            dprobe_spec,
-            dprobe_spec,
-            dh_spec,
-            dh_spec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 1, nz, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, nz, n, n), jnp.float32),
-            dprobe_shape,
-            dprobe_shape,
-            dh_shape,
-            dh_shape,
-        ],
-        interpret=_INTERPRET,
-    )(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *fwd_m, *inv_m)
-    return da, dp_out, dpr, dpi, dhr, dhi
+
+    def run(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats):
+        bl = obja_p.shape[0]
+        kernel = functools.partial(
+            _bwd_kernel, nz, n, pmode, blk, shared, h_shared, bool(need_dh),
+            bool(probe_kspace), _gemm_dtype(),
+        )
+        if shared:
+            dprobe_spec = _block((1, pmode, n, n), lambda i: (0, 0, 0, 0))
+            dprobe_shape = jax.ShapeDtypeStruct((1, pmode, n, n), jnp.float32)
+        else:
+            dprobe_spec = _block((blk, pmode, n, n), lambda i: (i, 0, 0, 0))
+            dprobe_shape = jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32)
+        if h_shared:
+            dh_spec = _block((1, n, n), lambda i: (0, 0, 0))
+            dh_shape = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
+        else:
+            dh_spec = _block((blk, n, n), lambda i: (i, 0, 0))
+            dh_shape = jax.ShapeDtypeStruct((bl, n, n), jnp.float32)
+        da, dp_out, dpr, dpi, dhr, dhi = pl.pallas_call(
+            kernel,
+            grid=(bl // blk,),
+            in_specs=[_block((blk, n, n), lambda i: (i, 0, 0))]
+            + _common_specs(nz, n, pmode, blk, shared, h_shared),
+            out_specs=[
+                _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
+                _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
+                dprobe_spec,
+                dprobe_spec,
+                dh_spec,
+                dh_spec,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bl, 1, nz, n, n), jnp.float32),
+                jax.ShapeDtypeStruct((bl, 1, nz, n, n), jnp.float32),
+                dprobe_shape,
+                dprobe_shape,
+                dh_shape,
+                dh_shape,
+            ],
+            interpret=_INTERPRET,
+        )(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats)
+        if mesh is not None:
+            # shared-parameter cotangents reduce across the data shards —
+            # the DDP gradient allreduce, riding ICI inside the step
+            if shared:
+                dpr = jax.lax.psum(dpr, DATA_AXIS)
+                dpi = jax.lax.psum(dpi, DATA_AXIS)
+            if h_shared:
+                dhr = jax.lax.psum(dhr, DATA_AXIS)
+                dhi = jax.lax.psum(dhi, DATA_AXIS)
+        return da, dp_out, dpr, dpi, dhr, dhi
+
+    if mesh is not None:
+        d = P(DATA_AXIS)
+        out_specs = (
+            d, d,
+            P() if shared else d, P() if shared else d,
+            P() if h_shared else d, P() if h_shared else d,
+        )
+        run = jax.shard_map(
+            run, mesh=mesh, in_specs=(d,) + _operand_specs(shared, h_shared),
+            out_specs=out_specs, check_vma=False,
+        )
+    return run(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *fwd_m, *inv_m)
 
 
 multislice_dp_fused.defvjp(_fused_fwd, _fused_bwd)
@@ -480,10 +531,16 @@ def fused_applicable_shapes(b, omode, nz, ny, nx, probe_b, pmode, h_b,
                             need_dh=False) -> bool:
     """Shape-level applicability check (no arrays needed): the backend can
     run Mosaic kernels, shapes match the kernel's supported regime, and the
-    working set fits VMEM (fwd AND bwd)."""
+    working set fits VMEM (fwd AND bwd). On a registered kernel mesh
+    (ops/mesh_env.py) the kernel runs per-shard under shard_map, so the VMEM
+    check uses the shard-local batch."""
     shared = probe_b == 1
     h_shared = h_b == 1
     kw = dict(shared=shared, h_shared=h_shared, need_dh=need_dh)
+    n_shards = kernel_mesh_size()
+    if b % n_shards:
+        return False
+    b_local = b // n_shards
     return (
         (_INTERPRET or jax.default_backend() == "tpu")
         and omode == 1
@@ -491,8 +548,8 @@ def fused_applicable_shapes(b, omode, nz, ny, nx, probe_b, pmode, h_b,
         and h_b in (1, b)                     # shared OR per-position propagator
         and ny == nx
         and nx <= 256
-        and _pick_blk(b, nz, nx, pmode, backward=False, **kw) is not None
-        and _pick_blk(b, nz, nx, pmode, backward=True, **kw) is not None
+        and _pick_blk(b_local, nz, nx, pmode, backward=False, **kw) is not None
+        and _pick_blk(b_local, nz, nx, pmode, backward=True, **kw) is not None
     )
 
 

@@ -55,6 +55,15 @@ try:  # pallas imports fail gracefully on backends without Mosaic support
 except Exception:  # noqa: BLE001
     _HAVE_PALLAS = False
 
+from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
+
+_INTERPRET = False  # flipped by tests: route dispatch through interpret-mode kernels
+
+
+def set_interpret(flag: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = flag
+
 
 _SUB, _LANE = 8, 128  # f32 VMEM tile (sublane, lane)
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
@@ -218,9 +227,45 @@ def _kernel_fits(canvas_shape: tuple[int, ...], ny: int, nx: int, itemsize: int 
 
 
 def _use_pallas_scatter() -> bool:
-    # single-device TPU only: pallas_call has no SPMD partitioning rules, so
-    # on a mesh the (correctly partitioned) XLA transpose is used instead
-    return _HAVE_PALLAS and jax.default_backend() == "tpu" and jax.device_count() == 1
+    # Single-device TPU, or any backend with a registered kernel mesh (the
+    # kernels then run per-shard under shard_map, see _shard_gather /
+    # _shard_scatter). _INTERPRET lets the CPU test mesh exercise that path.
+    if not _HAVE_PALLAS:
+        return False
+    if _INTERPRET:
+        return True
+    return jax.default_backend() == "tpu" and (
+        jax.device_count() == 1 or get_kernel_mesh() is not None
+    )
+
+
+def _shard_gather(canvas, crop_pos, patch_shape, mesh):
+    """Per-shard Pallas gather: canvas replicated, positions/patches split
+    over 'data'. No collective needed — the gather is embarrassingly parallel."""
+    from jax.sharding import PartitionSpec as P
+
+    def run(canvas, crop_pos):
+        return pallas_gather(canvas, crop_pos, patch_shape, interpret=_INTERPRET)
+
+    return jax.shard_map(
+        run, mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(canvas, crop_pos)
+
+
+def _shard_scatter(canvas_shape, patches, crop_pos, mesh):
+    """Per-shard Pallas scatter-add + psum of the per-shard canvases over
+    'data' — the DDP allreduce of the object gradient, riding ICI."""
+    from jax.sharding import PartitionSpec as P
+
+    def run(patches, crop_pos):
+        local = pallas_scatter_add(canvas_shape, patches, crop_pos, interpret=_INTERPRET)
+        return jax.lax.psum(local, DATA_AXIS)
+
+    return jax.shard_map(
+        run, mesh=mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)), out_specs=P(),
+        check_vma=False,
+    )(patches, crop_pos)
 
 
 def _scatter_fori(canvas_shape, patches, crop_pos):
@@ -243,10 +288,22 @@ def _scatter_fori(canvas_shape, patches, crop_pos):
 # Public gather with the fast adjoint
 # ---------------------------------------------------------------------------
 
+def _mesh_for(batch: int):
+    """The registered kernel mesh, if the batch splits evenly over it."""
+    mesh = get_kernel_mesh()
+    if mesh is None or batch % kernel_mesh_size():
+        return None
+    return mesh
+
+
 def _gather_impl(canvas, crop_pos, patch_shape):
     ny, nx = patch_shape
     if _use_pallas_scatter() and _kernel_fits(canvas.shape, ny, nx):
-        return pallas_gather(canvas, crop_pos, patch_shape)
+        mesh = _mesh_for(crop_pos.shape[0])
+        if mesh is not None:
+            return _shard_gather(canvas, crop_pos, patch_shape, mesh)
+        if get_kernel_mesh() is None:
+            return pallas_gather(canvas, crop_pos, patch_shape, interpret=_INTERPRET)
     return _extract_impl(canvas, crop_pos, patch_shape)
 
 
@@ -264,10 +321,12 @@ def extract_patches(canvas: jnp.ndarray, crop_pos: jnp.ndarray, patch_shape: tup
       patch_shape: static (Ny, Nx).
 
     Returns:
-      (B, ..., Ny, Nx) patches. On single-device TPU both directions run as
-      Pallas kernels with the canvas resident in VMEM (pallas_gather /
-      pallas_scatter_add); elsewhere the vmap-dynamic_slice gather and the
-      sequential jnp scatter.
+      (B, ..., Ny, Nx) patches. On TPU both directions run as Pallas kernels
+      with the canvas resident in VMEM (pallas_gather / pallas_scatter_add);
+      on a registered kernel mesh (ops/mesh_env.py) each data shard runs the
+      kernel on its local batch under shard_map and the gradient canvases
+      psum-reduce over 'data'. Elsewhere the vmap-dynamic_slice gather and
+      the sequential jnp scatter.
     """
     return _gather_impl(canvas, crop_pos, patch_shape)
 
@@ -276,13 +335,20 @@ def _extract_fwd(canvas, crop_pos, patch_shape):
     return _gather_impl(canvas, crop_pos, patch_shape), (crop_pos, canvas.shape)
 
 
+def _scatter_impl(canvas_shape, patches, crop_pos):
+    ny, nx = patches.shape[-2], patches.shape[-1]
+    if _use_pallas_scatter() and _kernel_fits(canvas_shape, ny, nx):
+        mesh = _mesh_for(crop_pos.shape[0])
+        if mesh is not None:
+            return _shard_scatter(canvas_shape, patches, crop_pos, mesh)
+        if get_kernel_mesh() is None:
+            return pallas_scatter_add(canvas_shape, patches, crop_pos, interpret=_INTERPRET)
+    return _scatter_fori(canvas_shape, patches, crop_pos)
+
+
 def _extract_bwd(patch_shape, res, g):
     crop_pos, canvas_shape = res
-    ny, nx = patch_shape
-    if _use_pallas_scatter() and _kernel_fits(canvas_shape, ny, nx):
-        dcanvas = pallas_scatter_add(canvas_shape, g, crop_pos)
-    else:
-        dcanvas = _scatter_fori(canvas_shape, g, crop_pos)
+    dcanvas = _scatter_impl(canvas_shape, g, crop_pos)
     dpos = np.zeros(crop_pos.shape, dtype=jax.dtypes.float0)
     return dcanvas, dpos
 
@@ -299,7 +365,4 @@ def scatter_add_patches(
     tools (e.g. overlap/illumination maps) and tested against the AD transpose.
     Routed through the Pallas kernel on TPU.
     """
-    ny, nx = patches.shape[-2], patches.shape[-1]
-    if _use_pallas_scatter() and _kernel_fits(canvas_shape, ny, nx):
-        return pallas_scatter_add(canvas_shape, patches, crop_pos)
-    return _scatter_fori(canvas_shape, patches, crop_pos)
+    return _scatter_impl(canvas_shape, patches, crop_pos)

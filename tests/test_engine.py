@@ -385,6 +385,75 @@ class TestSharding:
             np.asarray(p_single.probe.re), np.asarray(p_shard.probe.re), atol=1e-6
         )
 
+    @pytest.mark.parametrize("shift_probes", [False, True])
+    def test_sharded_fused_kernels_match_single_device(self, rng, shift_probes):
+        """With the kernel mesh registered, the fused multislice kernel and the
+        Pallas gather/scatter run per-shard under shard_map (interpret mode on
+        the CPU mesh) and must match the single-device fused step: batch blocks
+        are shard-local, shared probe/H/object cotangents psum over 'data'."""
+        from ptyrad_tpu.ops import pallas_multislice as pm
+        from ptyrad_tpu.ops import patches as patches_mod
+        from ptyrad_tpu.ops.mesh_env import set_kernel_mesh
+
+        init, _ = make_synthetic(rng)
+        upd = {
+            "objp": {"lr": 1e-2, "start_iter": 1},
+            "obja": {"lr": 1e-2, "start_iter": 1},
+            "probe": {"lr": 1e-3, "start_iter": 1},
+        }
+        if shift_probes:
+            upd["probe_pos_shifts"] = {"lr": 1e-4, "start_iter": 1}
+            # nonzero initial shifts: the data was simulated at zero shift, so
+            # starting there leaves the shift gradient at fp-noise level and
+            # Adam's normalization amplifies the noise into spurious diffs
+            init = dict(init)
+            init["probe_pos_shifts"] = rng.uniform(-0.5, 0.5, (36, 2)).astype(np.float32)
+        params, buffers, geom = make_model(init, {"update_params": upd})
+        assert geom.fwd_fused and geom.shift_probes == shift_probes
+        idx = jnp.arange(16)
+        mask = jnp.ones(16, jnp.float32)
+
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import forward as fwd_fn, get_measurements
+
+        def loss_fn(params, bufs):
+            dp, (oa, op_) = fwd_fn(params, bufs, geom, idx)
+            meas = get_measurements(bufs, geom, idx)
+            total, _ = combined_loss(dp, meas, oa, op_, bufs.omode_occu, None, mask)
+            return total
+
+        # raw gradients, not optimizer steps: Adam's normalization turns
+        # fp-noise gradient differences at dead pixels into full-step diffs
+        pm.set_interpret(True)
+        patches_mod.set_interpret(True)
+        try:
+            loss1, g1 = jax.jit(jax.value_and_grad(loss_fn))(params, buffers)
+            loss1, g1 = jax.tree_util.tree_map(np.asarray, (loss1, g1))
+
+            mesh = make_mesh(8)
+            set_kernel_mesh(mesh)
+            params_s, buffers_s = shard_model(params, buffers, mesh)
+            idx_s = jax.device_put(idx, data_sharding(mesh))
+            loss8, g8 = jax.jit(jax.value_and_grad(loss_fn))(params_s, buffers_s)
+        finally:
+            set_kernel_mesh(None)
+            pm.set_interpret(False)
+            patches_mod.set_interpret(False)
+
+        assert float(loss1) == pytest.approx(float(loss8), rel=1e-5)
+        # atol: accumulation order differs (per-shard scatter + psum tree vs
+        # one sequential grid), so fp noise ~1e-6 on O(1e-2) gradients is real
+        np.testing.assert_allclose(g1.objp, np.asarray(g8.objp), atol=1e-5)
+        np.testing.assert_allclose(g1.obja, np.asarray(g8.obja), atol=1e-5)
+        # probe grad sums B ramp-rotated spectra (cancellation-heavy), so the
+        # psum-tree reorder noise is amplified further
+        np.testing.assert_allclose(g1.probe.re, np.asarray(g8.probe.re), atol=5e-5)
+        np.testing.assert_allclose(g1.probe.im, np.asarray(g8.probe.im), atol=5e-5)
+        if shift_probes:
+            np.testing.assert_allclose(
+                g1.probe_pos_shifts, np.asarray(g8.probe_pos_shifts), atol=1e-7
+            )
+
     def test_lbfgs_on_mesh_matches_single_device(self, rng):
         """Full-batch LBFGS is supported on a data-parallel mesh: XLA SPMD
         reduces the sharded-measurement gradient, so unlike the reference
