@@ -27,6 +27,10 @@ def cmd_run(args):
     )
     print_system_info()
     params = load_params(args.params_path, validate=not args.skip_validate)
+    if getattr(args, "mixed_precision", False):
+        # reference exposes --mixed_precision at launch (docs/launch/
+        # multiGPU.md:41); here it forces bf16 DFT-GEMM operands
+        params.setdefault("model_params", {})["matmul_dtype"] = "bfloat16"
     mesh = resolve_devices(args.n_devices)
 
     ht = params.get("hypertune_params") or {}
@@ -97,6 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_run.add_argument("--n_devices", type=int, default=None, help="Number of devices for the data mesh")
     p_run.add_argument("--jobid", default="0", help="Job id label for logs (multi-worker hypertune)")
     p_run.add_argument("--skip_validate", action="store_true", help="Skip params validation")
+    p_run.add_argument(
+        "--mixed_precision", action="store_true",
+        help="bf16 DFT-GEMM operands (f32 accumulation); overrides model_params.matmul_dtype",
+    )
     p_run.set_defaults(func=cmd_run)
 
     p_check = sub.add_parser("check-tpu", help="Report detected accelerator devices")

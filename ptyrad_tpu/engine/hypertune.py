@@ -156,15 +156,40 @@ def hypertune_objective(trial, params: dict, init: Initializer, mesh=None, verbo
 
     import time as _time
 
+    import jax
+    import jax.numpy as jnp
+
+    # drive trials through the fused lax.scan epoch (one dispatch/iteration),
+    # same as reconstruct() — the per-batch recon_step loop costs a host
+    # round-trip per batch plus a float() sync per loss term, which on
+    # tunneled backends multiplies trial wall-clock by the batch count
+    # (reference reuses its production step the same way,
+    # reconstruction.py:1057-1081)
+    train_epoch = solver.train_epoch
+    if train_epoch is not None:
+        idx_dev = jnp.asarray(solver.batch_idx)
+        mask_dev = jnp.asarray(solver.batch_mask)
+        if solver._put_batch is not None:
+            idx_dev, mask_dev = solver._put_batch(idx_dev, mask_dev)
+
     error = None
     pruned = False
     for niter in range(1, n_iter + 1):
         t0 = _time.perf_counter()
-        solver.params, solver.opt_state, term_avgs = recon_step(
-            solver.train_step, solver.params, solver.opt_state,
-            solver.batch_idx, solver.batch_mask, niter,
-            solver.constraint_fn, solver.buffers, solver._put_batch,
-        )
+        if train_epoch is not None:
+            solver.params, solver.opt_state, _total_dev, terms_dev = train_epoch(
+                solver.params, solver.opt_state, idx_dev, mask_dev,
+                jnp.asarray(niter, jnp.int32),
+            )
+            term_avgs = {k: float(np.mean(np.asarray(v))) for k, v in terms_dev.items()}
+            solver.params = solver.constraint_fn(solver.params, solver.buffers, niter)
+            jax.block_until_ready(solver.params.obja)
+        else:  # LBFGS trials keep the per-batch path
+            solver.params, solver.opt_state, term_avgs = recon_step(
+                solver.train_step, solver.params, solver.opt_state,
+                solver.batch_idx, solver.batch_mask, niter,
+                solver.constraint_fn, solver.buffers, solver._put_batch,
+            )
         total = float(sum(term_avgs.values()))
         solver.history.loss_iters.append((niter, total))
         solver.history.iter_times.append(_time.perf_counter() - t0)

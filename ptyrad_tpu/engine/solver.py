@@ -126,8 +126,10 @@ def build_train_epoch(
         (params, opt_state), (totals, terms) = jax.lax.scan(
             body, (params, opt_state), (idx_all, mask_all)
         )
-        term_means = {k: jnp.mean(v) for k, v in terms.items()}
-        return params, opt_state, jnp.mean(totals), term_means
+        # terms leaves keep the per-batch axis (n_batches,): callers mean
+        # them for logging and record the raw lists in the checkpoint
+        # (reference save.py:136-137 batch_losses schema)
+        return params, opt_state, jnp.mean(totals), terms
 
     _jitted = jax.jit(_epoch, donate_argnums=(0, 1))
 
@@ -143,27 +145,47 @@ def build_lbfgs_step(
     loss_params: Optional[dict],
     optimizer,
 ):
-    """LBFGS step: full-batch value_fn drives the optax linesearch.
+    """LBFGS step: grad-accumulated full-dataset value_fn drives the optax
+    linesearch.
 
-    The reference runs LBFGS closures over grad-accumulated batch groups
-    (reconstruction.py:697-735); here each iteration is one linesearch step on
-    the full selected-index loss — the regime LBFGS is designed for (convex,
-    low-noise full-batch gradients).
+    The objective is the mean over mini-batches of the per-batch loss,
+    evaluated as a rematerialized `lax.scan` over the (n_batches, L) index
+    array — so HBM holds one batch of wavefields at a time and
+    production-scale LBFGS (e.g. 16,384 DPs) fits on chip. This mirrors the
+    reference's LBFGS closure over grad-accumulated batch groups
+    (reconstruction.py:697-735); with a single batch it reduces to the
+    classic full-batch objective. With equal-size fully-masked batches the
+    batch-mean equals the global mean exactly; a padded tail batch weighs
+    its samples slightly higher (same semantics as the reference's
+    group-summed closure).
     """
 
-    def value_fn_of(bufs, indices, mask):
-        def value_fn(params):
+    def value_fn_of(bufs, idx_all, mask_all):
+        def one_batch(params, indices, mask):
             dp, (obja_p, objp_p) = forward(params, bufs, geom, indices)
             meas = get_measurements(bufs, geom, indices)
             total, _ = combined_loss(
                 dp, meas, obja_p, objp_p, bufs.omode_occu, loss_params, mask
             )
             return total
+
+        # remat: without it the scan stacks every batch's forward residuals
+        # and the backward needs full-dataset wavefield memory again
+        one_batch = jax.checkpoint(one_batch)
+
+        def value_fn(params):
+            def body(acc, xs):
+                indices, mask = xs
+                return acc + one_batch(params, indices, mask), None
+
+            total, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), (idx_all, mask_all))
+            return total / idx_all.shape[0]
+
         return value_fn
 
     @jax.jit
-    def _lbfgs_step(params, opt_state, bufs, indices, mask):
-        value_fn = value_fn_of(bufs, indices, mask)
+    def _lbfgs_step(params, opt_state, bufs, idx_all, mask_all):
+        value_fn = value_fn_of(bufs, idx_all, mask_all)
         value, grad = optax.value_and_grad_from_state(value_fn)(params, state=opt_state)
         updates, opt_state = optimizer.update(
             grad, opt_state, params, value=value, grad=grad, value_fn=value_fn
@@ -171,8 +193,8 @@ def build_lbfgs_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, value
 
-    def lbfgs_step(params, opt_state, indices, mask):
-        return _lbfgs_step(params, opt_state, buffers, indices, mask)
+    def lbfgs_step(params, opt_state, idx_all, mask_all):
+        return _lbfgs_step(params, opt_state, buffers, idx_all, mask_all)
 
     return lbfgs_step
 
@@ -187,6 +209,9 @@ class ReconHistory:
     dz_iters: List[tuple] = field(default_factory=list)
     avg_tilt_iters: List[tuple] = field(default_factory=list)
     term_iters: List[dict] = field(default_factory=list)
+    # last iteration's per-batch values per loss term (length n_batches on
+    # the fused-epoch path; reference model.batch_losses, save.py:136-137)
+    batch_terms: Dict[str, list] = field(default_factory=dict)
 
 
 def recon_step(
@@ -201,8 +226,10 @@ def recon_step(
     put_batch: Optional[Callable] = None,
 ):
     """One full pass over all batches + constraints (reference recon_step,
-    reconstruction.py:658-781). Returns (params, opt_state, term_averages)."""
-    term_sums: Dict[str, float] = {}
+    reconstruction.py:658-781). Returns (params, opt_state, term_averages);
+    the per-batch term values land in `recon_step.last_batch_terms`
+    (reference model.batch_losses)."""
+    term_lists: Dict[str, list] = {}
     n_batches = batch_idx.shape[0]
     niter_dev = jnp.asarray(niter, jnp.int32)
     for b in range(n_batches):
@@ -213,8 +240,9 @@ def recon_step(
             params, opt_state, jnp.asarray(idx), jnp.asarray(msk), niter_dev
         )
         for name, val in terms.items():
-            term_sums[name] = term_sums.get(name, 0.0) + float(val)
-    term_avgs = {k: v / n_batches for k, v in term_sums.items()}
+            term_lists.setdefault(name, []).append(float(val))
+    term_avgs = {k: float(np.mean(v)) for k, v in term_lists.items()}
+    recon_step.last_batch_terms = term_lists
     if constraint_fn is not None:
         params = constraint_fn(params, buffers, niter)
     return params, opt_state, term_avgs
@@ -255,7 +283,9 @@ def recon_loop(
             params, opt_state, total_dev, terms_dev = train_epoch(
                 params, opt_state, idx_dev, mask_dev, jnp.asarray(niter, jnp.int32)
             )
-            term_avgs = {k: float(v) for k, v in terms_dev.items()}
+            batch_terms = {k: np.asarray(v).tolist() for k, v in terms_dev.items()}
+            term_avgs = {k: float(np.mean(v)) for k, v in batch_terms.items()}
+            history.batch_terms = batch_terms
             if constraint_fn is not None:
                 params = constraint_fn(params, buffers, niter)
         else:
@@ -263,6 +293,7 @@ def recon_loop(
                 train_step, params, opt_state, batch_idx, batch_mask, niter,
                 constraint_fn, buffers, put_batch,
             )
+            history.batch_terms = dict(recon_step.last_batch_terms)
         jax.block_until_ready(params.obja)
         iter_t = time.perf_counter() - t0
 
@@ -322,6 +353,11 @@ class PtyRADSolver:
 
         model_params = self.params_dict.get("model_params", {})
         self.model_params = model_params
+        # mixed precision for the DFT GEMMs (reference --mixed_precision):
+        # set before any step is traced — trace-time choice, f32 accumulation
+        from ptyrad_tpu.ops.fourier import set_matmul_dtype
+
+        set_matmul_dtype(model_params.get("matmul_dtype", "float32"))
         self.params, self.buffers, self.geom = make_model(init_variables, model_params)
 
         recon_params = self.params_dict.get("recon_params", {})
@@ -376,7 +412,11 @@ class PtyRADSolver:
         )
         load_state = optimizer_params.get("load_state")
         if load_state:
-            from ptyrad_tpu.optim import load_opt_state, load_opt_state_hdf5
+            from ptyrad_tpu.optim import (
+                OptStateMismatchError,
+                load_opt_state,
+                load_opt_state_hdf5,
+            )
 
             try:
                 if str(load_state).endswith((".hdf5", ".h5")):
@@ -389,8 +429,17 @@ class PtyRADSolver:
                 else:
                     self.opt_state = load_opt_state(self.opt_state, load_state)
                 vprint(f"Restored optimizer state from '{load_state}'", verbose=self.verbose)
-            except Exception as e:  # noqa: BLE001 — fall back to a fresh optimizer
-                vprint(f"WARNING: failed to restore optimizer state from '{load_state}': {e}. Using fresh state.")
+            except OptStateMismatchError:
+                # structurally wrong checkpoint: degrading to a fresh state
+                # here would silently defeat the resume the user asked for
+                raise
+            except (OSError, KeyError, ValueError) as e:
+                # I/O-level problems (missing file/dataset, malformed HDF5)
+                # fall back to a fresh optimizer, matching reference behavior
+                vprint(
+                    f"WARNING: failed to restore optimizer state from "
+                    f"'{load_state}': {e}. Using fresh state."
+                )
         if self.optimizer_name in ("LBFGS", "lbfgs"):
             self.lbfgs_step = build_lbfgs_step(
                 self.buffers, self.geom, self.loss_params, self.optimizer
@@ -454,23 +503,65 @@ class PtyRADSolver:
             f"optimizer={self.optimizer_name}, mesh={self.mesh}",
             verbose=self.verbose,
         )
-        if self.optimizer_name in ("LBFGS", "lbfgs"):
-            self.params, self.opt_state, self.history = self._lbfgs_loop(n_iter, callback)
-        else:
-            self.params, self.opt_state, self.history = recon_loop(
-                self.train_step, self.params, self.opt_state,
-                self.batch_idx, self.batch_mask, n_iter,
-                self.constraint_fn, self.buffers,
-                history=self.history, callback=callback,
-                verbose=self.verbose, put_batch=self._put_batch,
-                train_epoch=self.train_epoch,
+        try:
+            if self.optimizer_name in ("LBFGS", "lbfgs"):
+                self.params, self.opt_state, self.history = self._lbfgs_loop(n_iter, callback)
+            else:
+                self.params, self.opt_state, self.history = recon_loop(
+                    self.train_step, self.params, self.opt_state,
+                    self.batch_idx, self.batch_mask, n_iter,
+                    self.constraint_fn, self.buffers,
+                    history=self.history, callback=callback,
+                    verbose=self.verbose, put_batch=self._put_batch,
+                    train_epoch=self.train_epoch,
+                )
+        except Exception as e:  # noqa: BLE001 — inspect for Mosaic VMEM overflow
+            if not self._mosaic_vmem_error(e):
+                raise
+            # The VMEM-budget heuristic (ops/pallas_*._pick_*) accepted a
+            # shape Mosaic could not actually fit. A COMPILE-stage failure
+            # never consumed the donated buffers (execution never started),
+            # so degrade to the XLA path and retry instead of crashing —
+            # safe only before any iteration completed.
+            import dataclasses as _dc
+
+            if self.history.loss_iters:
+                raise
+            vprint(
+                "WARNING: the fused Pallas kernel exceeded VMEM at compile "
+                "time (the budget heuristic was optimistic for this shape); "
+                f"falling back to the XLA path. Mosaic said: {e}"
             )
+            self.geom = _dc.replace(self.geom, fwd_fused=False)
+            self._build()
+            if self.optimizer_name in ("LBFGS", "lbfgs"):
+                self.params, self.opt_state, self.history = self._lbfgs_loop(n_iter, callback)
+            else:
+                self.params, self.opt_state, self.history = recon_loop(
+                    self.train_step, self.params, self.opt_state,
+                    self.batch_idx, self.batch_mask, n_iter,
+                    self.constraint_fn, self.buffers,
+                    history=self.history, callback=callback,
+                    verbose=self.verbose, put_batch=self._put_batch,
+                    train_epoch=self.train_epoch,
+                )
         return self.params, self.history
 
+    @staticmethod
+    def _mosaic_vmem_error(e: Exception) -> bool:
+        """Does this look like a Mosaic VMEM/scoped-memory compile failure?"""
+        msg = str(e).lower()
+        return any(
+            s in msg
+            for s in ("vmem", "scoped vector memory", "resource_exhausted", "mosaic")
+        ) and "nan" not in msg
+
     def _lbfgs_loop(self, n_iter: int, callback=None):
-        """Full-batch LBFGS iteration loop."""
-        idx_all = jnp.asarray(np.concatenate([r[m > 0] for r, m in zip(self.batch_idx, self.batch_mask)]))
-        mask_all = jnp.ones(idx_all.shape[0], jnp.float32)
+        """LBFGS iteration loop over the grad-accumulated batch objective."""
+        idx_all = jnp.asarray(self.batch_idx)
+        mask_all = jnp.asarray(self.batch_mask)
+        if self._put_batch is not None:
+            idx_all, mask_all = self._put_batch(idx_all, mask_all)
         params, opt_state = self.params, self.opt_state
         history = self.history
         for niter in range(1, n_iter + 1):

@@ -232,7 +232,7 @@ class TPESampler:
 
         def bandwidth(arr):
             """Scott's rule with optuna's 'magic clip' floor: duplicates of
-            the incumbent drive the empirical std to ~0, and an uncl ipped
+            the incumbent drive the empirical std to ~0, and an unclipped
             KDE bandwidth collapses the candidate pool to a delta at the
             incumbent (observed mode collapse). The floor shrinks as
             evidence accumulates, so resolution still refines over time."""
@@ -247,8 +247,9 @@ class TPESampler:
             informative away from observed points, preventing the sampler
             from locking onto an early lucky cluster."""
             bw = bandwidth(arr)
-            comp = np.exp(-0.5 * ((x[:, None] - arr[None, :]) / bw) ** 2).sum(1) / bw
-            prior = np.exp(-0.5 * ((x - (lo_u + hi_u) / 2) / span) ** 2) / span
+            norm = math.sqrt(2.0 * math.pi)
+            comp = np.exp(-0.5 * ((x[:, None] - arr[None, :]) / bw) ** 2).sum(1) / (bw * norm)
+            prior = np.exp(-0.5 * ((x - (lo_u + hi_u) / 2) / span) ** 2) / (span * norm)
             return (comp + prior) / (len(arr) + 1)
 
         # candidates ARE draws from l(x) (gaussian around a random good point

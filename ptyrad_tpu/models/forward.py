@@ -136,21 +136,27 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
     # (need_dh); with a fixed H that extra per-slice DFT is skipped
     h_differentiable = geom.change_thickness or geom.tilt_obj
 
-    use_fused = False
+    use_fused = use_chain = False
+    b, omode = obja_p.shape[0], obja_p.shape[1]
     if geom.fwd_fused:
-        from ptyrad_tpu.ops.pallas_multislice import (
-            fused_applicable_shapes,
-            multislice_dp_fused,
-        )
+        from ptyrad_tpu.ops.pallas_chain import chain_applicable_shapes
+        from ptyrad_tpu.ops.pallas_multislice import fused_applicable_shapes
 
-        b = obja_p.shape[0]
         probe_b = b if geom.shift_probes else 1
         use_fused = fused_applicable_shapes(
-            b, obja_p.shape[1], obja_p.shape[2], obja_p.shape[3], obja_p.shape[4],
+            b, omode, obja_p.shape[2], obja_p.shape[3], obja_p.shape[4],
             probe_b, params.probe.shape[0], H.shape[0], need_dh=h_differentiable,
+        )
+        # too big for the VMEM-resident chain (large Nz*pmode*N^2, e.g. the
+        # PSO regime): segmented chain with HBM psi boundaries instead
+        use_chain = not use_fused and chain_applicable_shapes(
+            b, omode, obja_p.shape[2], obja_p.shape[3], obja_p.shape[4],
+            params.probe.shape[0], H.shape[0], need_dh=h_differentiable,
         )
 
     if use_fused:
+        from ptyrad_tpu.ops.pallas_multislice import multislice_dp_fused
+
         if geom.shift_probes:
             # hand the kernel the shifted SPECTRUM: the batch-wide inverse
             # transform (and its adjoint) run in VMEM instead of on the XLA
@@ -161,16 +167,29 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
             probes_k = fourier_shift_kspace(
                 params.probe, params.probe_pos_shifts[indices]
             )
-            raw = multislice_dp_fused(
-                obja_p, objp_p, probes_k.re, probes_k.im, H.re, H.im,
-                h_differentiable, True,
-            )
+            pr, pi, kspace = probes_k.re, probes_k.im, True
         else:
-            raw = multislice_dp_fused(
-                obja_p, objp_p, params.probe[None].re, params.probe[None].im,
-                H.re, H.im, h_differentiable, False,
+            pr, pi, kspace = params.probe[None].re, params.probe[None].im, False
+        # object modes: independent chains summed incoherently at the XLA
+        # level (reference forward.py:20-80); each call reuses the same
+        # compiled kernel on an omode slice
+        raw = None
+        for om in range(omode):
+            dp_om = multislice_dp_fused(
+                obja_p[:, om:om + 1], objp_p[:, om:om + 1], pr, pi,
+                H.re, H.im, h_differentiable, kspace,
             )
-        dp = fftshift2(raw) * buffers.omode_occu[0] + geom.eps
+            contrib = buffers.omode_occu[om] * dp_om
+            raw = contrib if raw is None else raw + contrib
+        dp = fftshift2(raw) + geom.eps
+    elif use_chain:
+        from ptyrad_tpu.ops.pallas_chain import multislice_dp_chain
+
+        probes = get_probes(params, geom, indices)
+        dp = multislice_dp_chain(
+            obja_p, objp_p, probes, H, buffers.omode_occu, geom.eps,
+            need_dh=h_differentiable,
+        )
     else:
         probes = get_probes(params, geom, indices)
         dp = multislice_dp(

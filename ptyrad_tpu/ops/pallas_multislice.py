@@ -533,7 +533,11 @@ def fused_applicable_shapes(b, omode, nz, ny, nx, probe_b, pmode, h_b,
     run Mosaic kernels, shapes match the kernel's supported regime, and the
     working set fits VMEM (fwd AND bwd). On a registered kernel mesh
     (ops/mesh_env.py) the kernel runs per-shard under shard_map, so the VMEM
-    check uses the shard-local batch."""
+    check uses the shard-local batch.
+
+    omode > 1 is served by the dispatcher (models/forward.py) as an XLA-level
+    loop of per-object-mode kernel calls summed incoherently, so each call
+    still sees omode == 1 and the VMEM working set is omode-independent."""
     shared = probe_b == 1
     h_shared = h_b == 1
     kw = dict(shared=shared, h_shared=h_shared, need_dh=need_dh)
@@ -543,7 +547,7 @@ def fused_applicable_shapes(b, omode, nz, ny, nx, probe_b, pmode, h_b,
     b_local = b // n_shards
     return (
         (_INTERPRET or jax.default_backend() == "tpu")
-        and omode == 1
+        and omode <= 8
         and probe_b in (1, b)                 # shared OR per-position probes
         and h_b in (1, b)                     # shared OR per-position propagator
         and ny == nx

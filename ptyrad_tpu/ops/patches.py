@@ -80,17 +80,21 @@ def _window_dims(ny: int, nx: int) -> tuple[int, int]:
 
 
 def _scatter_kernel(pos_ref, patch_ref, out_ref, pad_ref):
-    """Grid step i adds patch i into the VMEM-resident canvas accumulator.
+    """Grid step (j, i) adds lead-chunk j of patch i into the VMEM-resident
+    canvas-chunk accumulator.
 
-    out_ref's index map is constant, so Pallas keeps the block in VMEM across
-    all grid steps and writes HBM once after the last step. Mosaic requires
-    vector loads/stores at tile-aligned offsets, so the dynamic (y, x) corner
-    is split into an aligned base plus an in-tile residual; the patch is
-    placed in a tile-aligned, one-tile-larger scratch window and rolled by
-    the residual. Offsets are clamped to match lax.dynamic_slice semantics
-    (the caller pads the canvas so the aligned window stays in range).
+    The batch axis is innermost, so out_ref's block (indexed by the chunk
+    only) stays in VMEM across all batch steps and writes HBM once per
+    chunk — lead chunking is how canvases bigger than VMEM (large
+    omode*Nz, e.g. 21-slice PSO objects) keep the kernel path. Mosaic
+    requires vector loads/stores at tile-aligned offsets, so the dynamic
+    (y, x) corner is split into an aligned base plus an in-tile residual;
+    the patch is placed in a tile-aligned, one-tile-larger scratch window
+    and rolled by the residual. Offsets are clamped to match
+    lax.dynamic_slice semantics (the caller pads the canvas so the aligned
+    window stays in range).
     """
-    i = pl.program_id(0)
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
@@ -114,13 +118,14 @@ def _scatter_kernel(pos_ref, patch_ref, out_ref, pad_ref):
 
 
 def _gather_kernel(pos_ref, canvas_ref, out_ref, pad_ref):
-    """Grid step i reads patch i out of the VMEM-resident canvas.
+    """Grid step (j, i) reads lead-chunk j of patch i out of the
+    VMEM-resident canvas chunk.
 
     Mirror of _scatter_kernel: the aligned window at the tile-aligned base is
     read, rolled by the NEGATIVE in-tile residual (as a positive circular
     shift of window_size - residual; the wrap never reaches the [:ny, :nx]
     corner that is written out), and the patch corner stored."""
-    i = pl.program_id(0)
+    i = pl.program_id(1)
     _, ny, nx = out_ref.shape[1:]
     wy, wx = pad_ref.shape[-2:]
     h, w = canvas_ref.shape[-2:]  # already padded past the max corner
@@ -139,39 +144,43 @@ def pallas_gather(
     canvas: jnp.ndarray, crop_pos: jnp.ndarray, patch_shape: tuple[int, int],
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Gather (B, ..., Ny, Nx) patches with the canvas held in VMEM."""
+    """Gather (B, ..., Ny, Nx) patches with the canvas held in VMEM (in lead
+    chunks when the whole canvas does not fit)."""
     if not _HAVE_PALLAS:
         raise RuntimeError("pallas_gather requires jax.experimental.pallas")
     ny, nx = patch_shape
     b = crop_pos.shape[0]
     lead = canvas.shape[:-2]
     l = int(np.prod(lead)) if lead else 1
+    lc = _lead_chunk(canvas.shape, ny, nx)
+    assert lc is not None, "caller must check _kernel_fits first"
     h, w = canvas.shape[-2], canvas.shape[-1]
     wy, wx = _window_dims(ny, nx)
     hp, wp = h + (wy - ny), w + (wx - nx)
+    lpad = _round_up(l, lc)
     canvas3 = jnp.pad(
-        canvas.reshape(l, h, w), ((0, 0), (0, hp - h), (0, wp - w))
+        canvas.reshape(l, h, w), ((0, lpad - l), (0, hp - h), (0, wp - w))
     )
 
     out = pl.pallas_call(
         _gather_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            grid=(lpad // lc, b),
             in_specs=[
-                pl.BlockSpec((l, hp, wp), lambda i, pos: (0, 0, 0),
+                pl.BlockSpec((lc, hp, wp), lambda j, i, pos: (j, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, l, ny, nx), lambda i, pos: (i, 0, 0, 0),
+            out_specs=pl.BlockSpec((1, lc, ny, nx), lambda j, i, pos: (i, j, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((l, wy, wx), canvas.dtype),
+                pltpu.VMEM((lc, wy, wx), canvas.dtype),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, l, ny, nx), canvas.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, lpad, ny, nx), canvas.dtype),
         interpret=interpret,
     )(crop_pos.astype(jnp.int32), canvas3)
-    return out.reshape((b,) + lead + (ny, nx))
+    return out[:, :l].reshape((b,) + lead + (ny, nx))
 
 
 def pallas_scatter_add(
@@ -179,51 +188,72 @@ def pallas_scatter_add(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Scatter-add (B, ..., Ny, Nx) patches into a fresh (..., Noy, Nox) canvas
-    with the gradient canvas held in VMEM across the batch."""
+    with the gradient canvas held in VMEM across the batch (lead-chunked when
+    the whole canvas does not fit)."""
     if not _HAVE_PALLAS:
         raise RuntimeError("pallas_scatter_add requires jax.experimental.pallas")
     b, ny, nx = patches.shape[0], patches.shape[-2], patches.shape[-1]
     lead = canvas_shape[:-2]
     l = int(np.prod(lead)) if lead else 1
+    lc = _lead_chunk(canvas_shape, ny, nx)
+    assert lc is not None, "caller must check _kernel_fits first"
     h, w = canvas_shape[-2], canvas_shape[-1]
     wy, wx = _window_dims(ny, nx)
     # pad the canvas so the aligned window at the max clamped corner
     # (h - ny, w - nx) stays in range: hp - wy == h - ny exactly reproduces
     # lax.dynamic_slice's start clamp
     hp, wp = h + (wy - ny), w + (wx - nx)
+    lpad = _round_up(l, lc)
     patches4 = patches.reshape(b, l, ny, nx)
+    if lpad != l:
+        patches4 = jnp.pad(patches4, ((0, 0), (0, lpad - l), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
         _scatter_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            grid=(lpad // lc, b),
             in_specs=[
-                pl.BlockSpec((1, l, ny, nx), lambda i, pos: (i, 0, 0, 0),
+                pl.BlockSpec((1, lc, ny, nx), lambda j, i, pos: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((l, hp, wp), lambda i, pos: (0, 0, 0),
+            out_specs=pl.BlockSpec((lc, hp, wp), lambda j, i, pos: (j, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((l, wy, wx), patches.dtype),
+                pltpu.VMEM((lc, wy, wx), patches.dtype),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((l, hp, wp), patches.dtype),
+        out_shape=jax.ShapeDtypeStruct((lpad, hp, wp), patches.dtype),
         interpret=interpret,
     )(crop_pos.astype(jnp.int32), patches4)
-    return out[:, :h, :w].reshape(canvas_shape)
+    return out[:l, :h, :w].reshape(canvas_shape)
 
 
-def _kernel_fits(canvas_shape: tuple[int, ...], ny: int, nx: int, itemsize: int = 4) -> bool:
-    """The canvas accumulator (plus patch buffers) must fit in VMEM."""
+def _lead_chunk(canvas_shape: tuple[int, ...], ny: int, nx: int,
+                itemsize: int = 4):
+    """Largest lead-dim chunk (omode*Nz slices) whose canvas block + patch
+    buffers fit VMEM; None if even one slice does not fit (falls back to the
+    XLA path — would need 2D canvas tiling)."""
     lead = canvas_shape[:-2]
     l = int(np.prod(lead)) if lead else 1
     h, w = canvas_shape[-2], canvas_shape[-1]
     wy, wx = _window_dims(ny, nx)
     hp, wp = h + (wy - ny), w + (wx - nx)
     wp_tiled = _round_up(wp, _LANE)  # VMEM pads lanes to full tiles
-    need = itemsize * (l * hp * wp_tiled + l * wy * wx + 3 * l * ny * _round_up(nx, _LANE))
-    return need <= _VMEM_BUDGET
+    for lc in range(l, 0, -1):
+        if lc != l and l % lc and _round_up(l, lc) - l >= lc:
+            continue  # avoid chunkings that add a whole empty chunk
+        need = itemsize * (
+            lc * hp * wp_tiled + lc * wy * wx + 3 * lc * ny * _round_up(nx, _LANE)
+        )
+        if need <= _VMEM_BUDGET:
+            return lc
+    return None
+
+
+def _kernel_fits(canvas_shape: tuple[int, ...], ny: int, nx: int, itemsize: int = 4) -> bool:
+    """Some lead-chunking of the canvas must fit in VMEM."""
+    return _lead_chunk(canvas_shape, ny, nx, itemsize) is not None
 
 
 def _use_pallas_scatter() -> bool:

@@ -32,6 +32,12 @@ import optax
 from ptyrad_tpu.models.state import PtychoParams
 
 # torch.optim names (used by reference configs) -> optax constructors
+class OptStateMismatchError(ValueError):
+    """A checkpointed optimizer state is structurally incompatible with the
+    current optimizer (different optimizer family / grad_accumulation).
+    Deliberately loud: silently starting fresh would masquerade as resume."""
+
+
 OPTIMIZER_REGISTRY = {
     "Adam": optax.adam,
     "AdamW": optax.adamw,
@@ -203,6 +209,7 @@ def _apply_keystr_dict(opt_state_template, values: Dict[str, Any]):
     flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state_template)
     leaves = []
     matched = 0
+    unmatched_arrays = []
     for path, leaf in flat:
         key = jax.tree_util.keystr(path)
         if key in values and hasattr(leaf, "shape"):
@@ -210,13 +217,27 @@ def _apply_keystr_dict(opt_state_template, values: Dict[str, Any]):
             leaves.append(jnp.asarray(arr.reshape(leaf.shape), dtype=leaf.dtype))
             matched += 1
         else:
+            if hasattr(leaf, "shape") and getattr(leaf, "size", 0) > 1:
+                # moment-sized template leaves with no checkpoint key: a
+                # PARTIAL restore (e.g. checkpoint saved with probe frozen,
+                # resumed with probe optimizable) must be visible
+                unmatched_arrays.append(key)
             leaves.append(leaf)
     if matched == 0:
         sample = next(iter(values), "<empty>")
-        raise ValueError(
+        raise OptStateMismatchError(
             "optimizer state mismatch: no checkpoint key matches the current "
             f"optimizer's structure (checkpoint keys look like '{sample}') — "
             "was it saved with a different optimizer or grad_accumulation?"
+        )
+    if unmatched_arrays:
+        from ptyrad_tpu.utils.logging import vprint
+
+        vprint(
+            f"WARNING: partial optimizer-state restore — {len(unmatched_arrays)} "
+            "state array(s) had no checkpoint entry and start fresh: "
+            + ", ".join(unmatched_arrays[:6])
+            + (" ..." if len(unmatched_arrays) > 6 else "")
         )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

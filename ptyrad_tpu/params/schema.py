@@ -282,10 +282,19 @@ class ModelParams(BaseModel):
     optimizer_params: OptimizerParams = Field(default_factory=OptimizerParams)
     update_params: UpdateParams = Field(default_factory=UpdateParams)
     # TPU-specific extensions (absent from reference configs).
-    # fwd_fused None = auto: on for single-device runs, off on a mesh
-    # (Pallas kernels carry no SPMD partitioning rules); True/False forces.
+    # fwd_fused None = auto (kernels on wherever shapes fit, single-device
+    # and mesh alike); True/False forces.
     fwd_fused: Optional[bool] = None
     fwd_remat: bool = False  # rematerialize the multislice loop (HBM saver)
+    # Mixed precision for the DFT GEMMs (reference --mixed_precision,
+    # docs/launch/multiGPU.md:41; reconstruction.py:792-806). 'bfloat16'
+    # casts GEMM operands only — accumulation stays f32
+    # (ops/fourier.set_matmul_dtype, honored by the Pallas kernels).
+    # Measured on TPU: inside the fused kernel bf16 ~ f32 speed (the step is
+    # not multiply-bound at production shapes) with up to +7.6% max
+    # per-transform error end-to-end — so the default stays f32; the knob
+    # exists for bandwidth-bound XLA-path workloads.
+    matmul_dtype: Literal["float32", "bfloat16"] = "float32"
 
 
 # ---------------------------------------------------------------------------

@@ -218,10 +218,14 @@ def make_save_dict(
         "niter": niter,
         "indices": np.asarray(indices),
         # reference save.py:136-137 schema: batch_losses is the last
-        # iteration's per-batch values per term; the fused-scan epoch reduces
-        # over batches on device, so each term carries its epoch average as a
-        # one-element list (np.mean over it still gives the right number)
-        "batch_losses": {k: [v] for k, v in last_terms.items()},
+        # iteration's per-batch values per term (length n_batches; falls back
+        # to a one-element epoch-average list for paths that never recorded
+        # per-batch values, e.g. LBFGS)
+        "batch_losses": (
+            {k: list(v) for k, v in history.batch_terms.items()}
+            if getattr(history, "batch_terms", None)
+            else {k: [v] for k, v in last_terms.items()}
+        ),
         "avg_losses": last_terms,
     }
 

@@ -228,6 +228,41 @@ class TestSolverEndToEnd:
         params, history = solver.run()
         assert phase_corr(params, true_phase) > 0.5
 
+    def test_lbfgs_microbatched_objective_is_exact_batch_mean(self, rng):
+        """The grad-accumulated LBFGS objective (rematerialized lax.scan over
+        mini-batches, reference reconstruction.py:697-735) must equal the
+        plain mean of per-batch losses — i.e. the scan+remat machinery
+        changes memory, not math. (The batch-mean objective itself differs
+        from the single-full-batch loss by design, exactly as the
+        reference's group-accumulated closure does; convergence of the
+        micro-batched path is gated by test_lbfgs_converges.)"""
+        import jax
+
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import forward as fwd_fn, get_measurements
+
+        init, _ = make_synthetic(rng)
+        s = PtyRADSolver(
+            solver_params(niter=1, optimizer="LBFGS", batch=12),  # 3 batches
+            init_variables=dict(init), verbose=False,
+        )
+        s.prepare()
+        s._build()
+        params0 = jax.tree_util.tree_map(lambda x: jnp.array(x), s.params)
+        _, _, value = s.lbfgs_step(
+            s.params, s.opt_state, jnp.asarray(s.batch_idx), jnp.asarray(s.batch_mask)
+        )
+
+        lp = solver_params()["loss_params"]
+        totals = []
+        for bidx, bmask in zip(s.batch_idx, s.batch_mask):
+            dp, (oa, op_) = fwd_fn(params0, s.buffers, s.geom, jnp.asarray(bidx))
+            meas = get_measurements(s.buffers, s.geom, jnp.asarray(bidx))
+            t, _ = combined_loss(dp, meas, oa, op_, s.buffers.omode_occu, lp,
+                                 jnp.asarray(bmask))
+            totals.append(float(t))
+        assert float(value) == pytest.approx(float(np.mean(totals)), rel=1e-5)
+
     def test_grad_accumulation_matches_big_batch(self, rng):
         # One step over 2 accumulated half-batches == one step over the full batch
         init, _ = make_synthetic(rng)
@@ -465,8 +500,9 @@ class TestSharding:
         s1.run()
         s8 = PtyRADSolver(cfg, init_variables=dict(init), n_devices=8, verbose=False)
         s8.run()
+        # atol: the sharded remat-scan objective reorders reductions slightly
         np.testing.assert_allclose(
-            np.asarray(s1.params.objp), np.asarray(s8.params.objp), atol=1e-5
+            np.asarray(s1.params.objp), np.asarray(s8.params.objp), atol=5e-5
         )
         l1 = [v for _, v in s1.history.loss_iters]
         l8 = [v for _, v in s8.history.loss_iters]
@@ -480,6 +516,47 @@ class TestSharding:
         )
         params, history = solver.run()
         assert phase_corr(params, true_phase) > 0.6
+
+
+class TestMosaicVmemFallback:
+    def test_reconstruct_degrades_to_xla_path(self, rng, monkeypatch):
+        """If Mosaic rejects a kernel at compile time (VMEM heuristic was
+        optimistic), reconstruct() must fall back to the XLA path and finish
+        instead of crashing (compile failures never consume donated buffers)."""
+        import ptyrad_tpu.engine.solver as solver_mod
+
+        init, true_phase = make_synthetic(rng)
+        real_loop = solver_mod.recon_loop
+        calls = {"n": 0}
+
+        def failing_then_real(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Ran out of scoped vector memory (VMEM) "
+                    "while compiling Mosaic kernel"
+                )
+            return real_loop(*args, **kwargs)
+
+        monkeypatch.setattr(solver_mod, "recon_loop", failing_then_real)
+        solver = PtyRADSolver(solver_params(niter=10), init_variables=init, verbose=False)
+        params, history = solver.run()
+        assert calls["n"] == 2
+        assert not solver.geom.fwd_fused
+        assert len(history.loss_iters) == 10
+
+    def test_real_errors_still_raise(self, rng, monkeypatch):
+        import ptyrad_tpu.engine.solver as solver_mod
+
+        init, _ = make_synthetic(rng)
+
+        def always_fail(*args, **kwargs):
+            raise RuntimeError("something unrelated broke")
+
+        monkeypatch.setattr(solver_mod, "recon_loop", always_fail)
+        solver = PtyRADSolver(solver_params(niter=2), init_variables=init, verbose=False)
+        with pytest.raises(RuntimeError, match="unrelated"):
+            solver.run()
 
 
 class TestNanGuard:

@@ -368,7 +368,7 @@ class TestPallasFusedPath:
         np.testing.assert_allclose(np.asarray(dhi_f), np.asarray(dhi_j), atol=1e-5 * scale)
 
     def test_fused_falls_back_when_inapplicable(self, rng):
-        """omode > 1 is outside the kernel's regime -> jnp path, same results."""
+        """Off-TPU without interpret mode the kernel declines -> jnp path."""
         import dataclasses
 
         init = make_toy_init(rng, omode=2, nz=2, pmode=2, npix=16, n_scans=6)
@@ -379,6 +379,207 @@ class TestPallasFusedPath:
         dp_ref, _ = forward(params, buffers, geom_ref, idx)
         dp_fused, _ = forward(params, buffers, geom_fused, idx)
         np.testing.assert_allclose(np.asarray(dp_fused), np.asarray(dp_ref), atol=1e-7)
+
+    def test_fused_omode_loop_matches_jnp(self, rng):
+        """omode > 1 runs as an XLA-level loop of per-mode kernel calls with
+        the occu-weighted incoherent sum; values and grads must match the jnp
+        mixed-state path (reference forward.py:20-80)."""
+        import dataclasses
+
+        import jax
+
+        from ptyrad_tpu.ops import pallas_multislice as pm
+
+        init = make_toy_init(rng, omode=3, nz=3, pmode=2, npix=16, n_scans=6)
+        init["omode_occu"] = np.asarray([0.5, 0.3, 0.2], np.float32)
+        params, buffers, geom0 = make_model(init)
+        geom_ref = dataclasses.replace(geom0, fwd_fused=False)
+        idx = jnp.arange(4)
+
+        pm.set_interpret(True)
+        try:
+            dp_fused, _ = forward(params, buffers, geom0, idx)
+            dp_ref, _ = forward(params, buffers, geom_ref, idx)
+            np.testing.assert_allclose(
+                np.asarray(dp_fused), np.asarray(dp_ref), rtol=1e-4, atol=1e-7
+            )
+
+            def loss(geom_used):
+                def f(p):
+                    dp, _ = forward(p, buffers, geom_used, idx)
+                    return jnp.sum(jnp.sqrt(dp))
+                return f
+
+            g_fused = jax.grad(loss(geom0))(params)
+            g_ref = jax.grad(loss(geom_ref))(params)
+        finally:
+            pm.set_interpret(False)
+        np.testing.assert_allclose(
+            np.asarray(g_fused.obja), np.asarray(g_ref.obja), rtol=1e-3, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_fused.objp), np.asarray(g_ref.objp), rtol=1e-3, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_fused.probe.re), np.asarray(g_ref.probe.re), rtol=1e-3, atol=1e-6
+        )
+
+
+class TestPallasChainPath:
+    """Segmented multislice chain (ops/pallas_chain.py) — the big-Nz/N path."""
+
+    def _grads(self, fn, args):
+        import jax
+
+        return jax.jit(jax.grad(lambda *a: jnp.sum(jnp.sqrt(fn(*a))),
+                                argnums=tuple(range(len(args)))))(*args)
+
+    @pytest.mark.parametrize(
+        "omode,nz,seg,need_dh,h_per_pos",
+        [(1, 5, 2, True, False),   # ragged last segment + H cotangents
+         (2, 4, 2, True, True),    # mixed-state object + per-position H
+         (1, 1, 1, False, False)], # single-slice edge
+    )
+    def test_chain_matches_jnp(self, rng, omode, nz, seg, need_dh, h_per_pos):
+        from ptyrad_tpu.models.forward import multislice_dp
+        from ptyrad_tpu.ops import cplx, pallas_chain as pch
+
+        B, pmode, n = 4, 2, 16
+        h_b = B if h_per_pos else 1
+        obja = jnp.asarray(rng.uniform(0.9, 1.0, (B, omode, nz, n, n)).astype(np.float32))
+        objp = jnp.asarray(rng.uniform(-0.3, 0.3, (B, omode, nz, n, n)).astype(np.float32))
+        pr = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        pi = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        hr = jnp.asarray((1 + 0.1 * rng.standard_normal((h_b, n, n))).astype(np.float32))
+        hi = jnp.asarray((0.1 * rng.standard_normal((h_b, n, n))).astype(np.float32))
+        occu = jnp.asarray(np.linspace(1.0, 0.5, omode) / np.linspace(1.0, 0.5, omode).sum(),
+                           dtype=jnp.float32)
+
+        def ref_fn(obja, objp, pr, pi, hr, hi):
+            return multislice_dp(obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi),
+                                 occu, eps=1e-10)
+
+        def chain_fn(obja, objp, pr, pi, hr, hi):
+            return pch.multislice_dp_chain(
+                obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi), occu, 1e-10,
+                need_dh=need_dh, seg_override=seg,
+            )
+
+        args = (obja, objp, pr, pi, hr, hi)
+        pch.set_interpret(True)
+        try:
+            dp_c = chain_fn(*args)
+            g_c = self._grads(chain_fn, args)
+        finally:
+            pch.set_interpret(False)
+        dp_r = ref_fn(*args)
+        g_r = self._grads(ref_fn, args)
+
+        np.testing.assert_allclose(np.asarray(dp_c), np.asarray(dp_r), rtol=1e-4, atol=1e-6)
+        names = ["obja", "objp", "probe_re", "probe_im", "h_re", "h_im"]
+        for k, (name, a, b) in enumerate(zip(names, g_r, g_c)):
+            if name.startswith("h_") and not need_dh:
+                continue  # contract: zero dH unless need_dh
+            scale = max(float(jnp.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=3e-6 * scale,
+                err_msg=f"gradient mismatch: {name}",
+            )
+
+    def test_forward_routes_to_chain(self, rng):
+        """With the fused kernel unavailable (interpret off => declines on
+        CPU) and the chain available, forward() must dispatch to the chain
+        and match the jnp path."""
+        import dataclasses
+
+        import jax
+
+        from ptyrad_tpu.ops import pallas_chain as pch
+
+        init = make_toy_init(rng, omode=1, nz=4, pmode=2, npix=16, n_scans=6)
+        params, buffers, geom0 = make_model(init)
+        geom_ref = dataclasses.replace(geom0, fwd_fused=False)
+        idx = jnp.arange(4)
+
+        pch.set_interpret(True)  # pallas_multislice interpret stays OFF
+        try:
+            from ptyrad_tpu.ops.pallas_multislice import fused_applicable_shapes
+
+            assert not fused_applicable_shapes(4, 1, 4, 16, 16, 1, 2, 1)
+            dp_chain, _ = forward(params, buffers, geom0, idx)
+
+            def f(p):
+                dp, _ = forward(p, buffers, geom0, idx)
+                return jnp.sum(jnp.sqrt(dp))
+
+            g_chain = jax.grad(f)(params)
+        finally:
+            pch.set_interpret(False)
+
+        dp_ref, _ = forward(params, buffers, geom_ref, idx)
+
+        def f_ref(p):
+            dp, _ = forward(p, buffers, geom_ref, idx)
+            return jnp.sum(jnp.sqrt(dp))
+
+        g_ref = jax.grad(f_ref)(params)
+        np.testing.assert_allclose(np.asarray(dp_chain), np.asarray(dp_ref),
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g_chain.objp), np.asarray(g_ref.objp),
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_chain.probe.re), np.asarray(g_ref.probe.re),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_chain_on_mesh_matches_single_device(self, rng):
+        """chain_segment under a registered kernel mesh (shard_map over
+        'data', psum of shared-H cotangents) must match the single-device
+        chain gradients."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ptyrad_tpu.models.forward import multislice_dp
+        from ptyrad_tpu.ops import cplx, pallas_chain as pch
+        from ptyrad_tpu.ops.mesh_env import set_kernel_mesh
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        B, omode, nz, n, pmode = 16, 1, 4, 16, 2
+        obja = jnp.asarray(rng.uniform(0.9, 1.0, (B, omode, nz, n, n)).astype(np.float32))
+        objp = jnp.asarray(rng.uniform(-0.3, 0.3, (B, omode, nz, n, n)).astype(np.float32))
+        pr = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        pi = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        hr = jnp.asarray((1 + 0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        hi = jnp.asarray((0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        occu = jnp.ones(1, jnp.float32)
+
+        def chain_fn(obja, objp, pr, pi, hr, hi):
+            return pch.multislice_dp_chain(
+                obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi), occu, 1e-10,
+                need_dh=True, seg_override=2,
+            )
+
+        args = (obja, objp, pr, pi, hr, hi)
+        pch.set_interpret(True)
+        try:
+            g1 = self._grads(chain_fn, args)
+
+            mesh = make_mesh(8)
+            set_kernel_mesh(mesh)
+            d = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            args_s = (jax.device_put(obja, d), jax.device_put(objp, d),
+                      jax.device_put(pr, rep), jax.device_put(pi, rep),
+                      jax.device_put(hr, rep), jax.device_put(hi, rep))
+            g8 = self._grads(chain_fn, args_s)
+        finally:
+            set_kernel_mesh(None)
+            pch.set_interpret(False)
+
+        for name, a, b in zip(["obja", "objp", "pr", "pi", "hr", "hi"], g1, g8):
+            scale = max(float(jnp.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-6 * scale,
+                err_msg=f"mesh gradient mismatch: {name}",
+            )
 
     @pytest.mark.parametrize("tilt_each", [False, True])
     def test_fused_dz_tilt_gradients_match_jnp(self, rng, tilt_each):

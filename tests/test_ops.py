@@ -156,6 +156,40 @@ class TestPatches:
         out = pallas_gather(canvas, pos, (16, 16), interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    @pytest.mark.parametrize("ragged", [False, True])
+    def test_pallas_lead_chunked_canvas(self, rng, ragged):
+        """Canvases too big for one VMEM block run lead-chunked (large
+        omode*Nz, the PSO regime): both kernels must match the XLA references
+        with a forced tiny budget, including a ragged last chunk."""
+        from ptyrad_tpu.ops import patches as pmod
+        from ptyrad_tpu.ops.patches import (
+            _extract_impl, _lead_chunk, pallas_gather, pallas_scatter_add,
+        )
+
+        l = 7 if ragged else 6
+        canvas_shape = (1, l, 40, 50)
+        canvas = jnp.asarray(rng.standard_normal(canvas_shape).astype(np.float32))
+        patches = jnp.asarray(rng.standard_normal((5, 1, l, 16, 16)).astype(np.float32))
+        pos = np.asarray(rng.integers(0, 24, (5, 2)), np.int32)
+        pos[2] = pos[1]          # duplicate position (accumulation)
+        pos[3] = [24, 34]        # clamp edge
+        pos = jnp.asarray(pos)
+
+        budget_save = pmod._VMEM_BUDGET
+        pmod._VMEM_BUDGET = 300_000  # forces lc < l
+        try:
+            lc = _lead_chunk(canvas_shape, 16, 16)
+            assert lc is not None and lc < l, f"test must exercise chunking (lc={lc})"
+            g_out = pallas_gather(canvas, pos, (16, 16), interpret=True)
+            s_out = pallas_scatter_add(canvas_shape, patches, pos, interpret=True)
+        finally:
+            pmod._VMEM_BUDGET = budget_save
+
+        g_ref = _extract_impl(canvas, pos, (16, 16))
+        s_ref = scatter_add_patches(canvas_shape, patches, pos)
+        np.testing.assert_array_equal(np.asarray(g_out), np.asarray(g_ref))
+        np.testing.assert_allclose(np.asarray(s_out), np.asarray(s_ref), rtol=1e-6)
+
     def test_custom_vjp_matches_xla_transpose(self, rng):
         """extract_patches carries a custom VJP (Pallas on TPU); on CPU it
         must route to — and match — XLA's native transpose."""
