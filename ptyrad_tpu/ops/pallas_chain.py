@@ -52,16 +52,81 @@ from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
 _INTERPRET = False
 
+# Cooley-Tukey leaf size: DFTs of length R*M (R in {2,4}) factor into R
+# M-point GEMMs plus an O(N) butterfly, cutting pass FLOPs by R while every
+# GEMM stays a full (., 128)x(128, 128) MXU tile. 128 is both the MXU edge
+# and the flagship patch size; tests shrink it to exercise the radix path on
+# tiny shapes.
+_RADIX_M = 128
+
 
 def set_interpret(flag: bool) -> None:
     global _INTERPRET
     _INTERPRET = flag
 
 
+def set_radix_m(m: int) -> None:
+    """Test hook: leaf size for the radix factorization (default 128)."""
+    global _RADIX_M
+    _RADIX_M = m
+
+
+def _radix_of(n: int) -> int:
+    """Radix R for an n-point pass: R M-point GEMMs replace one n-point GEMM
+    when n = R*M with R in {2, 4}; 1 means dense."""
+    if n % _RADIX_M == 0 and n // _RADIX_M in (2, 4):
+        return n // _RADIX_M
+    return 1
+
+
+def radix_perm(n: int) -> np.ndarray:
+    """Kernel k-space order -> natural order map for radix-R passes.
+
+    A decimation-in-frequency pass emits [X[j::R] for j in range(R)]
+    concatenated: kernel position p = j*M + r holds natural frequency
+    k = R*r + j. Anything multiplied in k-space inside the kernel (the
+    propagator H) must be pre-permuted with this map on both axes."""
+    r = _radix_of(n)
+    m = n // r
+    p = np.arange(n)
+    return (p % m) * r + p // m
+
+
+@functools.lru_cache(maxsize=32)
+def _radix_consts(n: int, m: int, inverse: bool):
+    """Twiddle-folded M-point DFT matrices for one radix-R pass of length n.
+
+    Forward (DIF): branch j multiplies the butterflied input u_j by
+    F_j[p, r] = exp(-2i*pi*p*j/n) * exp(-2i*pi*p*r/m)  (twiddle on rows).
+    Inverse: branch j multiplies X_j by
+    C_j[r, p] = exp(+2i*pi*r*p/m) * exp(+2i*pi*p*j/n)  (twiddle on columns),
+    followed by the output butterfly. Each complex matrix is returned as the
+    (re, im, re+im) float32 triple of the 3-multiplication product."""
+    r = n // m
+    sign = 1.0 if inverse else -1.0
+    p = np.arange(m, dtype=np.float64)
+    base = np.exp(sign * 2j * np.pi * np.outer(p, p) / m)
+    mats = []
+    for j in range(r):
+        tw = np.exp(sign * 2j * np.pi * p * j / n)
+        fj = base * (tw[:, None] if not inverse else tw[None, :])
+        fr = fj.real.astype(np.float32)
+        fi = fj.imag.astype(np.float32)
+        mats += [fr, fi, (fr + fi).astype(np.float32)]
+    return tuple(mats)
+
+
 def _consts(n: int):
-    f = [jnp.asarray(m) for m in _dft_consts(n, inverse=False)]
-    b = [jnp.asarray(m) for m in _dft_consts(n, inverse=True)]
-    return f, b
+    """All DFT constant matrices for one kernel: (list of jnp arrays, radix).
+    Dense: 6 (n, n) mats [fwd 3, inv 3]. Radix-R: 6R (M, M) mats
+    [fwd branch 0..R-1, inv branch 0..R-1], 3 per branch."""
+    r = _radix_of(n)
+    if r == 1:
+        mats = list(_dft_consts(n, inverse=False)) + list(_dft_consts(n, inverse=True))
+    else:
+        m = n // r
+        mats = list(_radix_consts(n, m, False)) + list(_radix_consts(n, m, True))
+    return [jnp.asarray(a) for a in mats], r
 
 
 def _gemm_dtype():
@@ -82,13 +147,74 @@ def _cpass(fr, fi, frpi, xr, xi, dt):
     return t1 - t2, t3 - t1 - t2
 
 
-def _dft2(xr, xi, mats, dt, scale=None):
-    fr, fi, frpi = mats
-    xr, xi = _cpass(fr, fi, frpi, xr, xi, dt)
-    xr, xi = _cpass(fr, fi, frpi, xr, xi, dt)
+def _bfly(parts, inverse):
+    """Length-R DFT butterfly across R (re, im) pairs: y_j = sum_q x_q w^(qj),
+    w = exp(-+2i*pi/R). R in {2, 4}; the R=4 roots are {1, -+i, -1, +-i}, so
+    every term is an add/sub/component swap (no multiplies)."""
+    if len(parts) == 2:
+        (x0r, x0i), (x1r, x1i) = parts
+        return [(x0r + x1r, x0i + x1i), (x0r - x1r, x0i - x1i)]
+    (x0r, x0i), (x1r, x1i), (x2r, x2i), (x3r, x3i) = parts
+    s02r, s02i = x0r + x2r, x0i + x2i
+    d02r, d02i = x0r - x2r, x0i - x2i
+    s13r, s13i = x1r + x3r, x1i + x3i
+    d13r, d13i = x1r - x3r, x1i - x3i
+    y0 = (s02r + s13r, s02i + s13i)
+    y2 = (s02r - s13r, s02i - s13i)
+    if not inverse:  # w = -i: y1 = d02 - i*d13, y3 = d02 + i*d13
+        y1 = (d02r + d13i, d02i - d13r)
+        y3 = (d02r - d13i, d02i + d13r)
+    else:
+        y1 = (d02r - d13i, d02i + d13r)
+        y3 = (d02r + d13i, d02i - d13r)
+    return [y0, y1, y2, y3]
+
+
+def _pass(xr, xi, bundle, dt):
+    """One DFT pass over axis 1 of (B, n, c), emitting (B, c, n).
+
+    bundle = (mats, radix, inverse). Dense: one n-point complex GEMM.
+    Radix-R: butterfly + R twiddle-folded M-point GEMMs (forward/DIF) or
+    R GEMMs + butterfly (inverse/DIT); output k-order is decimated — see
+    radix_perm. The forward pass is exactly multiply-by-F_n and the inverse
+    exactly multiply-by-conj(F_n), so the adjoint role swap used by the
+    backward kernel (transpose of F = unnormalized inverse) is unchanged."""
+    mats, radix, inverse = bundle
+    if radix == 1:
+        return _cpass(mats[0], mats[1], mats[2], xr, xi, dt)
+    m = xr.shape[1] // radix
+    parts = [(xr[:, q * m:(q + 1) * m], xi[:, q * m:(q + 1) * m]) for q in range(radix)]
+    if not inverse:
+        parts = _bfly(parts, inverse=False)
+        outs = [
+            _cpass(mats[3 * j], mats[3 * j + 1], mats[3 * j + 2], pr, pi, dt)
+            for j, (pr, pi) in enumerate(parts)
+        ]
+    else:
+        outs = [
+            _cpass(mats[3 * j], mats[3 * j + 1], mats[3 * j + 2], pr, pi, dt)
+            for j, (pr, pi) in enumerate(parts)
+        ]
+        outs = _bfly(outs, inverse=True)
+    return (
+        jnp.concatenate([o[0] for o in outs], axis=-1),
+        jnp.concatenate([o[1] for o in outs], axis=-1),
+    )
+
+
+def _dft2(xr, xi, bundle, dt, scale=None):
+    xr, xi = _pass(xr, xi, bundle, dt)
+    xr, xi = _pass(xr, xi, bundle, dt)
     if scale is not None:
         xr, xi = xr * scale, xi * scale
     return xr, xi
+
+
+def _bundles(mat_refs, radix):
+    """Split the flat matrix-ref list into (fwd, inv) _dft2 bundles."""
+    vals = [r[...] for r in mat_refs]
+    half = len(vals) // 2
+    return (vals[:half], radix, False), (vals[half:], radix, True)
 
 
 def _mul_t(psi_r, psi_i, tr, ti, m, pc, n):
@@ -113,14 +239,13 @@ def _load_h(hr_ref, hi_ref, h_shared):
     return hr_ref[...], hi_ref[...]
 
 
-def _seg_fwd_kernel(sg, n, pc, blk, last, h_shared, dt,
+def _seg_fwd_kernel(sg, n, pc, blk, last, h_shared, dt, radix, n_mats,
                     pr_ref, pi_ref, a_ref, p_ref, hr_ref, hi_ref,
-                    fr, fi, frpi, br, bi, brpi,
-                    or_ref, oi_ref, tr_scr, ti_scr):
+                    *refs):
     """One (batch block, pmode chunk) step: Sg T-mult/propagate slices."""
+    mats, (or_ref, oi_ref, tr_scr, ti_scr) = refs[:n_mats], refs[n_mats:]
     pm = pl.program_id(1)
-    fwd = (fr[:], fi[:], frpi[:])
-    inv = (br[:], bi[:], brpi[:])
+    fwd, inv = _bundles(mats, radix)
     inv_scale = np.float32(1.0 / (n * n))
     h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
 
@@ -141,20 +266,19 @@ def _seg_fwd_kernel(sg, n, pc, blk, last, h_shared, dt,
     oi_ref[...] = psi_i.reshape(blk, pc, n, n)
 
 
-def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt,
+def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
                     gr_ref, gi_ref, pr_ref, pi_ref, a_ref, p_ref, hr_ref, hi_ref,
-                    fr, fi, frpi, br, bi, brpi,
-                    da_ref, dp_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref,
-                    tr_scr, ti_scr):
+                    *refs):
     """Segment-level rematerialization: rebuild the Sg entry states from the
     saved segment-entry psi, then reverse the chain (adjoint DFT rule: the
     transpose of multiply-by-F_fwd is the unnormalized inverse matrices;
-    the transpose of the scaled inverse pass is F_fwd * 1/(N*N))."""
+    the transpose of the scaled inverse pass is F_fwd * 1/(N*N) — both hold
+    for the radix passes too, layout included; see _pass)."""
+    mats, (da_ref, dp_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref,
+           tr_scr, ti_scr) = refs[:n_mats], refs[n_mats:]
     i = pl.program_id(0)
     pm = pl.program_id(1)
-    n_pm = pl.num_programs(1)
-    fwd = (fr[:], fi[:], frpi[:])
-    inv = (br[:], bi[:], brpi[:])
+    fwd, inv = _bundles(mats, radix)
     inv_scale = np.float32(1.0 / (n * n))
     h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
 
@@ -301,7 +425,7 @@ def _acc_dh(ur, ui, kzr, kzi, dhr_ref, dhi_ref, h_shared, i, pm, blk, pc, n, fir
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
 
-def _specs(sg, n, pc, blk, h_shared):
+def _specs(sg, n, pc, blk, h_shared, radix):
     psi = pl.BlockSpec((blk, pc, n, n), lambda i, p: (i, p, 0, 0),
                        memory_space=pltpu.VMEM)
     pat = pl.BlockSpec((blk, sg, n, n), lambda i, p: (i, 0, 0, 0),
@@ -311,7 +435,8 @@ def _specs(sg, n, pc, blk, h_shared):
         if h_shared
         else pl.BlockSpec((blk, n, n), lambda i, p: (i, 0, 0), memory_space=pltpu.VMEM)
     )
-    mat = pl.BlockSpec((n, n), lambda i, p: (0, 0), memory_space=pltpu.VMEM)
+    m = n // radix
+    mat = pl.BlockSpec((m, m), lambda i, p: (0, 0), memory_space=pltpu.VMEM)
     return psi, pat, h, mat
 
 
@@ -329,18 +454,20 @@ def _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh):
             "exceeds VMEM even at blk=1/pc=1 — chain_applicable would decline"
         )
     blk, pc = plan
-    fwd_m, inv_m = _consts(n)
+    mats, radix = _consts(n)
+    n_mats = len(mats)
 
     def run(psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats):
         bl = psi_r.shape[0]
-        psi, pat, h, mat = _specs(sg, n, pc, blk, h_shared)
+        psi, pat, h, mat = _specs(sg, n, pc, blk, h_shared, radix)
         kernel = functools.partial(
-            _seg_fwd_kernel, sg, n, pc, blk, bool(last), h_shared, _gemm_dtype()
+            _seg_fwd_kernel, sg, n, pc, blk, bool(last), h_shared,
+            _gemm_dtype(), radix, n_mats,
         )
         out_r, out_i = pl.pallas_call(
             kernel,
             grid=(bl // blk, pmode // pc),
-            in_specs=[psi, psi, pat, pat, h, h] + [mat] * 6,
+            in_specs=[psi, psi, pat, pat, h, h] + [mat] * n_mats,
             out_specs=[psi, psi],
             out_shape=[jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32)] * 2,
             scratch_shapes=[
@@ -355,10 +482,10 @@ def _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh):
         d = P(DATA_AXIS)
         h_spec = P() if h_shared else d
         run = jax.shard_map(
-            run, mesh=mesh, in_specs=(d, d, d, d, h_spec, h_spec) + (P(),) * 6,
+            run, mesh=mesh, in_specs=(d, d, d, d, h_spec, h_spec) + (P(),) * n_mats,
             out_specs=(d, d), check_vma=False,
         )
-    return run(psi_r, psi_i, a_seg, p_seg, h_r, h_i, *fwd_m, *inv_m)
+    return run(psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -367,7 +494,10 @@ def chain_segment(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last=False, need_dh=Fals
 
     psi: (B, pmode, N, N) float32 pair, the wavefield at the segment entry.
     a_seg/p_seg: (B, Sg, N, N) object amplitude/phase slices (omode sliced
-      out by the caller). h: (1 or B, N, N) propagator pair.
+      out by the caller). h: (1 or B, N, N) propagator pair — in KERNEL
+      k-order: when _radix_of(N) > 1 the caller must pre-permute both h
+      planes with radix_perm(N) on the last two axes (multislice_dp_chain
+      does); the dH cotangent comes back in the same order.
     last (static): this segment ends the chain — no propagation after its
       final slice (the far-field transform happens outside).
     need_dh (static): also produce propagator cotangents in the backward.
@@ -398,14 +528,15 @@ def _chain_bwd(last, need_dh, residuals, g):
             f"pmode={pmode}) exceeds VMEM — chain_applicable would decline"
         )
     blk, pc = plan
-    fwd_m, inv_m = _consts(n)
+    mats, radix = _consts(n)
+    n_mats = len(mats)
 
     def run(g_r, g_i, psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats):
         bl = psi_r.shape[0]
-        psi, pat, h, mat = _specs(sg, n, pc, blk, h_shared)
+        psi, pat, h, mat = _specs(sg, n, pc, blk, h_shared, radix)
         kernel = functools.partial(
             _seg_bwd_kernel, sg, n, pc, blk, bool(last), h_shared,
-            bool(need_dh), _gemm_dtype(),
+            bool(need_dh), _gemm_dtype(), radix, n_mats,
         )
         dh_shape = (
             jax.ShapeDtypeStruct((1, n, n), jnp.float32) if h_shared
@@ -414,7 +545,7 @@ def _chain_bwd(last, need_dh, residuals, g):
         da, dp, dpr, dpi, dhr, dhi = pl.pallas_call(
             kernel,
             grid=(bl // blk, pmode // pc),
-            in_specs=[psi, psi, psi, psi, pat, pat, h, h] + [mat] * 6,
+            in_specs=[psi, psi, psi, psi, pat, pat, h, h] + [mat] * n_mats,
             out_specs=[pat, pat, psi, psi, h, h],
             out_shape=[
                 jax.ShapeDtypeStruct((bl, sg, n, n), jnp.float32),
@@ -441,11 +572,11 @@ def _chain_bwd(last, need_dh, residuals, g):
         dh_out = P() if h_shared else d
         run = jax.shard_map(
             run, mesh=mesh,
-            in_specs=(d, d, d, d, d, d, h_spec, h_spec) + (P(),) * 6,
+            in_specs=(d, d, d, d, d, d, h_spec, h_spec) + (P(),) * n_mats,
             out_specs=(d, d, d, d, dh_out, dh_out), check_vma=False,
         )
     da, dp, dpr, dpi, dhr, dhi = run(
-        g_r, g_i, psi_r, psi_i, a_seg, p_seg, h_r, h_i, *fwd_m, *inv_m
+        g_r, g_i, psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats
     )
     return dpr, dpi, da, dp, dhr, dhi
 
@@ -465,7 +596,8 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 def _pick_plan(b, sg, n, pmode, backward, h_shared, need_dh):
     """Largest (blk, pc) whose working set fits VMEM; None if nothing fits."""
-    mats = 6 * n * n * 4
+    radix = _radix_of(n)
+    mats = 6 * radix * (n // radix) ** 2 * 4
     for blk in (4, 2, 1):
         if b % blk:
             continue
@@ -559,6 +691,15 @@ def multislice_dp_chain(obja_patches, objp_patches, probes: Cplx, H: Cplx,
     if sg == 0:
         raise ValueError("multislice_dp_chain: no feasible segment plan")
 
+    h_re, h_im = H.re, H.im
+    if _radix_of(n) > 1:
+        # the kernel's radix DFT passes leave k-space in decimated order;
+        # pre-permute the propagator to match (the dH cotangent permutes back
+        # automatically through jnp.take's adjoint)
+        perm = jnp.asarray(radix_perm(n))
+        h_re = jnp.take(jnp.take(h_re, perm, axis=-2), perm, axis=-1)
+        h_im = jnp.take(jnp.take(h_im, perm, axis=-2), perm, axis=-1)
+
     psi0_r = jnp.broadcast_to(probes.re, (b, pmode, n, n))
     psi0_i = jnp.broadcast_to(probes.im, (b, pmode, n, n))
 
@@ -573,7 +714,7 @@ def multislice_dp_chain(obja_patches, objp_patches, probes: Cplx, H: Cplx,
             psi_r, psi_i = chain_segment(
                 psi_r, psi_i,
                 obja_patches[:, om, z0:z1], objp_patches[:, om, z0:z1],
-                H.re, H.im, z1 == nz, need_dh,
+                h_re, h_im, z1 == nz, need_dh,
             )
             z0 = z1
         y = fft2(Cplx(psi_r, psi_i), norm="ortho")

@@ -486,6 +486,57 @@ class TestPallasChainPath:
                 err_msg=f"gradient mismatch: {name}",
             )
 
+    @pytest.mark.parametrize("n,m", [(16, 8), (32, 8)])  # radix 2 and 4
+    def test_chain_radix_matches_jnp(self, rng, n, m):
+        """Radix-factored DFT passes (Cooley-Tukey split into M-point GEMMs
+        with twiddles folded into the constants, k-space decimated through
+        the H multiply) must be numerically identical to the dense passes —
+        values and every gradient including dH. Production leaf is M=128
+        (PSO: N=256 -> radix 2); shrunk here via the test hook."""
+        from ptyrad_tpu.models.forward import multislice_dp
+        from ptyrad_tpu.ops import cplx, pallas_chain as pch
+
+        B, pmode, omode, nz, seg = 4, 2, 1, 5, 2
+        obja = jnp.asarray(rng.uniform(0.9, 1.0, (B, omode, nz, n, n)).astype(np.float32))
+        objp = jnp.asarray(rng.uniform(-0.3, 0.3, (B, omode, nz, n, n)).astype(np.float32))
+        pr = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        pi = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        hr = jnp.asarray((1 + 0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        hi = jnp.asarray((0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        occu = jnp.ones(1, jnp.float32)
+
+        def ref_fn(obja, objp, pr, pi, hr, hi):
+            return multislice_dp(obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi),
+                                 occu, eps=1e-10)
+
+        def chain_fn(obja, objp, pr, pi, hr, hi):
+            return pch.multislice_dp_chain(
+                obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi), occu, 1e-10,
+                need_dh=True, seg_override=seg,
+            )
+
+        args = (obja, objp, pr, pi, hr, hi)
+        pch.set_radix_m(m)
+        pch.set_interpret(True)
+        try:
+            assert pch._radix_of(n) == n // m
+            dp_c = chain_fn(*args)
+            g_c = self._grads(chain_fn, args)
+        finally:
+            pch.set_interpret(False)
+            pch.set_radix_m(128)
+        dp_r = ref_fn(*args)
+        g_r = self._grads(ref_fn, args)
+
+        np.testing.assert_allclose(np.asarray(dp_c), np.asarray(dp_r), rtol=1e-4, atol=1e-6)
+        for name, a, b in zip(["obja", "objp", "probe_re", "probe_im", "h_re", "h_im"],
+                              g_r, g_c):
+            scale = max(float(jnp.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=3e-6 * scale,
+                err_msg=f"radix gradient mismatch: {name}",
+            )
+
     def test_forward_routes_to_chain(self, rng):
         """With the fused kernel unavailable (interpret off => declines on
         CPU) and the chain available, forward() must dispatch to the chain
