@@ -124,6 +124,87 @@ def build_workload():
     return init, phase, canvas
 
 
+def bench_pso():
+    """Second reference demo workload (PSO / PrScO3, demo/params/
+    PSO_reconstruct.yml:17-34): 4,096 DPs at 256x256 (on-the-fly padded from
+    120^2 crops in the reference; simulated natively at 256^2 here), 4 probe
+    modes, 21 slices at dz = 10 A, batch 32. Runs through the same fused
+    train_epoch; the multislice executes in the segmented Pallas chain
+    (ops/pallas_chain.py). Returns (patterns/s, ms/step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptyrad_tpu.engine.solver import build_train_epoch
+    from ptyrad_tpu.models import forward, make_model
+    from ptyrad_tpu.optim import create_optimizer
+    from ptyrad_tpu.physics import make_mixed_probe, make_stem_probe, near_field_evolution
+    from ptyrad_tpu.physics.constants import electron_wavelength
+
+    n_scans, npix, pmode, nz, batch, grid, step_px = 4096, 256, 4, 21, 32, 64, 3
+    kv, conv, dx, dz = 300.0, 25.0, 0.4, 10.0
+    lam = electron_wavelength(kv)
+    rng = np.random.default_rng(1)
+
+    probe = make_stem_probe({"kv": kv, "conv_angle": conv, "Npix": npix, "dx": dx})
+    probe = make_mixed_probe(probe, pmode, [0.02])
+    canvas = grid * step_px + npix + 8
+    ys, xs = np.meshgrid(np.arange(grid) * step_px, np.arange(grid) * step_px, indexing="ij")
+    crop_pos = np.stack([ys.ravel() + 4, xs.ravel() + 4], -1).astype(np.int32)
+    yy, xx = np.mgrid[0:canvas, 0:canvas].astype(np.float32)
+    phase = np.zeros((nz, canvas, canvas), np.float32)
+    for z in range(nz):
+        for _ in range(150):
+            cy, cx = rng.integers(12, canvas - 12, 2)
+            phase[z] += 0.1 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 4.0)
+    true_obj = np.exp(1j * phase)[None].astype(np.complex64)
+
+    init = {
+        "obj": true_obj, "probe": probe,
+        "probe_pos_shifts": np.zeros((n_scans, 2), np.float32),
+        "obj_tilts": np.zeros((1, 2), np.float32), "slice_thickness": dz,
+        "H": near_field_evolution((npix, npix), dx, dz, lam),
+        "measurements": np.zeros((1, npix, npix), np.float32),
+        "crop_pos": crop_pos, "omode_occu": np.ones(1, np.float32),
+        "dx": dx, "lambd": lam, "N_scan_slow": grid, "N_scan_fast": grid,
+    }
+    params, buffers, geom = make_model(init)
+    sim = jax.jit(lambda p, i: forward(p, buffers, geom, i)[0])
+    meas = np.empty((n_scans, npix, npix), np.float32)
+    t0 = time.perf_counter()
+    for s in range(0, n_scans, 256):
+        meas[s:s + 256] = np.asarray(sim(params, jnp.arange(s, s + 256)))
+    log(f"PSO: simulated {n_scans} DPs in {time.perf_counter()-t0:.1f}s")
+
+    init["measurements"] = meas
+    init["obj"] = np.ones_like(true_obj)
+    upd = {"obja": {"lr": 5e-4, "start_iter": 1}, "objp": {"lr": 5e-4, "start_iter": 1},
+           "probe": {"lr": 1e-4, "start_iter": 1}}
+    params, buffers, geom = make_model(init, {"update_params": upd})
+    optimizer, opt_state, _, start = create_optimizer({"name": "Adam"}, upd, params)
+    train_epoch = build_train_epoch(buffers, geom, LOSS_PARAMS, optimizer, start)
+    n_batches = n_scans // batch
+    idx_all = jnp.asarray(
+        np.random.default_rng(0).permutation(n_scans).reshape(n_batches, batch), jnp.int32)
+    mask_all = jnp.ones(idx_all.shape, jnp.float32)
+
+    def one_iter(params, opt_state, niter):
+        params, opt_state, total, _ = train_epoch(
+            params, opt_state, idx_all, mask_all, jnp.asarray(niter, jnp.int32))
+        np.asarray(total)  # forced execution barrier (see tBL note)
+        return params, opt_state, float(total)
+
+    t0 = time.perf_counter()
+    params, opt_state, total = one_iter(params, opt_state, 1)
+    log(f"PSO: compile+first iteration in {time.perf_counter()-t0:.1f}s (loss={total:.4f})")
+    best = float("inf")
+    for niter in range(2, 5):
+        t0 = time.perf_counter()
+        params, opt_state, total = one_iter(params, opt_state, niter)
+        best = min(best, time.perf_counter() - t0)
+        log(f"PSO iter {niter}: {time.perf_counter()-t0:.2f}s loss={total:.4f}")
+    return n_scans / best, best / n_batches * 1e3
+
+
 def main():
     import jax
 
@@ -192,6 +273,22 @@ def main():
     hi = lo + (SCAN_SIDE - 1) * STEP_PX
     corr = float(np.corrcoef(rec[lo:hi, lo:hi].ravel(), tru[lo:hi, lo:hi].ravel())[0, 1])
 
+    # secondary workload: the reference's PSO demo (21 slices, 256^2) through
+    # the segmented/mega chain kernel; a failure there must not cost the
+    # primary metric
+    pso = {}
+    try:
+        pso_dps, pso_ms = bench_pso()
+        pso = {
+            "pso_patterns_per_sec": round(pso_dps, 1),
+            "pso_ms_per_step": round(pso_ms, 1),
+            # r2 ran PSO on the XLA fallback at ~390 DPs/s (docs/performance.md)
+            "pso_vs_r2_xla_path": round(pso_dps / 390.0, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        log(f"PSO bench failed: {e!r}")
+        pso = {"pso_error": repr(e)[:200]}
+
     dps = N_SCANS / best
     print(json.dumps({
         "metric": "tBL_WSe2 training throughput (fwd+bwd+update, full epoch + constraints)",
@@ -207,6 +304,7 @@ def main():
         "final_loss": round(float(total), 4),
         "device": str(jax.devices()[0]),
         "loss_finite": bool(np.isfinite(float(total))),
+        **pso,
     }))
 
 

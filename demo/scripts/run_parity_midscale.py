@@ -13,8 +13,8 @@ are forward-simulated by the REFERENCE's own torch model
 (/root/reference/src/ptyrad/forward.py:20-80), not ours. Both frameworks
 then reconstruct from a flat object with identical batch composition
 (sequential batches of 128), Adam at identical per-tensor learning rates,
-loss_single, and the ortho_pmode + fix_probe_int + obja_thresh + objp_postiv
-constraints every iteration.
+loss_single, and the fix_probe_int + obja_thresh + objp_postiv constraints
+every iteration (ortho_pmode excluded: see ACTIVE_CONSTRAINTS note).
 
 Run: python demo/scripts/run_parity_midscale.py  (CPU, ~15 min, writes
 PARITY_MIDSCALE.json and prints a markdown table for PARITY.md).
@@ -30,7 +30,13 @@ import numpy as np
 _ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, os.path.join(_ROOT, "tests"))
 sys.path.insert(0, _ROOT)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+# env vars alone are overridden by backend sitecustomize hooks; force the
+# CPU platform the way tests/conftest.py does so both frameworks run on the
+# same host CPU
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 GRID = 64          # 64x64 scan = 4,096 DPs
 NPIX = 64
@@ -41,8 +47,8 @@ NITER = 20
 STEP_PX = 3
 
 UPDATE_PARAMS = {
-    "obja": {"lr": 1e-3, "start_iter": 1},
-    "objp": {"lr": 1e-3, "start_iter": 1},
+    "obja": {"lr": 5e-4, "start_iter": 1},
+    "objp": {"lr": 5e-4, "start_iter": 1},
     "probe": {"lr": 5e-5, "start_iter": 1},
     "probe_pos_shifts": {"lr": 0.0, "start_iter": 1},
     "obj_tilts": {"lr": 0.0, "start_iter": 1},
@@ -58,8 +64,13 @@ LOSS_PARAMS = {
                     "blur_std": None, "scale_factor": None},
 }
 
+# ortho_pmode is deliberately NOT in the trajectory comparison: probe-mode
+# orthogonalization has a per-mode phase-gauge freedom (any eig backend picks
+# arbitrary eigenvector phases; the forward DP is invariant but elementwise
+# Adam moments are not), so two correct implementations legitimately diverge
+# once the probe is being optimized. Its operator-level parity is covered by
+# tests/test_reference_parity.py (span + mode intensities).
 ACTIVE_CONSTRAINTS = {
-    "ortho_pmode": {"freq": 1},
     "fix_probe_int": {"freq": 1},
     "obja_thresh": {"freq": 1, "relax": 0.0, "thresh": (0.9, 1.1)},
     "objp_postiv": {"freq": 1, "relax": 0.0, "mode": "clip_neg"},

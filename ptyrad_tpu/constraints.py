@@ -293,12 +293,13 @@ _FNS: dict[str, Callable] = {
 class ConstraintScheduler:
     """Applies due constraints each iteration, in the reference order.
 
-    Frequency gating happens host-side on the Python iteration counter, so
-    compiled programs contain no dead branches. All constraints due at an
-    iteration are composed into ONE jitted program per distinct due-set
-    (cached): on this backend every distinct program is a multi-second
-    remote-compile, and the common all-freq-1 configuration would otherwise
-    pay one compile per active constraint.
+    ONE jitted program serves every iteration: constraints whose freq is 1
+    run unconditionally; mixed-frequency constraints are gated in-program by
+    `lax.cond` on the (traced) iteration counter. On this backend every
+    distinct compiled program is a multi-second remote-compile lottery, so a
+    per-due-set cache (up to 2^k programs for k distinct freqs) would pay it
+    repeatedly; the conditioned composite pays it once. Iterations where
+    NOTHING is due still short-circuit host-side (no dispatch at all).
     """
 
     def __init__(self, constraint_params: dict | None, geom: Geometry, verbose: bool = False):
@@ -322,25 +323,34 @@ class ConstraintScheduler:
             else:
                 bound = lambda p, b, fn=fn, c=c: fn(p, b, c)
             self._active.append((name, int(freq), bound))
-        self._compiled: dict[Tuple[str, ...], Callable] = {}
+        self._jitted: Callable | None = None
 
-    def _composite(self, due: Tuple[str, ...]) -> Callable:
-        if due not in self._compiled:
-            fns = [fn for name, _, fn in self._active if name in due]
+    def _composite(self) -> Callable:
+        if self._jitted is None:
+            active = tuple(self._active)
 
-            def apply_all(params, buffers, fns=tuple(fns)):
-                for fn in fns:
-                    params = fn(params, buffers)
+            def apply_due(params, buffers, niter):
+                for _name, freq, fn in active:
+                    if freq == 1:
+                        params = fn(params, buffers)
+                    else:
+                        params = jax.lax.cond(
+                            niter % freq == 0,
+                            lambda p, b, fn=fn: fn(p, b),
+                            lambda p, b: p,
+                            params, buffers,
+                        )
                 return params
 
-            self._compiled[due] = jax.jit(apply_all)
-        return self._compiled[due]
+            self._jitted = jax.jit(apply_due)
+        return self._jitted
 
     def __call__(self, params: PtychoParams, buffers: Buffers, niter: int) -> PtychoParams:
-        due = tuple(name for name, freq, _ in self._active if niter % freq == 0)
-        if not due:
+        if not any(niter % freq == 0 for _, freq, _ in self._active):
             return params
-        return self._composite(due)(params, buffers)
+        import jax.numpy as jnp
+
+        return self._composite()(params, buffers, jnp.asarray(niter, jnp.int32))
 
     @property
     def active_names(self) -> List[str]:

@@ -52,6 +52,18 @@ from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
 _INTERPRET = False
 
+# Per-kernel VMEM ceiling passed to Mosaic. XLA's default *scoped* vmem limit
+# is 16 MiB — well under the physical VMEM of current TPUs (v5e/v6e:
+# 128 MiB) — and a kernel whose live set lands at 16.06 MiB fails compile by
+# 64 KiB (observed). Raising the limit lets the planner use larger batch /
+# pmode blocks; _VMEM_BUDGET below governs what the planner actually asks
+# for, and must stay under this with headroom for Mosaic's own temporaries.
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
 # Cooley-Tukey leaf size: DFTs of length R*M (R in {2,4}) factor into R
 # M-point GEMMs plus an O(N) butterfly, cutting pass FLOPs by R while every
 # GEMM stays a full (., 128)x(128, 128) MXU tile. 128 is both the MXU edge
@@ -274,18 +286,24 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
     transpose of multiply-by-F_fwd is the unnormalized inverse matrices;
     the transpose of the scaled inverse pass is F_fwd * 1/(N*N) — both hold
     for the radix passes too, layout included; see _pass)."""
-    mats, (da_ref, dp_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref,
-           tr_scr, ti_scr) = refs[:n_mats], refs[n_mats:]
+    if need_dh:
+        mats, (da_ref, dp_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref) = (
+            refs[:n_mats], refs[n_mats:])
+    else:
+        # no propagator cotangents requested: the dH outputs do not exist at
+        # all (the driver returns zeros), saving their VMEM blocks
+        mats, (da_ref, dp_ref, dpr_ref, dpi_ref) = refs[:n_mats], refs[n_mats:]
+        dhr_ref = dhi_ref = None
     i = pl.program_id(0)
     pm = pl.program_id(1)
     fwd, inv = _bundles(mats, radix)
     inv_scale = np.float32(1.0 / (n * n))
     h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
 
-    @pl.when(pm == 0)
-    def _():
-        tr_scr[...] = a_ref[...] * jnp.cos(p_ref[...])
-        ti_scr[...] = a_ref[...] * jnp.sin(p_ref[...])
+    def t_of(s):
+        # transmission cos/sin recomputed per use — a few VPU transcendentals
+        # per slice vs keeping a (blk, sg, n, n) scratch pair resident
+        return a_ref[:, s] * jnp.cos(p_ref[:, s]), a_ref[:, s] * jnp.sin(p_ref[:, s])
 
     # forward recompute: entry state of every slice in this segment
     psi_r, psi_i = pr_ref[...].reshape(blk * pc, n, n), pi_ref[...].reshape(blk * pc, n, n)
@@ -293,7 +311,7 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
     for s in range(sg):
         stack.append((psi_r, psi_i))
         if s < sg - 1:
-            psi_r, psi_i = _mul_t(psi_r, psi_i, tr_scr[:, s], ti_scr[:, s], blk, pc, n)
+            psi_r, psi_i = _mul_t(psi_r, psi_i, *t_of(s), blk, pc, n)
             kr, ki = _dft2(psi_r, psi_i, fwd, dt)
             kr, ki = _mul_h(kr, ki, h_r, h_i, False, blk, pc, n)
             psi_r, psi_i = _dft2(kr, ki, inv, dt, scale=inv_scale)
@@ -305,20 +323,10 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
         # propagation of slice sg-1: undo that adjoint first
         ur, ui = _dft2(dchi_r, dchi_i, fwd, dt, scale=inv_scale)
         if need_dh:
-            czr, czi = _mul_t(*stack[sg - 1], tr_scr[:, sg - 1], ti_scr[:, sg - 1], blk, pc, n)
+            czr, czi = _mul_t(*stack[sg - 1], *t_of(sg - 1), blk, pc, n)
             kzr, kzi = _dft2(czr, czi, fwd, dt)
             _acc_dh(ur, ui, kzr, kzi, dhr_ref, dhi_ref, h_shared, i, pm,
                     blk, pc, n, first=True)
-        elif h_shared:
-            @pl.when((i == 0) & (pm == 0))
-            def _():
-                dhr_ref[0] = jnp.zeros((n, n), jnp.float32)
-                dhi_ref[0] = jnp.zeros((n, n), jnp.float32)
-        else:
-            @pl.when(pm == 0)
-            def _():
-                dhr_ref[...] = jnp.zeros_like(dhr_ref)
-                dhi_ref[...] = jnp.zeros_like(dhi_ref)
         ur, ui = _mul_h(ur, ui, h_r, h_i, True, blk, pc, n)
         dchi_r, dchi_i = _dft2(ur, ui, inv, dt)
         first_dh = False
@@ -327,7 +335,7 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
 
     for s in range(sg - 1, -1, -1):
         psi_r, psi_i = stack[s]
-        tr, ti = tr_scr[:, s], ti_scr[:, s]
+        tr, ti = t_of(s)
         # dT = sum_pc dchi * conj(psi); accumulated over pm chunks in the
         # (consecutively revisited) output block
         prod_r = (dchi_r * psi_r + dchi_i * psi_i).reshape(blk, pc, n, n)
@@ -353,8 +361,7 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
         if s > 0:
             ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt, scale=inv_scale)
             if need_dh:
-                czr, czi = _mul_t(*stack[s - 1], tr_scr[:, s - 1], ti_scr[:, s - 1],
-                                  blk, pc, n)
+                czr, czi = _mul_t(*stack[s - 1], *t_of(s - 1), blk, pc, n)
                 kzr, kzi = _dft2(czr, czi, fwd, dt)
                 _acc_dh(ur, ui, kzr, kzi, dhr_ref, dhi_ref, h_shared, i, pm,
                         blk, pc, n, first=first_dh and s == sg - 1)
@@ -365,17 +372,6 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
 
     if need_dh and last and sg == 1:
         # no inter-slice boundary touched this segment: still zero the output
-        if h_shared:
-            @pl.when((i == 0) & (pm == 0))
-            def _():
-                dhr_ref[0] = jnp.zeros((n, n), jnp.float32)
-                dhi_ref[0] = jnp.zeros((n, n), jnp.float32)
-        else:
-            @pl.when(pm == 0)
-            def _():
-                dhr_ref[...] = jnp.zeros_like(dhr_ref)
-                dhi_ref[...] = jnp.zeros_like(dhi_ref)
-    elif not need_dh and last:
         if h_shared:
             @pl.when((i == 0) & (pm == 0))
             def _():
@@ -440,6 +436,483 @@ def _specs(sg, n, pc, blk, h_shared, radix):
     return psi, pat, h, mat
 
 
+# ---------------------------------------------------------------------------
+# Mega-chain: the whole uniform part of the multislice chain as ONE
+# pallas_call per direction, with the wavefield carried across segments in
+# VMEM scratch instead of HBM round-trips, and the per-segment XLA glue
+# (patch slices, gradient concats, 2x11 kernel launches) gone.
+#
+#   forward  grid (nb, npm, S)  — segments innermost; psi chunk lives in
+#            scratch for the whole (i, pm) sweep; the only HBM residual is
+#            the stack of segment-ENTRY wavefields (stack[0] = psi0), one
+#            block written per step; the chain exit flushes once per (i, pm).
+#   backward grid (nb, S, npm)  — pmode innermost so the dT output blocks
+#            (i, S-1-s) accumulate over pm chunks in consecutively revisited
+#            blocks; the running cotangent holds ALL pmode chunks in scratch
+#            (it must survive the pm sweep between segment steps); g and the
+#            dpsi0 output use s-parked index maps so they stream once per
+#            (i, pm) instead of every step.
+#
+# The ragged tail (nz % sg slices) still runs through chain_segment.
+# ---------------------------------------------------------------------------
+
+
+def _mega_fwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, dt, radix, n_mats,
+                     pr_ref, pi_ref, a_ref, p_ref, hr_ref, hi_ref, *refs):
+    """Grid (nb, npm, S): advance one (batch block, pmode chunk) through
+    segment s, carrying psi in scratch; write the segment ENTRY to the stack
+    and (at s == S-1) the chain exit."""
+    mats, (stk_r, stk_i, or_ref, oi_ref, sr_scr, si_scr) = refs[:n_mats], refs[n_mats:]
+    s = pl.program_id(2)
+    fwd, inv = _bundles(mats, radix)
+    inv_scale = np.float32(1.0 / (n * n))
+    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+
+    def t_of(j):
+        return a_ref[:, j] * jnp.cos(p_ref[:, j]), a_ref[:, j] * jnp.sin(p_ref[:, j])
+
+    @pl.when(s == 0)
+    def _():
+        sr_scr[...] = pr_ref[...]
+        si_scr[...] = pi_ref[...]
+
+    psi_r = sr_scr[...].reshape(blk * pc, n, n)
+    psi_i = si_scr[...].reshape(blk * pc, n, n)
+    stk_r[...] = psi_r.reshape(blk, 1, pc, n, n)
+    stk_i[...] = psi_i.reshape(blk, 1, pc, n, n)
+
+    for j in range(sg):
+        psi_r, psi_i = _mul_t(psi_r, psi_i, *t_of(j), blk, pc, n)
+        if j < sg - 1:
+            kr, ki = _dft2(psi_r, psi_i, fwd, dt)
+            kr, ki = _mul_h(kr, ki, h_r, h_i, False, blk, pc, n)
+            psi_r, psi_i = _dft2(kr, ki, inv, dt, scale=inv_scale)
+
+    def store(r, im, also_exit):
+        sr_scr[...] = r.reshape(blk, pc, n, n)
+        si_scr[...] = im.reshape(blk, pc, n, n)
+        if also_exit:
+            or_ref[...] = r.reshape(blk, pc, n, n)
+            oi_ref[...] = im.reshape(blk, pc, n, n)
+
+    def propagate():
+        kr, ki = _dft2(psi_r, psi_i, fwd, dt)
+        kr, ki = _mul_h(kr, ki, h_r, h_i, False, blk, pc, n)
+        return _dft2(kr, ki, inv, dt, scale=inv_scale)
+
+    if last_mega:
+        # the chain ends inside this kernel: no propagation after the final
+        # slice of the final segment
+        @pl.when(s < S - 1)
+        def _():
+            store(*propagate(), also_exit=False)
+
+        @pl.when(s == S - 1)
+        def _():
+            store(psi_r, psi_i, also_exit=True)
+    else:
+        # a ragged tail follows: every segment (incl. the last) propagates
+        r, im = propagate()
+        store(r, im, also_exit=False)
+
+        @pl.when(s == S - 1)
+        def _():
+            or_ref[...] = r.reshape(blk, pc, n, n)
+            oi_ref[...] = im.reshape(blk, pc, n, n)
+
+
+def _mega_bwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, need_dh, dt,
+                     radix, n_mats,
+                     gr_ref, gi_ref, stk_r_ref, stk_i_ref, a_ref, p_ref,
+                     hr_ref, hi_ref, *refs):
+    """Grid (nb, S, npm): process segment srev = S-1-s — rematerialize its
+    slice-entry states from the stacked entry psi, walk the adjoint chain,
+    accumulate dT over pm chunks, carry the cotangent in scratch."""
+    if need_dh:
+        mats, (da_ref, dp_ref, d0r_ref, d0i_ref, dhr_ref, dhi_ref,
+               cr_scr, ci_scr) = refs[:n_mats], refs[n_mats:]
+    else:
+        mats, (da_ref, dp_ref, d0r_ref, d0i_ref,
+               cr_scr, ci_scr) = refs[:n_mats], refs[n_mats:]
+        dhr_ref = dhi_ref = None
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    pm = pl.program_id(2)
+    fwd, inv = _bundles(mats, radix)
+    inv_scale = np.float32(1.0 / (n * n))
+    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+
+    def t_of(j):
+        return a_ref[:, j] * jnp.cos(p_ref[:, j]), a_ref[:, j] * jnp.sin(p_ref[:, j])
+
+    if need_dh:
+        # zero the (revisited) dH block before ANY add: at the very first
+        # grid step for shared H, at each batch block's first visit otherwise
+        zero_now = ((i == 0) & (s == 0) & (pm == 0)) if h_shared else ((s == 0) & (pm == 0))
+
+        @pl.when(zero_now)
+        def _():
+            if h_shared:
+                dhr_ref[0] = jnp.zeros((n, n), jnp.float32)
+                dhi_ref[0] = jnp.zeros((n, n), jnp.float32)
+            else:
+                dhr_ref[...] = jnp.zeros_like(dhr_ref)
+                dhi_ref[...] = jnp.zeros_like(dhi_ref)
+
+    # remat: slice-entry states of this segment from the stacked entry psi
+    psi_r = stk_r_ref[...].reshape(blk * pc, n, n)
+    psi_i = stk_i_ref[...].reshape(blk * pc, n, n)
+    stack = []
+    for j in range(sg):
+        stack.append((psi_r, psi_i))
+        if j < sg - 1:
+            psi_r, psi_i = _mul_t(psi_r, psi_i, *t_of(j), blk, pc, n)
+            kr, ki = _dft2(psi_r, psi_i, fwd, dt)
+            kr, ki = _mul_h(kr, ki, h_r, h_i, False, blk, pc, n)
+            psi_r, psi_i = _dft2(kr, ki, inv, dt, scale=inv_scale)
+
+    # incoming cotangent: the exit cotangent g at the first step (srev=S-1),
+    # the carried scratch otherwise
+    sel = s == 0
+    dchi_r = jnp.where(sel, gr_ref[...], cr_scr[:, pl.ds(pm * pc, pc)]).reshape(blk * pc, n, n)
+    dchi_i = jnp.where(sel, gi_ref[...], ci_scr[:, pl.ds(pm * pc, pc)]).reshape(blk * pc, n, n)
+
+    # undo the trailing propagation's adjoint — present for every segment
+    # except the chain-final one (srev == S-1 i.e. s == 0, when last_mega)
+    undo_needed = (s > 0) if last_mega else None  # None => always
+    ur, ui = _dft2(dchi_r, dchi_i, fwd, dt, scale=inv_scale)
+    if need_dh:
+        czr, czi = _mul_t(*stack[sg - 1], *t_of(sg - 1), blk, pc, n)
+        kzr, kzi = _dft2(czr, czi, fwd, dt)
+        _acc_dh_mega(ur, ui, kzr, kzi, dhr_ref, dhi_ref, h_shared,
+                     blk, pc, n, undo_needed)
+    ur, ui = _mul_h(ur, ui, h_r, h_i, True, blk, pc, n)
+    ur, ui = _dft2(ur, ui, inv, dt)
+    if undo_needed is not None:
+        dchi_r = jnp.where(undo_needed, ur, dchi_r)
+        dchi_i = jnp.where(undo_needed, ui, dchi_i)
+    else:
+        dchi_r, dchi_i = ur, ui
+
+    for j in range(sg - 1, -1, -1):
+        psi_r, psi_i = stack[j]
+        tr, ti = t_of(j)
+        prod_r = (dchi_r * psi_r + dchi_i * psi_i).reshape(blk, pc, n, n)
+        prod_i = (dchi_i * psi_r - dchi_r * psi_i).reshape(blk, pc, n, n)
+        dtr = jnp.sum(prod_r, axis=1)
+        dti = jnp.sum(prod_i, axis=1)
+        cosp = jnp.cos(p_ref[:, j])
+        sinp = jnp.sin(p_ref[:, j])
+        da_s = dtr * cosp + dti * sinp
+        dp_s = a_ref[:, j] * (dti * cosp - dtr * sinp)
+
+        @pl.when(pm == 0)
+        def _():
+            da_ref[:, j] = da_s
+            dp_ref[:, j] = dp_s
+
+        @pl.when(pm > 0)
+        def _():
+            da_ref[:, j] += da_s
+            dp_ref[:, j] += dp_s
+
+        dpsi_r, dpsi_i = _mul_t(dchi_r, dchi_i, tr, -ti, blk, pc, n)
+        if j > 0:
+            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt, scale=inv_scale)
+            if need_dh:
+                czr, czi = _mul_t(*stack[j - 1], *t_of(j - 1), blk, pc, n)
+                kzr, kzi = _dft2(czr, czi, fwd, dt)
+                _acc_dh_mega(ur, ui, kzr, kzi, dhr_ref, dhi_ref, h_shared,
+                             blk, pc, n, pred=None)
+            ur, ui = _mul_h(ur, ui, h_r, h_i, True, blk, pc, n)
+            dchi_r, dchi_i = _dft2(ur, ui, inv, dt)
+        else:
+            dchi_r, dchi_i = dpsi_r, dpsi_i
+
+    cr_scr[:, pl.ds(pm * pc, pc)] = dchi_r.reshape(blk, pc, n, n)
+    ci_scr[:, pl.ds(pm * pc, pc)] = dchi_i.reshape(blk, pc, n, n)
+
+    @pl.when(s == S - 1)
+    def _():
+        d0r_ref[...] = dchi_r.reshape(blk, pc, n, n)
+        d0i_ref[...] = dchi_i.reshape(blk, pc, n, n)
+
+
+def _acc_dh_mega(ur, ui, kzr, kzi, dhr_ref, dhi_ref, h_shared, blk, pc, n,
+                 pred):
+    """dH accumulation for the mega backward (the block is zeroed at its
+    first visit by the kernel prologue); gate the add on `pred` (the dynamic
+    undo-needed predicate) when given."""
+    contrib_r = (ur * kzr + ui * kzi).reshape(blk, pc, n, n).sum(1)
+    contrib_i = (ui * kzr - ur * kzi).reshape(blk, pc, n, n).sum(1)
+
+    def add():
+        if h_shared:
+            dhr_ref[0] += jnp.sum(contrib_r, axis=0)
+            dhi_ref[0] += jnp.sum(contrib_i, axis=0)
+        else:
+            dhr_ref[...] += contrib_r
+            dhi_ref[...] += contrib_i
+
+    if pred is None:
+        add()
+    else:
+        @pl.when(pred)
+        def _():
+            add()
+
+
+def _mega_plan(b_local, sg, n, pmode, h_shared, need_dh):
+    """(blk, pc) for the mega kernels — the per-segment model plus the
+    full-pmode cotangent scratch of the backward."""
+    radix = _radix_of(n)
+    mats = 6 * radix * (n // radix) ** 2 * 4
+    for pc in (8, 4, 2, 1):
+        if pmode % pc or pc > pmode:
+            continue
+        for blk in (4, 2, 1):
+            if b_local % blk:
+                continue
+            chunk = 2 * blk * pc * n * n * 4
+            pat_blk = 2 * blk * sg * n * n * 4
+            h_blk = 2 * (1 if h_shared else blk) * n * n * 4
+            carry = 2 * blk * pmode * n * n * 4          # full-pmode scratch
+            bwd = (
+                2 * chunk          # stack in (dbuf)
+                + 2 * chunk        # g in (parked)
+                + 2 * chunk        # dpsi0 out (parked)
+                + carry            # cotangent carry scratch
+                + (sg - 1) * chunk # remat stack
+                + 3 * chunk        # DFT temps
+                + 2 * pat_blk + 2 * pat_blk
+                + h_blk + mats
+                + ((2 * chunk + h_blk) if need_dh else 0)
+            )
+            fwd = (
+                chunk              # psi carry scratch
+                + 2 * chunk        # probe in (dbuf)
+                + 2 * chunk        # stack out (dbuf)
+                + 2 * chunk        # exit out
+                + 3 * chunk        # DFT temps
+                + 2 * pat_blk
+                + h_blk + mats
+            )
+            if bwd <= _MEGA_VMEM_BUDGET and fwd <= _MEGA_VMEM_BUDGET:
+                return blk, pc
+    return None
+
+
+# Planner budget for the mega kernels, sized against _VMEM_LIMIT_BYTES with
+# ~36 MB headroom for Mosaic's own temporaries (the additive model below
+# overcounts what Mosaic actually allocates). Measured at PSO scale
+# (B=32, nz=21, N=256, pmode=4): plans (1,2)/(1,4)/(2,4) land within 5% of
+# each other (20.6/20.3/19.7 ms fwd+bwd) — the kernel is compute-bound on
+# this chip, so the budget mainly controls how much VMEM we risk, not speed.
+_MEGA_VMEM_BUDGET = int(60 * 1024 * 1024)
+
+# s-parked index maps for the backward's g/dpsi0 blocks (see _chain_stack_bwd)
+_PARK_MAPS = True
+
+
+def set_park_maps(flag: bool) -> None:
+    global _PARK_MAPS
+    _PARK_MAPS = flag
+
+
+def _mega_fwd_impl(psi0_r, psi0_i, a_main, p_main, h_r, h_i, sg, last_mega,
+                   need_dh):
+    b, pmode, n, _ = psi0_r.shape
+    nz_main = a_main.shape[1]
+    S = nz_main // sg
+    h_shared = h_r.shape[0] == 1
+    mesh = get_kernel_mesh()
+    b_local = b // kernel_mesh_size()
+    plan = _mega_plan(b_local, sg, n, pmode, h_shared, need_dh)
+    if plan is None:
+        raise ValueError("chain_stack: no feasible mega plan")
+    blk, pc = plan
+    mats, radix = _consts(n)
+    n_mats = len(mats)
+    m = n // radix
+
+    def run(psi0_r, psi0_i, a_main, p_main, h_r, h_i, *mats):
+        bl = psi0_r.shape[0]
+        probe = pl.BlockSpec((blk, pc, n, n), lambda i, p, s: (i, p, 0, 0),
+                             memory_space=pltpu.VMEM)
+        pat = pl.BlockSpec((blk, sg, n, n), lambda i, p, s: (i, s, 0, 0),
+                           memory_space=pltpu.VMEM)
+        h = (
+            pl.BlockSpec((1, n, n), lambda i, p, s: (0, 0, 0), memory_space=pltpu.VMEM)
+            if h_shared
+            else pl.BlockSpec((blk, n, n), lambda i, p, s: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        )
+        mat = pl.BlockSpec((m, m), lambda i, p, s: (0, 0), memory_space=pltpu.VMEM)
+        stk = pl.BlockSpec((blk, 1, pc, n, n), lambda i, p, s: (i, s, p, 0, 0),
+                           memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _mega_fwd_kernel, sg, n, pc, blk, S, bool(last_mega), h_shared,
+            _gemm_dtype(), radix, n_mats,
+        )
+        stk_r, stk_i, out_r, out_i = pl.pallas_call(
+            kernel,
+            grid=(bl // blk, pmode // pc, S),
+            in_specs=[probe, probe, pat, pat, h, h] + [mat] * n_mats,
+            out_specs=[stk, stk, probe, probe],
+            out_shape=[
+                jax.ShapeDtypeStruct((bl, S, pmode, n, n), jnp.float32),
+                jax.ShapeDtypeStruct((bl, S, pmode, n, n), jnp.float32),
+                jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32),
+                jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((blk, pc, n, n), jnp.float32),
+                pltpu.VMEM((blk, pc, n, n), jnp.float32),
+            ],
+            interpret=_INTERPRET,
+            compiler_params=_compiler_params(),
+        )(psi0_r, psi0_i, a_main, p_main, h_r, h_i, *mats)
+        return stk_r, stk_i, out_r, out_i
+
+    if mesh is not None:
+        d = P(DATA_AXIS)
+        h_spec = P() if h_shared else d
+        run = jax.shard_map(
+            run, mesh=mesh, in_specs=(d, d, d, d, h_spec, h_spec) + (P(),) * n_mats,
+            out_specs=(d, d, d, d), check_vma=False,
+        )
+    return run(psi0_r, psi0_i, a_main, p_main, h_r, h_i, *mats)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def chain_stack(psi0_r, psi0_i, a_main, p_main, h_r, h_i, sg, last_mega=True,
+                need_dh=False):
+    """Advance psi0 through the uniform part of the chain (S = nz_main/sg
+    segments of exactly sg slices) in ONE kernel per direction.
+
+    a_main/p_main: (B, nz_main, N, N) with nz_main % sg == 0. h in KERNEL
+    k-order (see chain_segment). last_mega: the chain ends here (no
+    propagation after the final slice); False when a ragged chain_segment
+    tail follows. Returns the exit wavefield (B, pmode, N, N) pair.
+    """
+    _, _, out_r, out_i = _mega_fwd_impl(
+        psi0_r, psi0_i, a_main, p_main, h_r, h_i, sg, last_mega, need_dh)
+    return out_r, out_i
+
+
+def _chain_stack_fwd(psi0_r, psi0_i, a_main, p_main, h_r, h_i, sg, last_mega,
+                     need_dh):
+    stk_r, stk_i, out_r, out_i = _mega_fwd_impl(
+        psi0_r, psi0_i, a_main, p_main, h_r, h_i, sg, last_mega, need_dh)
+    return (out_r, out_i), (stk_r, stk_i, a_main, p_main, h_r, h_i)
+
+
+def _chain_stack_bwd(sg, last_mega, need_dh, residuals, g):
+    stk_r, stk_i, a_main, p_main, h_r, h_i = residuals
+    g_r, g_i = g
+    b, S, pmode, n, _ = stk_r.shape
+    h_shared = h_r.shape[0] == 1
+    mesh = get_kernel_mesh()
+    b_local = b // kernel_mesh_size()
+    plan = _mega_plan(b_local, sg, n, pmode, h_shared, need_dh)
+    if plan is None:
+        raise ValueError("chain_stack backward: no feasible mega plan")
+    blk, pc = plan
+    mats, radix = _consts(n)
+    n_mats = len(mats)
+    m = n // radix
+
+    def run(g_r, g_i, stk_r, stk_i, a_main, p_main, h_r, h_i, *mats):
+        bl = stk_r.shape[0]
+        # g and dpsi0 park on pm-block 0 while s sweeps, streaming once per
+        # (i, pm) instead of every grid step
+        if _PARK_MAPS:
+            gspec = pl.BlockSpec(
+                (blk, pc, n, n),
+                lambda i, s, p: (i, jnp.where(s == 0, p, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            d0spec = pl.BlockSpec(
+                (blk, pc, n, n),
+                lambda i, s, p: (i, jnp.where(s == S - 1, p, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            gspec = pl.BlockSpec((blk, pc, n, n), lambda i, s, p: (i, p, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            d0spec = gspec
+        stk = pl.BlockSpec((blk, 1, pc, n, n),
+                           lambda i, s, p: (i, S - 1 - s, p, 0, 0),
+                           memory_space=pltpu.VMEM)
+        pat = pl.BlockSpec((blk, sg, n, n), lambda i, s, p: (i, S - 1 - s, 0, 0),
+                           memory_space=pltpu.VMEM)
+        h = (
+            pl.BlockSpec((1, n, n), lambda i, s, p: (0, 0, 0), memory_space=pltpu.VMEM)
+            if h_shared
+            else pl.BlockSpec((blk, n, n), lambda i, s, p: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        )
+        mat = pl.BlockSpec((m, m), lambda i, s, p: (0, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _mega_bwd_kernel, sg, n, pc, blk, S, bool(last_mega), h_shared,
+            bool(need_dh), _gemm_dtype(), radix, n_mats,
+        )
+        out_specs = [pat, pat, d0spec, d0spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((bl, S * sg, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((bl, S * sg, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32),
+        ]
+        if need_dh:
+            dh_shape = (
+                jax.ShapeDtypeStruct((1, n, n), jnp.float32) if h_shared
+                else jax.ShapeDtypeStruct((bl, n, n), jnp.float32)
+            )
+            out_specs += [h, h]
+            out_shape += [dh_shape, dh_shape]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(bl // blk, S, pmode // pc),
+            in_specs=[gspec, gspec, stk, stk, pat, pat, h, h] + [mat] * n_mats,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((blk, pmode, n, n), jnp.float32),
+                pltpu.VMEM((blk, pmode, n, n), jnp.float32),
+            ],
+            interpret=_INTERPRET,
+            compiler_params=_compiler_params(),
+        )(g_r, g_i, stk_r, stk_i, a_main, p_main, h_r, h_i, *mats)
+        if need_dh:
+            da, dp, d0r, d0i, dhr, dhi = outs
+            if mesh is not None and h_shared:
+                dhr = jax.lax.psum(dhr, DATA_AXIS)
+                dhi = jax.lax.psum(dhi, DATA_AXIS)
+        else:
+            da, dp, d0r, d0i = outs
+            dh_b = 1 if h_shared else bl
+            dhr = jnp.zeros((dh_b, n, n), jnp.float32)
+            dhi = jnp.zeros((dh_b, n, n), jnp.float32)
+        return da, dp, d0r, d0i, dhr, dhi
+
+    if mesh is not None:
+        d = P(DATA_AXIS)
+        h_spec = P() if h_shared else d
+        run = jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(d, d, d, d, d, d, h_spec, h_spec) + (P(),) * n_mats,
+            out_specs=(d, d, d, d, h_spec, h_spec), check_vma=False,
+        )
+    da, dp, d0r, d0i, dhr, dhi = run(
+        g_r, g_i, stk_r, stk_i, a_main, p_main, h_r, h_i, *mats
+    )
+    return d0r, d0i, da, dp, dhr, dhi
+
+
+chain_stack.defvjp(_chain_stack_fwd, _chain_stack_bwd)
+
+
 def _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh):
     b, pmode, n, _ = psi_r.shape
     sg = a_seg.shape[1]
@@ -475,6 +948,7 @@ def _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh):
                 pltpu.VMEM((blk, sg, n, n), jnp.float32),
             ],
             interpret=_INTERPRET,
+            compiler_params=_compiler_params(),
         )(psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats)
         return out_r, out_i
 
@@ -538,32 +1012,39 @@ def _chain_bwd(last, need_dh, residuals, g):
             _seg_bwd_kernel, sg, n, pc, blk, bool(last), h_shared,
             bool(need_dh), _gemm_dtype(), radix, n_mats,
         )
-        dh_shape = (
-            jax.ShapeDtypeStruct((1, n, n), jnp.float32) if h_shared
-            else jax.ShapeDtypeStruct((bl, n, n), jnp.float32)
-        )
-        da, dp, dpr, dpi, dhr, dhi = pl.pallas_call(
+        out_specs = [pat, pat, psi, psi]
+        out_shape = [
+            jax.ShapeDtypeStruct((bl, sg, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((bl, sg, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32),
+        ]
+        if need_dh:
+            dh_shape = (
+                jax.ShapeDtypeStruct((1, n, n), jnp.float32) if h_shared
+                else jax.ShapeDtypeStruct((bl, n, n), jnp.float32)
+            )
+            out_specs += [h, h]
+            out_shape += [dh_shape, dh_shape]
+        outs = pl.pallas_call(
             kernel,
             grid=(bl // blk, pmode // pc),
             in_specs=[psi, psi, psi, psi, pat, pat, h, h] + [mat] * n_mats,
-            out_specs=[pat, pat, psi, psi, h, h],
-            out_shape=[
-                jax.ShapeDtypeStruct((bl, sg, n, n), jnp.float32),
-                jax.ShapeDtypeStruct((bl, sg, n, n), jnp.float32),
-                jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32),
-                jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32),
-                dh_shape,
-                dh_shape,
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((blk, sg, n, n), jnp.float32),
-                pltpu.VMEM((blk, sg, n, n), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=_INTERPRET,
+            compiler_params=_compiler_params(),
         )(g_r, g_i, psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats)
-        if mesh is not None and h_shared:
-            dhr = jax.lax.psum(dhr, DATA_AXIS)
-            dhi = jax.lax.psum(dhi, DATA_AXIS)
+        if need_dh:
+            da, dp, dpr, dpi, dhr, dhi = outs
+            if mesh is not None and h_shared:
+                dhr = jax.lax.psum(dhr, DATA_AXIS)
+                dhi = jax.lax.psum(dhi, DATA_AXIS)
+        else:
+            da, dp, dpr, dpi = outs
+            dh_b = 1 if h_shared else bl
+            dhr = jnp.zeros((dh_b, n, n), jnp.float32)
+            dhi = jnp.zeros((dh_b, n, n), jnp.float32)
         return da, dp, dpr, dpi, dhr, dhi
 
     if mesh is not None:
@@ -588,21 +1069,28 @@ chain_segment.defvjp(_chain_fwd, _chain_bwd)
 # VMEM planning
 # ---------------------------------------------------------------------------
 
-# Validated-on-hardware style heuristic (see pallas_multislice._pick_blk):
-# count the simultaneously-live psi-chunk-sized buffers plus the block
-# buffers Pallas double-buffers, against a conservative budget.
-_VMEM_BUDGET = 13 * 1024 * 1024
+# Planner budget for the per-segment kernels. Historically pinned to the
+# 16 MiB default scoped-vmem limit; now that pallas raises the Mosaic
+# ceiling (_VMEM_LIMIT_BYTES) the budget sits at 60 MB with ~36 MB headroom
+# for Mosaic's own temporaries. pc-major search kept: at the old 16 MiB
+# ceiling bwd (1,2) measured 1.36x bwd (1,1) at PSO scale — widening the
+# pmode chunk grows GEMM rows with less real VMEM than widening the batch
+# block. Anything Mosaic still rejects degrades through the solver's
+# Mosaic-OOM fallback to the XLA path (engine/solver._mosaic_vmem_error).
+_VMEM_BUDGET = int(60 * 1024 * 1024)
 
 
 def _pick_plan(b, sg, n, pmode, backward, h_shared, need_dh):
-    """Largest (blk, pc) whose working set fits VMEM; None if nothing fits."""
+    """Largest (pc, blk) whose working set fits VMEM; None if nothing fits.
+    pc-major: growing the pmode chunk widens the GEMMs with less real VMEM
+    growth than widening the batch block (see budget note above)."""
     radix = _radix_of(n)
     mats = 6 * radix * (n // radix) ** 2 * 4
-    for blk in (4, 2, 1):
-        if b % blk:
+    for pc in (8, 4, 2, 1):
+        if pmode % pc or pc > pmode:
             continue
-        for pc in (8, 4, 2, 1):
-            if pmode % pc or pc > pmode:
+        for blk in (4, 2, 1):
+            if b % blk:
                 continue
             chunk = 2 * blk * pc * n * n * 4            # one psi-chunk pair
             pat_blk = 2 * blk * sg * n * n * 4           # a+p patch block
@@ -613,16 +1101,15 @@ def _pick_plan(b, sg, n, pmode, backward, h_shared, need_dh):
                     2 * chunk            # psi in (dbuf)
                     + 2 * chunk          # g in (dbuf)
                     + 2 * chunk          # dpsi out (dbuf)
-                    + sg * chunk         # remat stack
+                    + (sg - 1) * chunk   # remat stack (entry 0 aliases psi in)
                     + 3 * chunk          # DFT temps / dchi / dpsi values
                     + 2 * pat_blk        # patch blocks (dbuf)
                     + 2 * pat_blk        # da/dp out blocks
-                    + t_scr
-                    + 2 * h_blk          # H in + dH out
+                    + h_blk              # H in (cos/sin recomputed, no scratch)
                     + mats
                 )
                 if need_dh:
-                    live += 2 * chunk    # K recompute temporaries
+                    live += 2 * chunk + h_blk  # K recompute temps + dH out
             else:
                 live = (
                     2 * chunk            # psi in (dbuf)
@@ -639,17 +1126,24 @@ def _pick_plan(b, sg, n, pmode, backward, h_shared, need_dh):
 
 
 def _best_sg(b, nz, n, pmode, h_shared, need_dh):
-    """Largest segment length whose BACKWARD plan fits (fewer HBM psi
-    boundaries); 0 if even Sg=1 does not fit."""
+    """Segment length whose plans fit VMEM, preferring the one whose BACKWARD
+    plan keeps the most batch*pmode rows per GEMM (measured to matter more
+    than fewer HBM psi boundaries: at PSO scale bwd (1,2)@sg=2 is 1.36x
+    bwd (1,1)@sg=2, while sg=3@(1,1) only trims ~10% of boundary traffic);
+    ties break toward larger sg. 0 if even Sg=1 does not fit."""
+    best, best_key = 0, (0, 0)
     for sg in range(min(nz, 8), 0, -1):
-        if (
-            _pick_plan(b, sg, n, pmode, backward=True, h_shared=h_shared,
-                       need_dh=need_dh) is not None
-            and _pick_plan(b, sg, n, pmode, backward=False, h_shared=h_shared,
-                           need_dh=need_dh) is not None
-        ):
-            return sg
-    return 0
+        pb = _pick_plan(b, sg, n, pmode, backward=True, h_shared=h_shared,
+                        need_dh=need_dh)
+        pf = _pick_plan(b, sg, n, pmode, backward=False, h_shared=h_shared,
+                        need_dh=need_dh)
+        if pb is not None and pf is not None:
+            # sg=1 puts EVERY slice boundary through HBM (nz-1 psi-pair
+            # round-trips) — only take it when nothing longer fits at all
+            key = (0, 1) if (sg == 1 and nz > 1) else (pb[0] * pb[1], sg)
+            if key > best_key:
+                best_key, best = key, sg
+    return best
 
 
 def chain_applicable_shapes(b, omode, nz, ny, nx, pmode, h_b, need_dh=False) -> bool:
@@ -705,10 +1199,27 @@ def multislice_dp_chain(obja_patches, objp_patches, probes: Cplx, H: Cplx,
 
     from ptyrad_tpu.ops.fourier import fftshift2
 
+    # the uniform part (S full segments) runs as ONE kernel per direction
+    # (chain_stack); only a ragged tail of nz % sg slices goes through the
+    # per-segment path
+    n_seg_uniform = nz // sg
+    nz_main = 0
+    if n_seg_uniform >= 2 and _mega_plan(
+        b_local, sg, n, pmode, h_shared, need_dh
+    ) is not None:
+        nz_main = n_seg_uniform * sg
+
     dp = None
     for om in range(omode):
         psi_r, psi_i = psi0_r, psi0_i
         z0 = 0
+        if nz_main:
+            psi_r, psi_i = chain_stack(
+                psi_r, psi_i,
+                obja_patches[:, om, :nz_main], objp_patches[:, om, :nz_main],
+                h_re, h_im, sg, nz_main == nz, need_dh,
+            )
+            z0 = nz_main
         while z0 < nz:
             z1 = min(z0 + sg, nz)
             psi_r, psi_i = chain_segment(

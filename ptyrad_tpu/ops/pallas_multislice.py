@@ -56,7 +56,19 @@ from jax.sharding import PartitionSpec as P
 from ptyrad_tpu.ops.fourier import _dft_consts, get_matmul_dtype
 from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
-_INTERPRET = False  # flipped by tests for CPU development
+_INTERPRET = False
+
+# Raise Mosaic's per-kernel VMEM ceiling past XLA's conservative 16 MiB
+# scoped default (physical VMEM on v5e/v6e is 128 MiB); _VMEM_BUDGET governs
+# what the block planner asks for. See ops/pallas_chain.py for the observed
+# 16.06-vs-16.00 MiB compile failure that motivated this.
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as _pltpu
+
+    return _pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)  # flipped by tests for CPU development
 
 
 def set_interpret(flag: bool) -> None:
@@ -424,6 +436,7 @@ def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, probe_kspace=Fal
             out_specs=_block((blk, n, n), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((bl, n, n), jnp.float32),
             interpret=_INTERPRET,
+            compiler_params=_compiler_params(),
         )(obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats)
 
     if mesh is not None:
@@ -498,6 +511,7 @@ def _fused_bwd(need_dh, probe_kspace, residuals, g):
                 dh_shape,
             ],
             interpret=_INTERPRET,
+            compiler_params=_compiler_params(),
         )(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats)
         if mesh is not None:
             # shared-parameter cotangents reduce across the data shards —

@@ -66,7 +66,17 @@ def set_interpret(flag: bool) -> None:
 
 
 _SUB, _LANE = 8, 128  # f32 VMEM tile (sublane, lane)
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
+_VMEM_BUDGET = 12 * 1024 * 1024  # what the lead-chunk planner asks for
+
+# Mosaic per-kernel VMEM ceiling — XLA's scoped default is 16 MiB; physical
+# VMEM on v5e/v6e is 128 MiB (see ops/pallas_chain.py).
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as _pltpu
+
+    return _pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -179,6 +189,7 @@ def pallas_gather(
         ),
         out_shape=jax.ShapeDtypeStruct((b, lpad, ny, nx), canvas.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(crop_pos.astype(jnp.int32), canvas3)
     return out[:, :l].reshape((b,) + lead + (ny, nx))
 
@@ -225,6 +236,7 @@ def pallas_scatter_add(
         ),
         out_shape=jax.ShapeDtypeStruct((lpad, hp, wp), patches.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(crop_pos.astype(jnp.int32), patches4)
     return out[:l, :h, :w].reshape(canvas_shape)
 

@@ -193,25 +193,71 @@ def load_opt_state(opt_state_template, path: str):
         return ckptr.restore(path, target=opt_state_template)
 
 
+_CANON_VOCAB = frozenset({
+    # optax Adam-family state field names (public API, stable across versions)
+    "mu", "nu", "count", "trace",
+    # our param-tree leaf names
+    "obja", "objp", "probe", "re", "im", "probe_pos_shifts", "obj_tilts",
+    "slice_thickness",
+})
+
+
+def _canonical_key(keystr: str):
+    """Version-tolerant digest of a keystr: the ordered meaningful tokens
+    (moment names + param-leaf path), ignoring optax wrapper boilerplate
+    (inner_states/inner_state/list indices) that optax is free to rename
+    between versions. '.inner_states[\\'obja\\'].inner_state[0].mu.obja' and a
+    hypothetical future '.states[\\'obja\\'][0].mu.obja' both digest to
+    ('obja', 'mu', 'obja')."""
+    import re
+
+    return tuple(t for t in re.findall(r"\w+", keystr) if t in _CANON_VOCAB)
+
+
 def _apply_keystr_dict(opt_state_template, values: Dict[str, Any]):
     """Rebuild an optax state pytree from {jax.tree_util.keystr(path): array}.
 
     Leaves missing from `values` keep their template value (non-array state
     leaves are never serialized); array dtypes/shapes are coerced to the
     template so a resumed state is structurally identical to a fresh one.
-    Raises if NOTHING matches — that means the checkpoint was written by a
-    structurally different optimizer (e.g. with/without grad accumulation,
-    whose MultiSteps wrapper prefixes every path) and a silent fresh state
-    would masquerade as a successful resume.
+    Exact keystr matching is tried first; a canonical-token fallback
+    (_canonical_key) absorbs optax-internal path renames so old checkpoints
+    keep resuming across optax upgrades. Raises if NOTHING matches — that
+    means the checkpoint was written by a structurally different optimizer
+    (e.g. with/without grad accumulation, whose MultiSteps wrapper prefixes
+    every path) and a silent fresh state would masquerade as a successful
+    resume.
     """
     import numpy as np
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state_template)
+
+    # canonical index of the checkpoint keys (unique digests only) — enabled
+    # only when checkpoint and template have the SAME number of array leaves:
+    # a pure rename (optax version bump) preserves arity, while a structural
+    # change (e.g. a MultiSteps wrapper adds acc_grads/step leaves) does not
+    # and must keep hitting the mismatch guard below
+    n_template_arrays = sum(1 for _, leaf in flat if hasattr(leaf, "shape"))
+    canon: Dict[tuple, str] = {}
+    if len(values) == n_template_arrays:
+        dup: set = set()
+        for k in values:
+            ck = _canonical_key(k)
+            if ck in canon:
+                dup.add(ck)
+            canon[ck] = k
+        canon = {ck: k for ck, k in canon.items() if ck not in dup}
     leaves = []
     matched = 0
+    canon_matched = 0
     unmatched_arrays = []
     for path, leaf in flat:
         key = jax.tree_util.keystr(path)
+        if key not in values and hasattr(leaf, "shape"):
+            alias = canon.get(_canonical_key(key))
+            if alias is not None:
+                key = alias
+                canon_matched += 1
         if key in values and hasattr(leaf, "shape"):
             arr = np.asarray(values[key])
             leaves.append(jnp.asarray(arr.reshape(leaf.shape), dtype=leaf.dtype))
@@ -229,6 +275,14 @@ def _apply_keystr_dict(opt_state_template, values: Dict[str, Any]):
             "optimizer state mismatch: no checkpoint key matches the current "
             f"optimizer's structure (checkpoint keys look like '{sample}') — "
             "was it saved with a different optimizer or grad_accumulation?"
+        )
+    if canon_matched:
+        from ptyrad_tpu.utils.logging import vprint
+
+        vprint(
+            f"optimizer-state restore: {canon_matched} leaf(s) matched via "
+            "canonical keys (checkpoint written by a different optax "
+            "version); values restored exactly"
         )
     if unmatched_arrays:
         from ptyrad_tpu.utils.logging import vprint

@@ -185,9 +185,10 @@ class TestScheduler:
         assert float(jnp.min(p2.objp)) >= 0.0
 
     def test_due_set_fused_into_one_program(self, rng):
-        """All constraints due at an iteration run as ONE jitted program per
-        distinct due-set (each distinct program is a multi-second remote
-        compile on the TPU backend)."""
+        """ONE jitted program serves every iteration (freq>1 constraints are
+        lax.cond-gated on the traced niter): each distinct compiled program
+        is a multi-second remote compile on the TPU backend, so a per-due-set
+        cache would pay that lottery up to 2^k times."""
         params, buffers, geom = make_state(rng)
         sched = C.ConstraintScheduler(
             {
@@ -200,8 +201,10 @@ class TestScheduler:
         )
         out1 = sched(params, buffers, niter=1)   # 3 due
         out2 = sched(params, buffers, niter=2)   # 4 due
-        sched(params, buffers, niter=3)          # same set as niter=1 (cached)
-        assert len(sched._compiled) == 2
+        sched(params, buffers, niter=3)          # same set as niter=1
+        # exactly one compiled program exists regardless of due-set mix
+        assert sched._jitted is not None
+        assert sched._composite() is sched._jitted
         # composition still applies every due constraint
         assert float(jnp.min(out1.objp)) >= 0.0
         assert float(jnp.max(out2.obja)) <= 1.1 + 1e-6
