@@ -27,7 +27,7 @@ import optax
 from ptyrad_tpu.constraints import ConstraintScheduler
 from ptyrad_tpu.engine.batching import make_batches, pad_batches, select_scan_indices
 from ptyrad_tpu.losses import combined_loss
-from ptyrad_tpu.models.forward import forward, get_measurements
+from ptyrad_tpu.models.forward import forward, fused_loss_terms, get_measurements
 from ptyrad_tpu.models.state import Buffers, Geometry, PtychoParams, make_model
 from ptyrad_tpu.optim import create_optimizer, mask_unstarted_grads
 from ptyrad_tpu.parallel.mesh import make_mesh, shard_model
@@ -55,6 +55,13 @@ def build_train_step(
     # compilation backends serialize into the program.
 
     def loss_fn(params, bufs, indices, mask):
+        # loss-folded fused kernel when in regime (loss_single-only data
+        # term, fused forward, omode 1, no detector blur): the data-term
+        # partial sums come out of the multislice kernel itself and the
+        # per-batch XLA loss glue disappears (models/forward.fused_loss_terms)
+        fused = fused_loss_terms(params, bufs, geom, indices, mask, loss_params)
+        if fused is not None:
+            return fused
         dp, (obja_p, objp_p) = forward(params, bufs, geom, indices)
         meas = get_measurements(bufs, geom, indices)
         total, terms = combined_loss(
@@ -104,6 +111,13 @@ def build_train_epoch(
     """
 
     def loss_fn(params, bufs, indices, mask):
+        # loss-folded fused kernel when in regime (loss_single-only data
+        # term, fused forward, omode 1, no detector blur): the data-term
+        # partial sums come out of the multislice kernel itself and the
+        # per-batch XLA loss glue disappears (models/forward.fused_loss_terms)
+        fused = fused_loss_terms(params, bufs, geom, indices, mask, loss_params)
+        if fused is not None:
+            return fused
         dp, (obja_p, objp_p) = forward(params, bufs, geom, indices)
         meas = get_measurements(bufs, geom, indices)
         total, terms = combined_loss(
@@ -162,6 +176,9 @@ def build_lbfgs_step(
 
     def value_fn_of(bufs, idx_all, mask_all):
         def one_batch(params, indices, mask):
+            fused = fused_loss_terms(params, bufs, geom, indices, mask, loss_params)
+            if fused is not None:
+                return fused[0]
             dp, (obja_p, objp_p) = forward(params, bufs, geom, indices)
             meas = get_measurements(bufs, geom, indices)
             total, _ = combined_loss(

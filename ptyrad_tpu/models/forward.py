@@ -201,6 +201,93 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
     return dp, (obja_p, objp_p)
 
 
+def fused_loss_terms(params: PtychoParams, buffers: Buffers, geom: Geometry,
+                     indices: jnp.ndarray, mask, loss_params):
+    """(total, terms) with the loss_single data term folded INTO the fused
+    multislice kernel, or None when the configuration is out of regime (the
+    caller then uses forward() + combined_loss — identical numerics).
+
+    In regime when: the fused kernel serves the forward (geom.fwd_fused,
+    shapes fit), omode == 1, no detector blur, and loss_single is the only
+    dp-dependent loss term (sparse/simlar act on patches and stay outside).
+    The kernel computes the corner-centered dp AND the data-term partial
+    sums in VMEM, so the per-step XLA loss glue (fftshift, sqrt/mse passes,
+    dp/g_dp HBM round-trips) vanishes; measurements are ifftshift2-ed to
+    match the corner-centered order (pixel-sum losses are permutation-
+    invariant). See ops/pallas_multislice.multislice_loss_sums_fused.
+    """
+    from ptyrad_tpu.losses import DEFAULT_LOSS_PARAMS, loss_simlar, loss_sparse
+    from ptyrad_tpu.ops.fourier import ifftshift2
+    from ptyrad_tpu.ops.pallas_multislice import (
+        fused_applicable_shapes,
+        multislice_loss_sums_fused,
+    )
+
+    cfg = {**DEFAULT_LOSS_PARAMS, **(loss_params or {})}
+    if (not cfg["loss_single"]["state"] or cfg["loss_poissn"]["state"]
+            or cfg["loss_pacbed"]["state"]):
+        return None
+    if not geom.fwd_fused:
+        return None
+    std = geom.detector_blur_std
+    if std is not None and std != 0:
+        return None
+
+    obja_p, objp_p = get_obj_patches(params, buffers, geom, indices)
+    b, omode = obja_p.shape[0], obja_p.shape[1]
+    if omode != 1:
+        return None
+    H = compute_propagators(params, buffers, geom, indices)
+    h_differentiable = geom.change_thickness or geom.tilt_obj
+    probe_b = b if geom.shift_probes else 1
+    if not fused_applicable_shapes(
+        b, omode, obja_p.shape[2], obja_p.shape[3], obja_p.shape[4],
+        probe_b, params.probe.shape[0], H.shape[0], need_dh=h_differentiable,
+    ):
+        return None
+
+    if geom.shift_probes:
+        from ptyrad_tpu.ops.shift import fourier_shift_kspace
+
+        probes_k = fourier_shift_kspace(params.probe, params.probe_pos_shifts[indices])
+        pr, pi, kspace = probes_k.re, probes_k.im, True
+    else:
+        pr, pi, kspace = params.probe[None].re, params.probe[None].im, False
+
+    meas = get_measurements(buffers, geom, indices)
+    meas_cc = ifftshift2(meas)
+    mask_b = mask if mask is not None else jnp.ones((b,), jnp.float32)
+    mask_pad = jnp.zeros((b, 8, 128), jnp.float32).at[:, 0, 0].set(mask_b)
+
+    sp = cfg["loss_single"]
+    p = float(sp.get("dp_pow", 0.5))
+    s1, s2 = multislice_loss_sums_fused(
+        obja_p, objp_p, pr, pi, H.re, H.im, meas_cc, mask_pad,
+        p, float(geom.eps), h_differentiable, kspace,
+    )
+    npix = obja_p.shape[3] * obja_p.shape[4]
+    denom = npix * jnp.sum(mask_b)
+    # identical to losses.loss_single's _bmean algebra: mse = s1/denom,
+    # data_mean = s2/denom
+    single = sp["weight"] * jnp.sqrt(s1 / denom) / (s2 / denom)
+
+    zero = jnp.float32(0.0)
+    terms = {
+        "loss_single": single,
+        "loss_poissn": zero,
+        "loss_pacbed": zero,
+        "loss_sparse": (
+            loss_sparse(objp_p, buffers.omode_occu, cfg["loss_sparse"], mask)
+            if cfg["loss_sparse"]["state"] else zero
+        ),
+        "loss_simlar": (
+            loss_simlar(obja_p, objp_p, buffers.omode_occu, cfg["loss_simlar"], mask)
+            if cfg["loss_simlar"]["state"] else zero
+        ),
+    }
+    return sum(terms.values()), terms
+
+
 def get_measurements(buffers: Buffers, geom: Geometry, indices: jnp.ndarray) -> jnp.ndarray:
     """Measured patterns for a batch, with on-the-fly pad/resample.
 

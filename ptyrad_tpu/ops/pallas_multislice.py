@@ -68,7 +68,7 @@ _VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 def _compiler_params():
     from jax.experimental.pallas import tpu as _pltpu
 
-    return _pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)  # flipped by tests for CPU development
+    return _pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
 def set_interpret(flag: bool) -> None:
@@ -220,17 +220,26 @@ def _bwd_kernel(nz, n, pmode, blk, shared, h_shared, need_dh, kspace, dt,
     a_pat = a_ref[:, 0]
     p_pat = p_ref[:, 0]
     h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
-    inv_scale = np.float32(1.0 / (n * n))
 
     psi0_r, psi0_i = _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n)
     chi_r, chi_i, stack = _forward_chain(
         psi0_r, psi0_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n, dt,
         store_stack=True,
     )
-
-    # d dp/d Y: dp = sum_p (Yr^2 + Yi^2)/(N*N);  dY = 2 g Y / (N*N)
     yr, yi = _dft2(chi_r, chi_i, fwd, dt)
-    g = (g_ref[...] * np.float32(2.0 / (n * n)))  # (blk, N, N)
+    _bwd_from_g(nz, n, pmode, blk, shared, h_shared, need_dh, kspace, dt,
+                g_ref[...], stack, yr, yi, a_pat, p_pat, h_r, h_i, fwd, inv,
+                da_ref, dp_out_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref)
+
+
+def _bwd_from_g(nz, n, pmode, blk, shared, h_shared, need_dh, kspace, dt,
+                g2d, stack, yr, yi, a_pat, p_pat, h_r, h_i, fwd, inv,
+                da_ref, dp_out_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref):
+    """Adjoint chain walk shared by the plain and loss-folded backward
+    kernels: g2d (blk, N, N) is the cotangent of the corner-centered dp."""
+    inv_scale = np.float32(1.0 / (n * n))
+    # d dp/d Y: dp = sum_p (Yr^2 + Yi^2)/(N*N);  dY = 2 g Y / (N*N)
+    g = g2d * np.float32(2.0 / (n * n))  # (blk, N, N)
     gp = jnp.broadcast_to(g[:, None], (blk, pmode, n, n)).reshape(blk * pmode, n, n)
     dyr, dyi = gp * yr, gp * yi
     # adjoint of the final fwd DFT = unnormalized inverse matrices
@@ -539,6 +548,288 @@ def _fused_bwd(need_dh, probe_kspace, residuals, g):
 
 
 multislice_dp_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Loss-folded variant: the loss_single data term's partial sums are computed
+# IN-KERNEL, so the per-step XLA glue (fftshift of dp, sqrt/pow/mse passes,
+# the dp and g_dp HBM round-trips) disappears from the training step. The
+# kernel emits s1 = sum mask*((dp+eps)^p - meas^p)^2 and s2 = sum mask*meas^p
+# (dp corner-centered, meas pre-ifftshifted by the caller — the loss reduces
+# over pixels, so the common fftshift permutation cancels); the scalar tail
+# L = w*sqrt(s1/(N^2*sum mask))/(s2/(N^2*sum mask)) runs in XLA where
+# autodiff supplies ds1's upstream cotangent to the backward kernel.
+# ---------------------------------------------------------------------------
+
+
+def _pow_p(x, p):
+    if p == 1.0:
+        return x
+    if p == 0.5:
+        return jnp.sqrt(x)
+    return jnp.power(x, np.float32(p))
+
+
+def _pow_pm1(x, p):
+    """x^(p-1); x is strictly positive (dp + eps)."""
+    if p == 1.0:
+        return jnp.ones_like(x)
+    if p == 0.5:
+        return jax.lax.rsqrt(x)
+    return jnp.power(x, np.float32(p - 1.0))
+
+
+def _fwd_loss_kernel(nz, n, pmode, blk, shared, h_shared, kspace, p, eps, dt,
+                     mask_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref, hi_ref,
+                     meas_ref, fr_ref, fi_ref, frpi_ref, br_ref, bi_ref,
+                     brpi_ref, out_ref):
+    """Forward chain + in-kernel data-term partials. out row i holds
+    [s1_part, s2_part, 0...] for this batch block."""
+    fwd = (fr_ref[:], fi_ref[:], frpi_ref[:])
+    inv = (br_ref[:], bi_ref[:], brpi_ref[:])
+    a_pat = a_ref[:, 0]
+    p_pat = p_ref[:, 0]
+    psi_r, psi_i = _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n)
+    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+    chi_r, chi_i, _ = _forward_chain(
+        psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n, dt
+    )
+    yr, yi = _dft2(chi_r, chi_i, fwd, dt)
+    inten = (yr * yr + yi * yi).reshape(blk, pmode, n, n)
+    dp = jnp.sum(inten, axis=1) * np.float32(1.0 / (n * n))
+    mp = _pow_p(meas_ref[...], p)
+    diff = _pow_p(dp + np.float32(eps), p) - mp
+    # per-sample mask weights applied scalar-by-scalar: Mosaic cannot lower
+    # a (blk, 1, 1) -> (blk, N, N) vector broadcast, and blk <= 8
+    d2 = diff * diff
+    s1 = jnp.float32(0.0)
+    s2 = jnp.float32(0.0)
+    for ib in range(blk):
+        w_ib = mask_ref[ib, 0, 0]
+        s1 = s1 + w_ib * jnp.sum(d2[ib])
+        s2 = s2 + w_ib * jnp.sum(mp[ib])
+    # (8, 128) tile with s1 at [0,0] and s2 at [0,1] (TPU blocks need the
+    # last two dims tiled (8, 128))
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    tile = jnp.where(
+        (row == 0) & (col == 0), s1,
+        jnp.where((row == 0) & (col == 1), s2, np.float32(0.0)),
+    )
+    out_ref[...] = tile[None]
+
+
+def _bwd_loss_kernel(nz, n, pmode, blk, shared, h_shared, need_dh, kspace, p,
+                     eps, dt,
+                     c_ref, mask_ref, a_ref, p_ref, pr_ref, pi_ref, hr_ref,
+                     hi_ref, meas_ref, fr_ref, fi_ref, frpi_ref, br_ref,
+                     bi_ref, brpi_ref,
+                     da_ref, dp_out_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref):
+    """Backward with the dp cotangent computed in-kernel from meas:
+    g = c * mask * 2p * ((dp+eps)^p - meas^p) * (dp+eps)^(p-1), where c is
+    the upstream cotangent of s1 (XLA autodiff of the scalar loss tail)."""
+    fwd = (fr_ref[:], fi_ref[:], frpi_ref[:])
+    inv = (br_ref[:], bi_ref[:], brpi_ref[:])
+    a_pat = a_ref[:, 0]
+    p_pat = p_ref[:, 0]
+    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+
+    psi0_r, psi0_i = _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n)
+    chi_r, chi_i, stack = _forward_chain(
+        psi0_r, psi0_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n, dt,
+        store_stack=True,
+    )
+    yr, yi = _dft2(chi_r, chi_i, fwd, dt)
+    inten = (yr * yr + yi * yi).reshape(blk, pmode, n, n)
+    dp = jnp.sum(inten, axis=1) * np.float32(1.0 / (n * n))
+    dpe = dp + np.float32(eps)
+    mp = _pow_p(meas_ref[...], p)
+    # per-sample mask as a scalar coefficient per row (see forward kernel)
+    base = c_ref[0, 0] * np.float32(2.0 * p)
+    rows = []
+    for ib in range(blk):
+        coef = base * mask_ref[ib, 0, 0]
+        rows.append(coef * ((_pow_p(dpe[ib], p) - mp[ib]) * _pow_pm1(dpe[ib], p)))
+    g2d = jnp.stack(rows, axis=0)
+    _bwd_from_g(nz, n, pmode, blk, shared, h_shared, need_dh, kspace, dt,
+                g2d, stack, yr, yi, a_pat, p_pat, h_r, h_i, fwd, inv,
+                da_ref, dp_out_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def multislice_loss_sums_fused(obja_p, objp_p, probe_r, probe_i, h_r, h_i,
+                               meas_cc, mask_pad, dp_pow, eps, need_dh=False,
+                               probe_kspace=False):
+    """(s1, s2) data-term partial sums with the forward chain AND the loss
+    comparison fused into one kernel.
+
+    meas_cc: measurements ifftshift2-ed to the kernel's corner-centered dp
+    order. mask_pad: (B, 8, 128) f32 with the per-sample batch mask at
+    [:, 0, 0] (tile-padded for VMEM). dp_pow/eps are STATIC floats. meas_cc and
+    mask_pad are loss data, not optimization variables — their cotangents
+    are returned as zeros.
+    """
+    return _loss_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i,
+                          meas_cc, mask_pad, dp_pow, eps, probe_kspace)
+
+
+def _loss_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc,
+                   mask_pad, dp_pow, eps, probe_kspace):
+    b, _, nz, n, _ = obja_p.shape
+    pmode = probe_r.shape[1]
+    shared = probe_r.shape[0] == 1
+    h_shared = h_r.shape[0] == 1
+    mesh = get_kernel_mesh()
+    b_local = b // kernel_mesh_size()
+    blk = _pick_blk(b_local, nz, n, pmode, backward=False, shared=shared,
+                    h_shared=h_shared)
+    if blk is None:
+        raise ValueError(
+            "multislice_loss_sums_fused: shapes exceed the VMEM budget — "
+            "fused_path_applicable would have declined this"
+        )
+    fwd_m, inv_m = _consts(n)
+
+    def run(obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc, mask_pad, *mats):
+        bl = obja_p.shape[0]
+        kernel = functools.partial(
+            _fwd_loss_kernel, nz, n, pmode, blk, shared, h_shared,
+            bool(probe_kspace), float(dp_pow), float(eps), _gemm_dtype(),
+        )
+        specs = _common_specs(nz, n, pmode, blk, shared, h_shared)
+        out = pl.pallas_call(
+            kernel,
+            grid=(bl // blk,),
+            in_specs=[_block((blk, 8, 128), lambda i: (i, 0, 0))] + specs[:6]
+            + [_block((blk, n, n), lambda i: (i, 0, 0))] + specs[6:],
+            out_specs=_block((1, 8, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((bl // blk, 8, 128), jnp.float32),
+            interpret=_INTERPRET,
+            compiler_params=_compiler_params(),
+        )(mask_pad, obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc, *mats)
+        s1 = jnp.sum(out[:, 0, 0])
+        s2 = jnp.sum(out[:, 0, 1])
+        if mesh is not None:
+            s1 = jax.lax.psum(s1, DATA_AXIS)
+            s2 = jax.lax.psum(s2, DATA_AXIS)
+        return s1, s2
+
+    if mesh is not None:
+        d = P(DATA_AXIS)
+        probe = P() if shared else d
+        h = P() if h_shared else d
+        run = jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(d, d, probe, probe, h, h, d, d) + (P(),) * 6,
+            out_specs=(P(), P()), check_vma=False,
+        )
+    return run(obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc, mask_pad,
+               *fwd_m, *inv_m)
+
+
+def _loss_fused_fwd(obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc,
+                    mask_pad, dp_pow, eps, need_dh, probe_kspace):
+    out = _loss_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc,
+                         mask_pad, dp_pow, eps, probe_kspace)
+    return out, (obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc, mask_pad)
+
+
+def _loss_fused_bwd(dp_pow, eps, need_dh, probe_kspace, residuals, g):
+    obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc, mask_pad = residuals
+    g1, _g2 = g  # s2 is meas-only: no model cotangent
+    b, _, nz, n, _ = obja_p.shape
+    pmode = probe_r.shape[1]
+    shared = probe_r.shape[0] == 1
+    h_shared = h_r.shape[0] == 1
+    mesh = get_kernel_mesh()
+    b_local = b // kernel_mesh_size()
+    blk = _pick_blk(b_local, nz, n, pmode, backward=True, shared=shared,
+                    h_shared=h_shared, need_dh=bool(need_dh))
+    if blk is None:
+        raise ValueError(
+            "multislice_loss_sums_fused backward: shapes exceed the VMEM "
+            "budget — fused_path_applicable would have declined this"
+        )
+    fwd_m, inv_m = _consts(n)
+    # upstream ds1 cotangent as an (8, 128) VMEM tile the kernel reads at [0,0]
+    c_row = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(g1)
+
+    def run(c_row, obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc,
+            mask_pad, *mats):
+        bl = obja_p.shape[0]
+        kernel = functools.partial(
+            _bwd_loss_kernel, nz, n, pmode, blk, shared, h_shared,
+            bool(need_dh), bool(probe_kspace), float(dp_pow), float(eps),
+            _gemm_dtype(),
+        )
+        if shared:
+            dprobe_spec = _block((1, pmode, n, n), lambda i: (0, 0, 0, 0))
+            dprobe_shape = jax.ShapeDtypeStruct((1, pmode, n, n), jnp.float32)
+        else:
+            dprobe_spec = _block((blk, pmode, n, n), lambda i: (i, 0, 0, 0))
+            dprobe_shape = jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32)
+        if h_shared:
+            dh_spec = _block((1, n, n), lambda i: (0, 0, 0))
+            dh_shape = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
+        else:
+            dh_spec = _block((blk, n, n), lambda i: (i, 0, 0))
+            dh_shape = jax.ShapeDtypeStruct((bl, n, n), jnp.float32)
+        specs = _common_specs(nz, n, pmode, blk, shared, h_shared)
+        da, dp_out, dpr, dpi, dhr, dhi = pl.pallas_call(
+            kernel,
+            grid=(bl // blk,),
+            in_specs=[
+                _block((8, 128), lambda i: (0, 0)),
+                _block((blk, 8, 128), lambda i: (i, 0, 0)),
+            ] + specs[:6] + [_block((blk, n, n), lambda i: (i, 0, 0))] + specs[6:],
+            out_specs=[
+                _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
+                _block((blk, 1, nz, n, n), lambda i: (i, 0, 0, 0, 0)),
+                dprobe_spec,
+                dprobe_spec,
+                dh_spec,
+                dh_spec,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bl, 1, nz, n, n), jnp.float32),
+                jax.ShapeDtypeStruct((bl, 1, nz, n, n), jnp.float32),
+                dprobe_shape,
+                dprobe_shape,
+                dh_shape,
+                dh_shape,
+            ],
+            interpret=_INTERPRET,
+            compiler_params=_compiler_params(),
+        )(c_row, mask_pad, obja_p, objp_p, probe_r, probe_i, h_r, h_i,
+          meas_cc, *mats)
+        if mesh is not None:
+            if shared:
+                dpr = jax.lax.psum(dpr, DATA_AXIS)
+                dpi = jax.lax.psum(dpi, DATA_AXIS)
+            if h_shared:
+                dhr = jax.lax.psum(dhr, DATA_AXIS)
+                dhi = jax.lax.psum(dhi, DATA_AXIS)
+        return da, dp_out, dpr, dpi, dhr, dhi
+
+    if mesh is not None:
+        d = P(DATA_AXIS)
+        probe = P() if shared else d
+        h = P() if h_shared else d
+        out_specs = (d, d, probe, probe, h, h)
+        run = jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(), d, d, probe, probe, h, h, d, d) + (P(),) * 6,
+            out_specs=out_specs, check_vma=False,
+        )
+    da, dp_out, dpr, dpi, dhr, dhi = run(
+        c_row, obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc, mask_pad,
+        *fwd_m, *inv_m,
+    )
+    return (da, dp_out, dpr, dpi, dhr, dhi,
+            jnp.zeros_like(meas_cc), jnp.zeros_like(mask_pad))
+
+
+multislice_loss_sums_fused.defvjp(_loss_fused_fwd, _loss_fused_bwd)
 
 
 def fused_applicable_shapes(b, omode, nz, ny, nx, probe_b, pmode, h_b,

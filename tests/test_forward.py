@@ -283,6 +283,70 @@ class TestPallasFusedPath:
         finally:
             pm.set_interpret(False)
 
+    @pytest.mark.parametrize("shift_probes,with_sparse", [(False, False), (True, True)])
+    def test_fused_loss_fold_matches_combined_loss(self, rng, shift_probes, with_sparse):
+        """The loss-folded kernel path (fused_loss_terms: loss_single partial
+        sums computed in-kernel against ifftshifted measurements) must match
+        forward() + combined_loss — loss value, per-term dict, and all
+        gradients including probe-position shifts — with a padded (masked-out)
+        batch sample present."""
+        import jax
+
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import fused_loss_terms, get_measurements
+        from ptyrad_tpu.ops import pallas_multislice as pm
+
+        init = make_toy_init(rng, omode=1, nz=3, pmode=2, npix=16, n_scans=6)
+        upd = {"probe_pos_shifts": {"lr": 1e-4, "start_iter": 1}} if shift_probes else {}
+        if shift_probes:
+            init["probe_pos_shifts"] = 0.3 * rng.standard_normal((6, 2)).astype(np.float32)
+        params, buffers, geom = make_model(init, {"update_params": upd} if upd else None)
+        assert geom.shift_probes == shift_probes
+        idx = jnp.arange(4)
+        mask = jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32)  # padded tail
+        loss_params = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}}
+        if with_sparse:
+            loss_params["loss_sparse"] = {"state": True, "weight": 0.1, "ln_order": 1}
+
+        def ref_fn(p):
+            dp, (oa, op) = forward(p, buffers, geom, idx)
+            meas = get_measurements(buffers, geom, idx)
+            return combined_loss(dp, meas, oa, op, buffers.omode_occu,
+                                 loss_params, mask)
+
+        def fold_fn(p):
+            out = fused_loss_terms(p, buffers, geom, idx, mask, loss_params)
+            assert out is not None, "fused loss path unexpectedly declined"
+            return out
+
+        pm.set_interpret(True)
+        try:
+            t_ref, terms_ref = ref_fn(params)
+            g_ref = jax.grad(lambda p: ref_fn(p)[0])(params)
+            t_fold, terms_fold = fold_fn(params)
+            g_fold = jax.grad(lambda p: fold_fn(p)[0])(params)
+        finally:
+            pm.set_interpret(False)
+
+        np.testing.assert_allclose(float(t_fold), float(t_ref), rtol=1e-5)
+        for k in terms_ref:
+            np.testing.assert_allclose(
+                float(terms_fold[k]), float(terms_ref[k]), rtol=1e-5, atol=1e-8,
+                err_msg=f"term mismatch: {k}",
+            )
+        pairs = [("obja", g_ref.obja, g_fold.obja),
+                 ("objp", g_ref.objp, g_fold.objp),
+                 ("probe.re", g_ref.probe.re, g_fold.probe.re),
+                 ("probe.im", g_ref.probe.im, g_fold.probe.im)]
+        if shift_probes:
+            pairs.append(("pos", g_ref.probe_pos_shifts, g_fold.probe_pos_shifts))
+        for name, a, b in pairs:
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-5 * scale, rtol=1e-3,
+                err_msg=f"fused-loss gradient mismatch: {name}",
+            )
+
     def test_fused_per_position_probes(self, rng):
         """shift_probes gives per-position (B, pmode, N, N) probes; the fused
         kernel's per-sample probe-gradient path must match jnp, including
@@ -484,6 +548,65 @@ class TestPallasChainPath:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), atol=3e-6 * scale,
                 err_msg=f"gradient mismatch: {name}",
+            )
+
+    @pytest.mark.parametrize("park", [True, False])
+    def test_mega_chain_stack_matches_jnp(self, rng, park, monkeypatch):
+        """The mega kernel (chain_stack: ALL uniform segments in one
+        pallas_call per direction, wavefield carried in VMEM scratch) must be
+        used by the dispatcher at S>=2 and match the jnp path — values and
+        gradients — with the s-parked g/dpsi0 index maps ON and OFF."""
+        from ptyrad_tpu.models.forward import multislice_dp
+        from ptyrad_tpu.ops import cplx, pallas_chain as pch
+
+        B, pmode, omode, nz, seg, n = 4, 2, 1, 7, 2, 16  # S=3 uniform + tail 1
+        obja = jnp.asarray(rng.uniform(0.9, 1.0, (B, omode, nz, n, n)).astype(np.float32))
+        objp = jnp.asarray(rng.uniform(-0.3, 0.3, (B, omode, nz, n, n)).astype(np.float32))
+        pr = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        pi = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        hr = jnp.asarray((1 + 0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        hi = jnp.asarray((0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        occu = jnp.ones(1, jnp.float32)
+
+        calls = []
+        orig = pch._mega_fwd_impl
+
+        def counting(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pch, "_mega_fwd_impl", counting)
+
+        def ref_fn(obja, objp, pr, pi, hr, hi):
+            return multislice_dp(obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi),
+                                 occu, eps=1e-10)
+
+        def chain_fn(obja, objp, pr, pi, hr, hi):
+            return pch.multislice_dp_chain(
+                obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi), occu, 1e-10,
+                need_dh=True, seg_override=seg,
+            )
+
+        args = (obja, objp, pr, pi, hr, hi)
+        pch.set_interpret(True)
+        pch.set_park_maps(park)
+        try:
+            dp_c = chain_fn(*args)
+            assert calls, "dispatcher did not route the uniform part to chain_stack"
+            g_c = self._grads(chain_fn, args)
+        finally:
+            pch.set_interpret(False)
+            pch.set_park_maps(True)
+        dp_r = ref_fn(*args)
+        g_r = self._grads(ref_fn, args)
+
+        np.testing.assert_allclose(np.asarray(dp_c), np.asarray(dp_r), rtol=1e-4, atol=1e-6)
+        for name, a, b in zip(["obja", "objp", "probe_re", "probe_im", "h_re", "h_im"],
+                              g_r, g_c):
+            scale = max(float(jnp.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=3e-6 * scale,
+                err_msg=f"mega gradient mismatch (park={park}): {name}",
             )
 
     @pytest.mark.parametrize("n,m", [(16, 8), (32, 8)])  # radix 2 and 4
