@@ -14,6 +14,14 @@ import argparse
 import sys
 
 
+
+def _apply_common_overrides(params: dict, args) -> None:
+    """CLI flags that override params-file fields."""
+    if getattr(args, "mixed_precision", False):
+        # reference exposes --mixed_precision at launch (docs/launch/
+        # multiGPU.md:41); here it forces bf16 DFT-GEMM operands
+        params.setdefault("model_params", {})["matmul_dtype"] = "bfloat16"
+
 def cmd_run(args):
     from ptyrad_tpu.load import load_params
     from ptyrad_tpu.utils.logging import CustomLogger
@@ -27,10 +35,7 @@ def cmd_run(args):
     )
     print_system_info()
     params = load_params(args.params_path, validate=not args.skip_validate)
-    if getattr(args, "mixed_precision", False):
-        # reference exposes --mixed_precision at launch (docs/launch/
-        # multiGPU.md:41); here it forces bf16 DFT-GEMM operands
-        params.setdefault("model_params", {})["matmul_dtype"] = "bfloat16"
+    _apply_common_overrides(params, args)
     mesh = resolve_devices(args.n_devices)
 
     ht = params.get("hypertune_params") or {}

@@ -204,6 +204,36 @@ def phase_corr(params, true_phase, margin=10):
     return np.corrcoef(rec, tru)[0, 1]
 
 
+class TestMixedPrecisionWiring:
+    def test_matmul_dtype_reaches_fourier_config(self, rng):
+        """model_params.matmul_dtype (reference --mixed_precision) must reach
+        ops.fourier.set_matmul_dtype when the solver builds, and reset works."""
+        from ptyrad_tpu.ops.fourier import get_matmul_dtype, set_matmul_dtype
+
+        init, _ = make_synthetic(rng)
+        cfg = solver_params(niter=1)
+        cfg["model_params"]["matmul_dtype"] = "bfloat16"
+        solver = PtyRADSolver(cfg, init_variables=init, mesh=None, verbose=False)
+        solver.prepare()
+        try:
+            solver._build()
+            assert get_matmul_dtype() == "bfloat16"
+        finally:
+            set_matmul_dtype("float32")
+
+    def test_cli_mixed_precision_flag_sets_dtype(self):
+        """--mixed_precision overrides model_params.matmul_dtype (reference
+        docs/launch/multiGPU.md:41)."""
+        import argparse
+
+        from ptyrad_tpu.cli import _apply_common_overrides
+
+        params = {}
+        args = argparse.Namespace(mixed_precision=True)
+        _apply_common_overrides(params, args)
+        assert params["model_params"]["matmul_dtype"] == "bfloat16"
+
+
 class TestSolverEndToEnd:
     def test_reconstruction_converges(self, rng):
         init, true_phase = make_synthetic(rng)

@@ -347,6 +347,36 @@ class TestPallasFusedPath:
                 err_msg=f"fused-loss gradient mismatch: {name}",
             )
 
+    def test_fused_loss_fold_declines_out_of_regime(self, rng):
+        """fused_loss_terms must return None (generic path) when a
+        dp-dependent term other than loss_single is active, when detector
+        blur is on, or when the fused kernel itself is unavailable."""
+        import dataclasses
+
+        from ptyrad_tpu.models.forward import fused_loss_terms
+        from ptyrad_tpu.ops import pallas_multislice as pm
+
+        init = make_toy_init(rng, omode=1, nz=3, pmode=2, npix=16, n_scans=6)
+        params, buffers, geom = make_model(init)
+        idx = jnp.arange(4)
+        mask = jnp.ones(4, jnp.float32)
+        single_only = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}}
+
+        pm.set_interpret(True)
+        try:
+            assert fused_loss_terms(params, buffers, geom, idx, mask, single_only) is not None
+            with_poissn = {**single_only,
+                           "loss_poissn": {"state": True, "weight": 1.0, "dp_pow": 1.0}}
+            assert fused_loss_terms(params, buffers, geom, idx, mask, with_poissn) is None
+            geom_blur = dataclasses.replace(geom, detector_blur_std=1.0)
+            assert fused_loss_terms(params, buffers, geom_blur, idx, mask, single_only) is None
+            geom_nofused = dataclasses.replace(geom, fwd_fused=False)
+            assert fused_loss_terms(params, buffers, geom_nofused, idx, mask, single_only) is None
+        finally:
+            pm.set_interpret(False)
+        # interpret off on CPU: kernel unavailable -> decline
+        assert fused_loss_terms(params, buffers, geom, idx, mask, single_only) is None
+
     def test_fused_per_position_probes(self, rng):
         """shift_probes gives per-position (B, pmode, N, N) probes; the fused
         kernel's per-sample probe-gradient path must match jnp, including
@@ -607,6 +637,48 @@ class TestPallasChainPath:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), atol=3e-6 * scale,
                 err_msg=f"mega gradient mismatch (park={park}): {name}",
+            )
+
+    def test_chain_auto_segmentation_matches_jnp(self, rng):
+        """No seg_override: _best_sg plans the segment length itself. nz=11
+        with the sg cap at 8 forces a mega/ragged split chosen by the
+        planner, not the test — values and gradients must still match."""
+        from ptyrad_tpu.models.forward import multislice_dp
+        from ptyrad_tpu.ops import cplx, pallas_chain as pch
+
+        B, pmode, omode, nz, n = 4, 2, 1, 11, 16
+        obja = jnp.asarray(rng.uniform(0.9, 1.0, (B, omode, nz, n, n)).astype(np.float32))
+        objp = jnp.asarray(rng.uniform(-0.3, 0.3, (B, omode, nz, n, n)).astype(np.float32))
+        pr = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        pi = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        hr = jnp.asarray((1 + 0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        hi = jnp.asarray((0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        occu = jnp.ones(1, jnp.float32)
+
+        def ref_fn(obja, objp, pr, pi, hr, hi):
+            return multislice_dp(obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi),
+                                 occu, eps=1e-10)
+
+        def chain_fn(obja, objp, pr, pi, hr, hi):
+            return pch.multislice_dp_chain(
+                obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi), occu, 1e-10,
+            )
+
+        args = (obja, objp, pr, pi, hr, hi)
+        pch.set_interpret(True)
+        try:
+            dp_c = chain_fn(*args)
+            g_c = self._grads(chain_fn, args)
+        finally:
+            pch.set_interpret(False)
+        dp_r = ref_fn(*args)
+        g_r = self._grads(ref_fn, args)
+        np.testing.assert_allclose(np.asarray(dp_c), np.asarray(dp_r), rtol=1e-4, atol=1e-6)
+        for name, a, b in zip(["obja", "objp", "probe_re", "probe_im"], g_r, g_c):
+            scale = max(float(jnp.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=3e-6 * scale,
+                err_msg=f"auto-sg gradient mismatch: {name}",
             )
 
     @pytest.mark.parametrize("n,m", [(16, 8), (32, 8)])  # radix 2 and 4
