@@ -140,7 +140,7 @@ def compute_hypertune_error(solver, error_metric: str) -> float:
 def hypertune_objective(trial, params: dict, init: Initializer, mesh=None, verbose: bool = False) -> float:
     """One trial: apply sampled params, rebuild the model, run NITER iterations
     with per-iteration pruning reports, collate results."""
-    from ptyrad_tpu.engine.solver import PtyRADSolver, recon_step
+    from ptyrad_tpu.engine.solver import PtyRADSolver
     from ptyrad_tpu.save import save_results
 
     trial_params = apply_trial_params(trial, params, init)
@@ -184,12 +184,16 @@ def hypertune_objective(trial, params: dict, init: Initializer, mesh=None, verbo
             term_avgs = {k: float(np.mean(np.asarray(v))) for k, v in terms_dev.items()}
             solver.params = solver.constraint_fn(solver.params, solver.buffers, niter)
             jax.block_until_ready(solver.params.obja)
-        else:  # LBFGS trials keep the per-batch path
-            solver.params, solver.opt_state, term_avgs = recon_step(
-                solver.train_step, solver.params, solver.opt_state,
-                solver.batch_idx, solver.batch_mask, niter,
-                solver.constraint_fn, solver.buffers, solver._put_batch,
+        else:  # LBFGS: the solver builds lbfgs_step (train_step is None)
+            idx_all = jnp.asarray(solver.batch_idx)
+            mask_all = jnp.asarray(solver.batch_mask)
+            if solver._put_batch is not None:
+                idx_all, mask_all = solver._put_batch(idx_all, mask_all)
+            solver.params, solver.opt_state, value = solver.lbfgs_step(
+                solver.params, solver.opt_state, idx_all, mask_all
             )
+            solver.params = solver.constraint_fn(solver.params, solver.buffers, niter)
+            term_avgs = {"loss_total": float(value)}
         total = float(sum(term_avgs.values()))
         solver.history.loss_iters.append((niter, total))
         solver.history.iter_times.append(_time.perf_counter() - t0)

@@ -566,12 +566,21 @@ class PtyRADSolver:
 
     @staticmethod
     def _mosaic_vmem_error(e: Exception) -> bool:
-        """Does this look like a Mosaic VMEM/scoped-memory compile failure?"""
+        """Does this look like a Mosaic VMEM/scoped-memory COMPILE failure?
+
+        Deliberately narrow: a runtime HBM OOM also says RESOURCE_EXHAUSTED,
+        but by then the donated params/opt_state buffers are consumed, so a
+        retry would die on deleted arrays and mask the real error — only
+        compile-stage signals (vmem / scoped memory / Mosaic lowering)
+        qualify for the kernels-off retry."""
         msg = str(e).lower()
+        if "nan" in msg:
+            return False
+        if "hbm" in msg and "vmem" not in msg:
+            return False  # runtime HBM OOM, not a kernel VMEM compile failure
         return any(
-            s in msg
-            for s in ("vmem", "scoped vector memory", "resource_exhausted", "mosaic")
-        ) and "nan" not in msg
+            s in msg for s in ("vmem", "scoped vector memory", "mosaic")
+        )
 
     def _lbfgs_loop(self, n_iter: int, callback=None):
         """LBFGS iteration loop over the grad-accumulated batch objective."""

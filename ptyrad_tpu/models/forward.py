@@ -253,6 +253,13 @@ def fused_loss_terms(params: PtychoParams, buffers: Buffers, geom: Geometry,
         pr, pi, kspace = probes_k.re, probes_k.im, True
     else:
         pr, pi, kspace = params.probe[None].re, params.probe[None].im, False
+    # the kernel computes raw |Y|^2; forward() weights the single object
+    # mode by omode_occu[0] (not necessarily 1.0 for custom init_occu).
+    # dp is quadratic in psi, so scaling the probe by sqrt(occu) reproduces
+    # occu * |Y|^2 exactly — gradients flow through the scaling
+    occu_root = jnp.sqrt(buffers.omode_occu[0])
+    pr = pr * occu_root
+    pi = pi * occu_root
 
     meas = get_measurements(buffers, geom, indices)
     meas_cc = ifftshift2(meas)

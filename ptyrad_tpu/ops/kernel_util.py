@@ -1,0 +1,54 @@
+"""Shared helpers for the Pallas TPU kernels (pallas_multislice, pallas_chain,
+patches) — one home for the pieces that must stay in lockstep across kernels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ptyrad_tpu.ops.fourier import get_matmul_dtype
+
+# Per-kernel VMEM ceiling passed to Mosaic. XLA's default *scoped* vmem limit
+# is 16 MiB — well under the physical VMEM of current TPUs (v5e/v6e:
+# 128 MiB) — and a kernel whose live set lands at 16.06 MiB fails compile by
+# 64 KiB (observed on the mega chain backward). Each kernel module's
+# _VMEM_BUDGET governs what its block planner actually asks for and must
+# stay under this with headroom for Mosaic's own temporaries.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+
+def compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
+
+def gemm_dtype():
+    """DFT-GEMM operand dtype at trace time (ops.fourier.set_matmul_dtype):
+    bf16 operands with f32 accumulation, or plain f32."""
+    return jnp.bfloat16 if get_matmul_dtype() == "bfloat16" else jnp.float32
+
+
+def cpass(fr, fi, frpi, xr, xi, dt):
+    """One transpose-free complex DFT pass: contract dim -2 of (M, N, N)
+    against the (symmetric) DFT matrix, transformed axis appended last.
+    Karatsuba 3-mult complex product ((fr, fi, fr+fi) constant triple);
+    f32 accumulation via preferred_element_type."""
+    def mm(v, mat):
+        return jax.lax.dot_general(
+            v.astype(dt), mat.astype(dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    t1 = mm(xr, fr)
+    t2 = mm(xi, fi)
+    t3 = mm(xr + xi, frpi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def load_h(hr_ref, hi_ref, h_shared):
+    """Propagator block load: (N, N) when shared, (blk, N, N) per-position."""
+    if h_shared:
+        return hr_ref[0], hi_ref[0]
+    return hr_ref[...], hi_ref[...]

@@ -47,22 +47,16 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 from ptyrad_tpu.ops.cplx import Cplx
-from ptyrad_tpu.ops.fourier import _dft_consts, fft2, get_matmul_dtype
+from ptyrad_tpu.ops.fourier import _dft_consts, fft2
+from ptyrad_tpu.ops.kernel_util import (
+    compiler_params as _compiler_params,
+    cpass as _cpass,
+    gemm_dtype as _gemm_dtype,
+    load_h as _load_h,
+)
 from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
 _INTERPRET = False
-
-# Per-kernel VMEM ceiling passed to Mosaic. XLA's default *scoped* vmem limit
-# is 16 MiB — well under the physical VMEM of current TPUs (v5e/v6e:
-# 128 MiB) — and a kernel whose live set lands at 16.06 MiB fails compile by
-# 64 KiB (observed). Raising the limit lets the planner use larger batch /
-# pmode blocks; _VMEM_BUDGET below governs what the planner actually asks
-# for, and must stay under this with headroom for Mosaic's own temporaries.
-_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
-
-
-def _compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 # Cooley-Tukey leaf size: DFTs of length R*M (R in {2,4}) factor into R
 # M-point GEMMs plus an O(N) butterfly, cutting pass FLOPs by R while every
@@ -139,24 +133,6 @@ def _consts(n: int):
         m = n // r
         mats = list(_radix_consts(n, m, False)) + list(_radix_consts(n, m, True))
     return [jnp.asarray(a) for a in mats], r
-
-
-def _gemm_dtype():
-    return jnp.bfloat16 if get_matmul_dtype() == "bfloat16" else jnp.float32
-
-
-def _cpass(fr, fi, frpi, xr, xi, dt):
-    """Transpose-free complex DFT pass (see pallas_multislice._cpass)."""
-    def mm(v, mat):
-        return jax.lax.dot_general(
-            v.astype(dt), mat.astype(dt), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    t1 = mm(xr, fr)
-    t2 = mm(xi, fi)
-    t3 = mm(xr + xi, frpi)
-    return t1 - t2, t3 - t1 - t2
 
 
 def _bfly(parts, inverse):
@@ -243,12 +219,6 @@ def _mul_h(kr, ki, h_r, h_i, conj, m, pc, n):
     if h_r.ndim == 2:
         return kr * h_r - ki * hi, kr * hi + ki * h_r
     return _mul_t(kr, ki, h_r, hi, m, pc, n)
-
-
-def _load_h(hr_ref, hi_ref, h_shared):
-    if h_shared:
-        return hr_ref[0], hi_ref[0]
-    return hr_ref[...], hi_ref[...]
 
 
 def _seg_fwd_kernel(sg, n, pc, blk, last, h_shared, dt, radix, n_mats,

@@ -53,23 +53,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
-from ptyrad_tpu.ops.fourier import _dft_consts, get_matmul_dtype
+from ptyrad_tpu.ops.fourier import _dft_consts
+from ptyrad_tpu.ops.kernel_util import (
+    compiler_params as _compiler_params,
+    cpass as _cpass,
+    gemm_dtype as _gemm_dtype,
+    load_h as _load_h,
+)
 from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
 _INTERPRET = False
-
-# Raise Mosaic's per-kernel VMEM ceiling past XLA's conservative 16 MiB
-# scoped default (physical VMEM on v5e/v6e is 128 MiB); _VMEM_BUDGET governs
-# what the block planner asks for. See ops/pallas_chain.py for the observed
-# 16.06-vs-16.00 MiB compile failure that motivated this.
-_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
-
-
-def _compiler_params():
-    from jax.experimental.pallas import tpu as _pltpu
-
-    return _pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
-
 
 def set_interpret(flag: bool) -> None:
     global _INTERPRET
@@ -81,26 +74,6 @@ def _consts(n: int):
     f = [jnp.asarray(m) for m in _dft_consts(n, inverse=False)]
     b = [jnp.asarray(m) for m in _dft_consts(n, inverse=True)]
     return f, b
-
-
-def _gemm_dtype():
-    return jnp.bfloat16 if get_matmul_dtype() == "bfloat16" else jnp.float32
-
-
-def _cpass(fr, fi, frpi, xr, xi, dt):
-    """One transpose-free complex DFT pass: contract dim -2 of (M, N, N)
-    against the (symmetric) DFT matrix, transformed axis appended last.
-    Karatsuba 3-mult complex product; f32 accumulation."""
-    def mm(v, mat):
-        return jax.lax.dot_general(
-            v.astype(dt), mat.astype(dt), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    t1 = mm(xr, fr)
-    t2 = mm(xi, fi)
-    t3 = mm(xr + xi, frpi)
-    return t1 - t2, t3 - t1 - t2
 
 
 def _dft2(xr, xi, mats, dt, scale=None):
@@ -173,13 +146,6 @@ def _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n):
     if kspace:
         pr, pi = _dft2(pr, pi, inv, dt, scale=np.float32(1.0 / (n * n)))
     return pr, pi
-
-
-def _load_h(hr_ref, hi_ref, h_shared):
-    """(N, N) when shared, (blk, N, N) when per-position."""
-    if h_shared:
-        return hr_ref[0], hi_ref[0]
-    return hr_ref[...], hi_ref[...]
 
 
 def _fwd_kernel(nz, n, pmode, blk, shared, h_shared, kspace, dt,

@@ -55,6 +55,7 @@ try:  # pallas imports fail gracefully on backends without Mosaic support
 except Exception:  # noqa: BLE001
     _HAVE_PALLAS = False
 
+from ptyrad_tpu.ops.kernel_util import compiler_params as _compiler_params
 from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
 _INTERPRET = False  # flipped by tests: route dispatch through interpret-mode kernels
@@ -67,16 +68,6 @@ def set_interpret(flag: bool) -> None:
 
 _SUB, _LANE = 8, 128  # f32 VMEM tile (sublane, lane)
 _VMEM_BUDGET = 12 * 1024 * 1024  # what the lead-chunk planner asks for
-
-# Mosaic per-kernel VMEM ceiling — XLA's scoped default is 16 MiB; physical
-# VMEM on v5e/v6e is 128 MiB (see ops/pallas_chain.py).
-_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
-
-
-def _compiler_params():
-    from jax.experimental.pallas import tpu as _pltpu
-
-    return _pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -253,8 +244,6 @@ def _lead_chunk(canvas_shape: tuple[int, ...], ny: int, nx: int,
     hp, wp = h + (wy - ny), w + (wx - nx)
     wp_tiled = _round_up(wp, _LANE)  # VMEM pads lanes to full tiles
     for lc in range(l, 0, -1):
-        if lc != l and l % lc and _round_up(l, lc) - l >= lc:
-            continue  # avoid chunkings that add a whole empty chunk
         need = itemsize * (
             lc * hp * wp_tiled + lc * wy * wx + 3 * lc * ny * _round_up(nx, _LANE)
         )

@@ -204,6 +204,25 @@ def phase_corr(params, true_phase, margin=10):
     return np.corrcoef(rec, tru)[0, 1]
 
 
+class TestMosaicErrorMatcher:
+    def test_compile_stage_signals_match(self):
+        m = PtyRADSolver._mosaic_vmem_error
+        assert m(RuntimeError(
+            "Ran out of memory in memory space vmem while allocating on stack"))
+        assert m(RuntimeError("Scoped allocation ... exceeded scoped vmem limit"))
+        assert m(RuntimeError("MosaicError: INTERNAL: remote_compile failed"))
+
+    def test_runtime_hbm_oom_does_not_match(self):
+        """A runtime HBM OOM must NOT trigger the kernels-off retry: the
+        donated params/opt_state buffers are already consumed, so the retry
+        would die on deleted arrays and mask the real error (review r3)."""
+        m = PtyRADSolver._mosaic_vmem_error
+        assert not m(RuntimeError(
+            "RESOURCE_EXHAUSTED: Out of memory allocating 1073741824 bytes in hbm"))
+        assert not m(RuntimeError("loss is nan after vmem kernel"))
+        assert not m(RuntimeError("some unrelated failure"))
+
+
 class TestMixedPrecisionWiring:
     def test_matmul_dtype_reaches_fourier_config(self, rng):
         """model_params.matmul_dtype (reference --mixed_precision) must reach

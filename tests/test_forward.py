@@ -283,8 +283,13 @@ class TestPallasFusedPath:
         finally:
             pm.set_interpret(False)
 
-    @pytest.mark.parametrize("shift_probes,with_sparse", [(False, False), (True, True)])
-    def test_fused_loss_fold_matches_combined_loss(self, rng, shift_probes, with_sparse):
+    @pytest.mark.parametrize("shift_probes,with_sparse,occu", [
+        (False, False, 1.0),
+        (True, True, 1.0),
+        (False, False, 0.8),  # custom init_occu != 1 must weight dp (r3 review)
+    ])
+    def test_fused_loss_fold_matches_combined_loss(self, rng, shift_probes,
+                                                   with_sparse, occu):
         """The loss-folded kernel path (fused_loss_terms: loss_single partial
         sums computed in-kernel against ifftshifted measurements) must match
         forward() + combined_loss — loss value, per-term dict, and all
@@ -297,6 +302,7 @@ class TestPallasFusedPath:
         from ptyrad_tpu.ops import pallas_multislice as pm
 
         init = make_toy_init(rng, omode=1, nz=3, pmode=2, npix=16, n_scans=6)
+        init["omode_occu"] = np.array([occu], np.float32)
         upd = {"probe_pos_shifts": {"lr": 1e-4, "start_iter": 1}} if shift_probes else {}
         if shift_probes:
             init["probe_pos_shifts"] = 0.3 * rng.standard_normal((6, 2)).astype(np.float32)

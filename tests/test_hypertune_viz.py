@@ -192,6 +192,20 @@ class TestHypertune:
         ext_after = init.init_variables["crop_pos"].max(0) - init.init_variables["crop_pos"].min(0)
         assert (ext_after > ext_before).all()
 
+    def test_lbfgs_trials_run(self, rng, tmp_path):
+        """LBFGS hypertune trials must drive solver.lbfgs_step (train_step is
+        None for LBFGS) instead of crashing in the per-batch path
+        (review finding r3)."""
+        cfg = hypertune_cfg(rng, tmp_path, n_trials=2, niter=2, tune_over={
+            "oplr": {"state": True, "suggest": "float",
+                     "kwargs": {"low": 1e-2, "high": 1e-1, "log": True}},
+        })
+        cfg["model_params"]["optimizer_params"] = {"name": "LBFGS"}
+        study = run_hypertune(cfg, use_optuna=False)
+        done = [t for t in study.trials if t["state"] == "COMPLETE"]
+        assert len(done) == 2
+        assert all(t["value"] is not None and np.isfinite(t["value"]) for t in done)
+
     def test_run_hypertune_end_to_end(self, rng, tmp_path):
         cfg = hypertune_cfg(rng, tmp_path, n_trials=3, niter=2, tune_over={
             "oplr": {"state": True, "suggest": "float", "kwargs": {"low": 1e-3, "high": 1e-2, "log": True}},
