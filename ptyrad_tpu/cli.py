@@ -22,11 +22,29 @@ def _apply_common_overrides(params: dict, args) -> None:
         # multiGPU.md:41); here it forces bf16 DFT-GEMM operands
         params.setdefault("model_params", {})["matmul_dtype"] = "bfloat16"
 
+
+def _maybe_init_multihost(args) -> None:
+    """--multihost: bring up jax.distributed BEFORE any backend use so the
+    mesh spans all hosts (docs/launch/multi_device.md)."""
+    if getattr(args, "multihost", False):
+        from ptyrad_tpu.parallel.mesh import init_multihost
+
+        idx, count = init_multihost(
+            coordinator_address=getattr(args, "coordinator_address", None),
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None),
+        )
+        from ptyrad_tpu.utils.logging import vprint
+
+        vprint(f"multihost initialized: process {idx} / {count}")
+
+
 def cmd_run(args):
     from ptyrad_tpu.load import load_params
     from ptyrad_tpu.utils.logging import CustomLogger
     from ptyrad_tpu.utils.system import print_system_info, resolve_devices
 
+    _maybe_init_multihost(args)
     logger = CustomLogger(
         log_file="ptyrad_tpu_log.txt",
         prefix_jobid=args.jobid or "",
@@ -110,6 +128,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--mixed_precision", action="store_true",
         help="bf16 DFT-GEMM operands (f32 accumulation); overrides model_params.matmul_dtype",
     )
+    p_run.add_argument(
+        "--multihost", action="store_true",
+        help="Initialize jax.distributed before building the mesh (TPU pods; "
+             "the launch-side counterpart of the reference's accelerate launch)",
+    )
+    p_run.add_argument("--coordinator_address", default=None,
+                       help="host:port for manual multi-host launches")
+    p_run.add_argument("--num_processes", type=int, default=None)
+    p_run.add_argument("--process_id", type=int, default=None)
     p_run.set_defaults(func=cmd_run)
 
     p_check = sub.add_parser("check-tpu", help="Report detected accelerator devices")

@@ -204,6 +204,43 @@ def phase_corr(params, true_phase, margin=10):
     return np.corrcoef(rec, tru)[0, 1]
 
 
+class TestMultihostLaunch:
+    def test_init_multihost_plumbs_manual_args(self, monkeypatch):
+        """init_multihost must forward manual coordinator args to
+        jax.distributed.initialize and auto-discover with none (the pod
+        itself is untestable here; the plumbing is)."""
+        from ptyrad_tpu.parallel import mesh as M
+
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        idx, count = M.init_multihost("10.0.0.1:1234", 4, 0)
+        assert (idx, count) == (0, 4)
+        assert calls[-1] == {"coordinator_address": "10.0.0.1:1234",
+                             "num_processes": 4, "process_id": 0}
+        M.init_multihost()
+        assert calls[-1] == {}
+
+    def test_cli_multihost_flag_calls_init(self, monkeypatch):
+        import argparse
+
+        from ptyrad_tpu import cli as C
+        from ptyrad_tpu.parallel import mesh as M
+
+        called = []
+        monkeypatch.setattr(M, "init_multihost",
+                            lambda **kw: (called.append(kw), (0, 2))[1])
+        args = argparse.Namespace(multihost=True, coordinator_address="h:1",
+                                  num_processes=2, process_id=1)
+        C._maybe_init_multihost(args)
+        assert called == [{"coordinator_address": "h:1", "num_processes": 2,
+                           "process_id": 1}]
+        C._maybe_init_multihost(argparse.Namespace(multihost=False))
+        assert len(called) == 1
+
+
 class TestMosaicErrorMatcher:
     def test_compile_stage_signals_match(self):
         m = PtyRADSolver._mosaic_vmem_error
