@@ -34,7 +34,7 @@ NZ = 6
 BATCH = 32
 SCAN_SIDE = 128
 STEP_PX = 3
-TIMED_ITERS = 3
+TIMED_ITERS = 5  # best-of; the tunneled chip's dispatch varies +-30% with load
 QUALITY_ITERS = 10  # total iterations before the phase-correlation readout
 
 LOSS_PARAMS = {
@@ -128,12 +128,22 @@ def bench_pso():
     """Second reference demo workload (PSO / PrScO3, demo/params/
     PSO_reconstruct.yml:17-34): 4,096 DPs at 256x256 (on-the-fly padded from
     120^2 crops in the reference; simulated natively at 256^2 here), 4 probe
-    modes, 21 slices at dz = 10 A, batch 32. Runs through the same fused
-    train_epoch; the multislice executes in the segmented Pallas chain
-    (ops/pallas_chain.py). Returns (patterns/s, ms/step)."""
+    modes, 21 slices at dz = 10 A, batch 32, plus the demo's 5 per-iteration
+    constraints. Runs through the same fused train_epoch; the multislice
+    executes in the segmented Pallas chain (ops/pallas_chain.py).
+
+    The ground truth is columnar (one set of atomic columns, smooth z
+    profile) to suit the demo's kz_filter constraint. Note the data loss
+    still drifts up slightly over iterations — kz_filter is a regularizer
+    tuned for real (noisy, missing-wedge-ambiguous) data and can only cost
+    data-fit on noise-free synthetic measurements (ablation: without it the
+    loss decreases monotonically and phase corr reaches 0.96); this leg is a
+    THROUGHPUT benchmark, quality is gated on the tBL leg.
+    Returns (patterns/s, ms/step)."""
     import jax
     import jax.numpy as jnp
 
+    from ptyrad_tpu.constraints import ConstraintScheduler
     from ptyrad_tpu.engine.solver import build_train_epoch
     from ptyrad_tpu.models import forward, make_model
     from ptyrad_tpu.optim import create_optimizer
@@ -150,12 +160,17 @@ def bench_pso():
     canvas = grid * step_px + npix + 8
     ys, xs = np.meshgrid(np.arange(grid) * step_px, np.arange(grid) * step_px, indexing="ij")
     crop_pos = np.stack([ys.ravel() + 4, xs.ravel() + 4], -1).astype(np.int32)
+    # crystal-like ground truth: one set of atomic columns shared by ALL
+    # slices with a smooth per-slice occupancy profile (PrScO3 is columnar
+    # along the beam) — z-uncorrelated slices would conflict with the demo's
+    # kz_filter constraint and turn the loss curve into a workload artifact
     yy, xx = np.mgrid[0:canvas, 0:canvas].astype(np.float32)
-    phase = np.zeros((nz, canvas, canvas), np.float32)
-    for z in range(nz):
-        for _ in range(150):
-            cy, cx = rng.integers(12, canvas - 12, 2)
-            phase[z] += 0.1 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 4.0)
+    cols = np.zeros((canvas, canvas), np.float32)
+    for _ in range(150):
+        cy, cx = rng.integers(12, canvas - 12, 2)
+        cols += 0.1 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 4.0)
+    zprof = (0.8 + 0.2 * np.cos(np.linspace(0, np.pi, nz))).astype(np.float32)
+    phase = zprof[:, None, None] * cols[None]
     true_obj = np.exp(1j * phase)[None].astype(np.complex64)
 
     init = {
@@ -182,6 +197,14 @@ def bench_pso():
     params, buffers, geom = make_model(init, {"update_params": upd})
     optimizer, opt_state, _, start = create_optimizer({"name": "Adam"}, upd, params)
     train_epoch = build_train_epoch(buffers, geom, LOSS_PARAMS, optimizer, start)
+    # the demo's 5 per-iteration constraints (demo/params/PSO_reconstruct.yml)
+    constraint_fn = ConstraintScheduler({
+        "ortho_pmode": {"freq": 1},
+        "fix_probe_int": {"freq": 1},
+        "kz_filter": {"freq": 1, "obj_type": "both", "beta": 1.0, "alpha": 1.0},
+        "obja_thresh": {"freq": 1, "relax": 0.0, "thresh": (0.98, 1.02)},
+        "objp_postiv": {"freq": 1, "relax": 0.0, "mode": "clip_neg"},
+    }, geom)
     n_batches = n_scans // batch
     idx_all = jnp.asarray(
         np.random.default_rng(0).permutation(n_scans).reshape(n_batches, batch), jnp.int32)
@@ -190,7 +213,8 @@ def bench_pso():
     def one_iter(params, opt_state, niter):
         params, opt_state, total, _ = train_epoch(
             params, opt_state, idx_all, mask_all, jnp.asarray(niter, jnp.int32))
-        np.asarray(total)  # forced execution barrier (see tBL note)
+        params = constraint_fn(params, buffers, niter)
+        np.asarray(params.slice_thickness)  # forced execution barrier (see tBL note)
         return params, opt_state, float(total)
 
     t0 = time.perf_counter()
@@ -295,6 +319,9 @@ def main():
         "value": round(dps, 1),
         "unit": "patterns/sec/chip",
         "vs_baseline": round(dps / REFERENCE_DPS_PER_SEC, 2),
+        "baseline_basis": "364 DPs/s = 16384/45s-iter, reference CHANGELOG.md:310 "
+                          "(unspecified GPU; the repo publishes no benchmark table "
+                          "- see BASELINE.md)",
         "batch_size": BATCH,
         "sec_per_iter_16384dps": round(best, 2),
         "ms_per_step": round(best / n_batches * 1e3, 2),
