@@ -353,6 +353,56 @@ class TestPallasFusedPath:
                 err_msg=f"fused-loss gradient mismatch: {name}",
             )
 
+    def test_fused_loss_fold_with_meas_pad(self, rng):
+        """PSO-style on-the-fly measurement pad (stored crops embedded into a
+        probe-sized background canvas, reference models.py:384-416) must give
+        identical loss/gradients through the folded kernel — the fold
+        ifftshifts AFTER get_measurements, so the pad branch feeds it."""
+        import jax
+
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import fused_loss_terms, get_measurements
+        from ptyrad_tpu.ops import pallas_multislice as pm
+
+        init = make_toy_init(rng, omode=1, nz=2, pmode=2, npix=16, n_scans=6)
+        # stored measurements are 8x8 crops; padded on the fly into a 16x16
+        # fitted-background canvas (the probe/model size)
+        init["measurements"] = np.abs(rng.standard_normal((6, 8, 8))).astype(np.float32)
+        init["on_the_fly_meas_padded"] = np.full((16, 16), 0.4, np.float32)
+        init["on_the_fly_meas_padded_idx"] = (4, 12, 4, 12)
+        params, buffers, geom = make_model(init)
+        assert geom.meas_pad_idx is not None and geom.dp_shape == (16, 16)
+        idx = jnp.arange(4)
+        mask = jnp.ones(4, jnp.float32)
+        lp = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}}
+
+        def ref_fn(p):
+            dp, (oa, op) = forward(p, buffers, geom, idx)
+            meas = get_measurements(buffers, geom, idx)
+            return combined_loss(dp, meas, oa, op, buffers.omode_occu, lp, mask)[0]
+
+        def fold_fn(p):
+            out = fused_loss_terms(p, buffers, geom, idx, mask, lp)
+            assert out is not None
+            return out[0]
+
+        pm.set_interpret(True)
+        try:
+            t_ref = float(ref_fn(params))
+            t_fold = float(fold_fn(params))
+            g_ref = jax.grad(ref_fn)(params)
+            g_fold = jax.grad(fold_fn)(params)
+        finally:
+            pm.set_interpret(False)
+        np.testing.assert_allclose(t_fold, t_ref, rtol=1e-5)
+        for name in ("obja", "objp"):
+            a, b = getattr(g_ref, name), getattr(g_fold, name)
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-5 * scale, rtol=1e-3,
+                err_msg=f"pad-branch fold gradient mismatch: {name}",
+            )
+
     def test_fused_loss_fold_declines_out_of_regime(self, rng):
         """fused_loss_terms must return None (generic path) when a
         dp-dependent term other than loss_single is active, when detector
