@@ -287,8 +287,16 @@ def recon_loop(
     ONE device dispatch over all batches; otherwise falls back to per-batch
     train_step calls. callback(niter, params, history) fires after each
     iteration — the save / plot hook (rank-0 gating is the callback's job).
+    Callbacks that declare an `opt_state` parameter also receive the LIVE
+    optimizer state: the jitted steps donate their inputs, so any state
+    captured before the loop is a deleted buffer by the first save.
     """
     history = history or ReconHistory()
+    cb_takes_opt = False
+    if callback is not None:
+        import inspect
+
+        cb_takes_opt = "opt_state" in inspect.signature(callback).parameters
     if train_epoch is not None:
         idx_dev = jnp.asarray(batch_idx)
         mask_dev = jnp.asarray(batch_mask)
@@ -335,7 +343,10 @@ def recon_loop(
         vprint(f"Iter: {niter}, Total Loss: {total:.4f}, {term_str}, in {iter_t:.3f} sec",
                verbose=verbose)
         if callback is not None:
-            callback(niter, params, history)
+            if cb_takes_opt:
+                callback(niter, params, history, opt_state=opt_state)
+            else:
+                callback(niter, params, history)
     return params, opt_state, history
 
 
@@ -603,7 +614,12 @@ class PtyRADSolver:
             vprint(f"Iter: {niter}, LBFGS Loss: {float(value):.4f}, in {iter_t:.3f} sec",
                    verbose=self.verbose)
             if callback is not None:
-                callback(niter, params, history)
+                import inspect
+
+                if "opt_state" in inspect.signature(callback).parameters:
+                    callback(niter, params, history, opt_state=opt_state)
+                else:
+                    callback(niter, params, history)
         return params, opt_state, history
 
     def run(self, callback: Optional[Callable] = None):

@@ -57,13 +57,16 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
 
     save_iters = recon_params.get("SAVE_ITERS")
 
-    def callback(niter, cur_params, history):
+    def callback(niter, cur_params, history, opt_state=None):
         import jax
 
+        # opt_state comes from the LOOP, not the solver attribute: the jitted
+        # steps donate their inputs, so solver.opt_state is a deleted buffer
+        # while the loop runs (and stale on CPU where donation is a no-op)
         if save_iters and niter % save_iters == 0 and jax.process_index() == 0:
             save_results(
                 output_path, cur_params, solver.buffers, solver.geom, params,
-                solver.opt_state, history, niter, solver.indices,
+                opt_state, history, niter, solver.indices,
                 lr_dict=getattr(solver, "lr_dict", None),
                 start_dict=getattr(solver, "start_dict", None),
             )
@@ -75,6 +78,7 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
                     plot_summary(
                         output_path, cur_params, solver.buffers, solver.geom,
                         history, niter, solver.indices, selected_figs=selected,
+                        init_variables=getattr(solver, "init_variables", None),
                     )
                 except Exception as e:  # noqa: BLE001 — plotting must never kill a run
                     vprint(f"WARNING: plot_summary failed at iter {niter}: {e}")

@@ -94,7 +94,7 @@ def load_npy(file_path: str) -> np.ndarray:
     return np.load(file_path)
 
 
-def load_hdf5(file_path: str, key: KeyType = None, delimiter: str = "/") -> Union[np.ndarray, Dict[str, Any]]:
+def load_hdf5(file_path: str, key: KeyType = None, delimiter: str = ".") -> Union[np.ndarray, Dict[str, Any]]:
     """Load dataset(s) from HDF5.
 
     key=None loads the whole file as a nested dict; a string key (supports
@@ -113,19 +113,22 @@ def load_hdf5(file_path: str, key: KeyType = None, delimiter: str = "/") -> Unio
     with h5py.File(file_path, "r") as hf:
         if key in (None, "", []):
             return _read(hf)
+        def _resolve(k):
+            # verbatim first (a dataset may literally contain the delimiter
+            # in its name), then with the caller's delimiter mapped to HDF5's
+            # '/' hierarchy (load_mat passes '.' for MATLAB-style nesting)
+            if k in hf:
+                return k
+            if delimiter != "/" and delimiter in k:
+                alt = k.replace(delimiter, "/")
+                if alt in hf:
+                    return alt
+            raise KeyError(f"Key '{k}' not found in '{file_path}'")
+
         if isinstance(key, str):
-            path = key.replace(".", "/") if "/" not in key and "." in key else key
-            if path not in hf:
-                raise KeyError(f"Key '{key}' not found in '{file_path}'")
-            return _read(hf[path])
+            return _read(hf[_resolve(key)])
         if isinstance(key, list):
-            out = {}
-            for k in key:
-                path = k.replace(".", "/") if "/" not in k and "." in k else k
-                if path not in hf:
-                    raise KeyError(f"Key '{k}' not found in '{file_path}'")
-                out[k] = _read(hf[path])
-            return out
+            return {k: _read(hf[_resolve(k)]) for k in key}
     raise TypeError(f"key must be None, str, or list of str; got {type(key)}")
 
 

@@ -299,9 +299,15 @@ def make_output_folder(
         parts.append((model_params.get("optimizer_params") or {}).get("name", "Adam"))
     update = model_params.get("update_params", {}) or {}
     if "start_iter" in affixes:
-        sis = [str(v.get("start_iter")) for v in update.values()]
-        if sis:
-            parts.append("si" + "_".join(sis))
+        # per-tensor tags only for delayed starts (reference save.py:347-360:
+        # None / start at 1 contribute nothing to the folder name)
+        si_map = {"probe": "ps", "obja": "oas", "objp": "ops",
+                  "probe_pos_shifts": "ss", "obj_tilts": "ts",
+                  "slice_thickness": "dzs"}
+        for key, tag in si_map.items():
+            si = (update.get(key) or {}).get("start_iter")
+            if si is not None and si > 1:
+                parts.append(f"{tag}{si}")
     if "lr" in affixes:
         lrs = {k: v.get("lr", 0) for k, v in update.items() if v.get("lr")}
         if lrs:
@@ -363,6 +369,9 @@ def copy_params_to_dir(params_path: Optional[str], output_dir: str) -> None:
 DEFAULT_RESULT_MODES = {"obj_dim": [2, 3], "bit": ["raw"], "FOV": ["full"]}
 
 
+_PROP_PROBE_JIT = None
+
+
 def save_results(
     output_path: str, params, buffers, geom, params_dict: dict,
     opt_state, history, niter: int, indices, lr_dict=None, start_dict=None,
@@ -397,11 +406,21 @@ def save_results(
     obja = np.asarray(params.obja)
     omode, zslice = objp.shape[0], objp.shape[1]
 
-    import jax.numpy as jnp
+    prop_amp = None
+    if "probe_prop" in save_list:
+        # jitted (cached per geometry): eagerly-traced jnp ops each cost a
+        # remote compile on tunneled backends, and this output is optional
+        import jax
+        import jax.numpy as jnp
 
-    pp = propagated_probe(params, buffers, geom, jnp.asarray(indices[:1]))
-    pp_np = cplx_to_numpy(pp)  # (Z, pmode, Y, X)
-    prop_amp = np.abs(np.transpose(pp_np, (0, 2, 1, 3)).reshape(pp_np.shape[0], pp_np.shape[2], -1))
+        global _PROP_PROBE_JIT
+        if _PROP_PROBE_JIT is None:
+            _PROP_PROBE_JIT = jax.jit(propagated_probe, static_argnums=(2,))
+        pp = _PROP_PROBE_JIT(params, buffers, geom, jnp.asarray(indices[:1]))
+        pp_np = cplx_to_numpy(pp)  # (Z, pmode, Y, X)
+        prop_amp = np.abs(
+            np.transpose(pp_np, (0, 2, 1, 3)).reshape(pp_np.shape[0], pp_np.shape[2], -1)
+        )
 
     pos = np.asarray(buffers.crop_pos)[np.asarray(indices)] + np.array(geom.probe_shape) // 2
     y0, y1 = pos[:, 0].min(), pos[:, 0].max()
@@ -470,6 +489,7 @@ def save_results(
                             w("obja_4D", oa, bit, postfix)
                         if dim == 3:
                             w("obja_ostack_zmean", oa.mean(1), bit, postfix)
+                            w("obja_ostack_zprod", oa.prod(1), bit, postfix)
                             w("obja_omean_zstack", oa.mean(0), bit, postfix)
                         if dim == 2:
                             w("obja_omean_zmean", oa.mean(0).mean(0), bit, postfix)

@@ -44,25 +44,48 @@ def plot_sigmoid_mask(npix: int, relative_radius: float, relative_width: float, 
     return fig
 
 
+_FWD_PANEL_JIT = None
+
+
 def plot_forward_pass(params, buffers, geom, indices, dp_power: float = 0.5):
     """Panel of probe intensity / object amp / object phase / model DP / data DP
     per index (reference 43-96)."""
+    import jax
     import jax.numpy as jnp
 
-    from ptyrad_tpu.models.forward import forward, get_measurements, get_obj_patches, get_probes
+    # ONE jitted program (cached per geometry) for all device math: on
+    # tunneled backends every eager jnp op is a seconds-to-minutes remote
+    # compile, which would make each summary save cost more than training
+    global _FWD_PANEL_JIT
+    if _FWD_PANEL_JIT is None:
+        from ptyrad_tpu.models.forward import (
+            forward, get_measurements, get_obj_patches, get_probes,
+        )
+
+        def _panel(params, buffers, geom, idx):
+            probes = get_probes(params, geom, idx)
+            probes_int = probes.abs2().sum(axis=-3) if probes.ndim == 4 else probes.abs2()
+            dp, _ = forward(params, buffers, geom, idx)
+            obja_p, objp_p = get_obj_patches(params, buffers, geom, idx)
+            occu = buffers.omode_occu
+            obja_roi = (obja_p * occu[:, None, None, None]).sum(1)
+            objp_roi = (objp_p * occu[:, None, None, None]).sum(1)
+            meas = get_measurements(buffers, geom, idx)
+            return probes_int, dp, obja_roi, objp_roi, meas
+
+        _FWD_PANEL_JIT = jax.jit(_panel, static_argnums=(2,))
 
     idx = jnp.asarray(np.asarray(indices))
-    probes = get_probes(params, geom, idx)
-    probes_int = np.asarray(probes.abs2().sum(axis=-3) if probes.ndim == 4 else probes.abs2())
+    probes_int, dp, obja_roi, objp_roi, meas = _FWD_PANEL_JIT(
+        params, buffers, geom, idx
+    )
+    probes_int = np.asarray(probes_int)
     if probes_int.ndim == 2 or probes_int.shape[0] == 1:
         probes_int = np.broadcast_to(probes_int.reshape(-1, *probes_int.shape[-2:])[0][None], (len(indices), *probes_int.shape[-2:]))
-    dp, _ = forward(params, buffers, geom, idx)
-    obja_p, objp_p = get_obj_patches(params, buffers, geom, idx)
-    occu = np.asarray(buffers.omode_occu)
-    obja_roi = (np.asarray(obja_p) * occu[:, None, None, None]).sum(1)
-    objp_roi = (np.asarray(objp_p) * occu[:, None, None, None]).sum(1)
+    obja_roi = np.asarray(obja_roi)
+    objp_roi = np.asarray(objp_roi)
     model_dp = np.asarray(dp)
-    meas_dp = np.asarray(get_measurements(buffers, geom, idx))
+    meas_dp = np.asarray(meas)
 
     n = len(indices)
     fig, axs = plt.subplots(n, 5, figsize=(24, 5 * n), squeeze=False)

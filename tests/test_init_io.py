@@ -484,3 +484,101 @@ class TestFastRaw:
                 f.write(b"\x00" * 64)
         loaded = load_mod.load_raw(path, (3, 8, 8), gap=64)
         np.testing.assert_array_equal(loaded, data)
+
+
+class TestReviewFixesR3:
+    def test_callback_receives_live_opt_state(self, rng):
+        """Mid-run callbacks must receive the LOOP's opt_state (the jitted
+        steps donate their inputs; solver.opt_state is stale/deleted during
+        the run — review r3)."""
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+
+        p = base_init_params(rng)
+        init = Initializer(p, verbose=False).init_all()
+        cfg = {
+            "model_params": {"update_params": {"objp": {"lr": 1e-3, "start_iter": 1}}},
+            "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": 8}},
+        }
+        solver = PtyRADSolver(cfg, init_variables=init.init_variables, verbose=False)
+        seen = []
+
+        def cb(niter, cur_params, history, opt_state=None):
+            import jax
+
+            # the live state must have a nonzero Adam step count by iter 1
+            counts = [x for x in jax.tree_util.tree_leaves(opt_state)
+                      if hasattr(x, "shape") and x.ndim == 0]
+            seen.append(max(int(c) for c in counts) if counts else None)
+
+        solver.run(callback=cb)
+        assert seen and all(s and s > 0 for s in seen)
+
+    def test_start_iter_affix_skips_defaults(self):
+        """Folder start_iter tags appear only for delayed (>1) starts with
+        the reference's per-tensor naming (reference save.py:347-360) — no
+        'siNone' artifacts from schema defaults."""
+        from ptyrad_tpu.save import make_output_folder
+
+        params_dict = {
+            "model_params": {
+                "update_params": {
+                    "objp": {"lr": 1e-3, "start_iter": 1},
+                    "probe_pos_shifts": {"lr": 1e-4, "start_iter": 10},
+                    "obj_tilts": {"lr": 0.0, "start_iter": None},
+                },
+            },
+            "recon_params": {},
+        }
+        name = make_output_folder(
+            "/tmp/ptyrad_tpu_affix_test", np.arange(4), params_dict, None,
+            None, recon_dir_affixes=["start_iter"], make_dir=False,
+        )
+        assert "ss10" in name
+        assert "None" not in name and "si1" not in name
+
+    def test_load_hdf5_delimiter_and_literal_keys(self, tmp_path):
+        """The delimiter maps nested paths; a dataset literally named with a
+        dot resolves verbatim (review r3: delimiter was accepted but unused)."""
+        import h5py
+
+        from ptyrad_tpu.load import load_hdf5
+
+        path = str(tmp_path / "t.h5")
+        with h5py.File(path, "w") as hf:
+            hf.create_group("outputs")
+            hf["outputs"].create_dataset("probe", data=np.arange(3.0))
+            hf.create_dataset("literal.name", data=np.arange(5.0))
+        assert load_hdf5(path, key="outputs.probe").shape == (3,)
+        assert load_hdf5(path, key="outputs/probe").shape == (3,)
+        assert load_hdf5(path, key="literal.name").shape == (5,)
+        out = load_hdf5(path, key=["outputs.probe", "literal.name"])
+        assert out["outputs.probe"].shape == (3,)
+        assert out["literal.name"].shape == (5,)
+
+    def test_probe_prop_output_gated_and_written(self, rng, tmp_path):
+        """propagated_probe is computed (jitted) ONLY when 'probe_prop' is
+        requested — an unconditional eager computation cost minutes of remote
+        compiles per checkpoint on tunneled backends (review r3)."""
+        import os
+
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+        from ptyrad_tpu.save import save_results
+
+        p = base_init_params(rng)
+        init = Initializer(p, verbose=False).init_all()
+        cfg = {
+            "model_params": {"update_params": {"objp": {"lr": 1e-3, "start_iter": 1}}},
+            "recon_params": {"NITER": 1, "BATCH_SIZE": {"size": 8}},
+        }
+        solver = PtyRADSolver(cfg, init_variables=init.init_variables, verbose=False)
+        solver.run()
+        out1 = str(tmp_path / "noprop")
+        save_results(out1, solver.params, solver.buffers, solver.geom,
+                     {"recon_params": {"save_result": ["probe"]}},
+                     solver.opt_state, solver.history, 1, solver.indices)
+        assert not any("probe_prop" in f for f in os.listdir(out1))
+        out2 = str(tmp_path / "prop")
+        save_results(out2, solver.params, solver.buffers, solver.geom,
+                     {"recon_params": {"save_result": ["probe_prop"]}},
+                     solver.opt_state, solver.history, 1, solver.indices)
+        assert any(f.startswith("probe_prop_amp") for f in os.listdir(out2))
