@@ -32,8 +32,10 @@ def select_scan_indices(
     if mode == "full":
         return np.arange(n_scans)
 
-    if subscan_slow is None and subscan_fast is None:
+    # default each dim independently: one given + one None must not crash
+    if subscan_slow is None:
         subscan_slow = n_scan_slow // 2
+    if subscan_fast is None:
         subscan_fast = n_scan_fast // 2
 
     if mode == "center":
@@ -93,7 +95,9 @@ def make_batches(
     compact = [indices[np.where(labels == b)[0]] for b in range(num_batch)]
 
     if mode == "compact":
-        return compact
+        # k-means can leave clusters empty; pad_batches cannot handle a
+        # zero-length batch (it replicates the first element) — drop them
+        return [c for c in compact if len(c)]
 
     # 'sparse': greedy max-min-distance assignment seeded at compact centroids.
     # Complexity note: the straightforward version (reference

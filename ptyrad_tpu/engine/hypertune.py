@@ -107,18 +107,24 @@ def apply_trial_params(trial, params: dict, init: Initializer) -> dict:
         init.init_obj()
         init.init_H()
 
-    # affine invalidates positions + object extent
+    # affine invalidates positions + object extent. Re-init whenever any
+    # affine param is TUNED — gating on value != identity would leave the
+    # shared Initializer holding the PREVIOUS trial's positions when this
+    # trial happens to sample exactly the identity (cross-trial
+    # contamination: recorded params would not reproduce the trial's error)
     affine_init = params["init_params"].get("pos_scan_affine") or [1, 0, 0, 0]
     defaults = dict(zip(["scale", "asymmetry", "rotation", "shear"], affine_init))
+    affine_tuned = any(on(v) for v in ("scale", "asymmetry", "rotation", "shear"))
     scan_affine = [val(v) if on(v) else defaults[v] for v in ("scale", "asymmetry", "rotation", "shear")]
-    if scan_affine != [1, 0, 0, 0]:
+    if affine_tuned or scan_affine != [1, 0, 0, 0]:
         init.init_params["pos_scan_affine"] = scan_affine
         init.init_pos()
         init.init_obj()
 
-    # global tilt override
-    obj_tilts = [[val("tilt_y") if on("tilt_y") else 0.0, val("tilt_x") if on("tilt_x") else 0.0]]
-    if obj_tilts != [[0.0, 0.0]]:
+    # global tilt override — same rule: tuned means re-set every trial
+    if on("tilt_y") or on("tilt_x"):
+        obj_tilts = [[val("tilt_y") if on("tilt_y") else 0.0,
+                      val("tilt_x") if on("tilt_x") else 0.0]]
         init.init_variables["obj_tilts"] = np.asarray(obj_tilts, dtype=np.float32)
 
     return params
@@ -166,11 +172,10 @@ def hypertune_objective(trial, params: dict, init: Initializer, mesh=None, verbo
     # (reference reuses its production step the same way,
     # reconstruction.py:1057-1081)
     train_epoch = solver.train_epoch
-    if train_epoch is not None:
-        idx_dev = jnp.asarray(solver.batch_idx)
-        mask_dev = jnp.asarray(solver.batch_mask)
-        if solver._put_batch is not None:
-            idx_dev, mask_dev = solver._put_batch(idx_dev, mask_dev)
+    idx_dev = jnp.asarray(solver.batch_idx)
+    mask_dev = jnp.asarray(solver.batch_mask)
+    if solver._put_batch is not None:
+        idx_dev, mask_dev = solver._put_batch(idx_dev, mask_dev)
 
     error = None
     pruned = False
@@ -185,17 +190,21 @@ def hypertune_objective(trial, params: dict, init: Initializer, mesh=None, verbo
             solver.params = solver.constraint_fn(solver.params, solver.buffers, niter)
             jax.block_until_ready(solver.params.obja)
         else:  # LBFGS: the solver builds lbfgs_step (train_step is None)
-            idx_all = jnp.asarray(solver.batch_idx)
-            mask_all = jnp.asarray(solver.batch_mask)
-            if solver._put_batch is not None:
-                idx_all, mask_all = solver._put_batch(idx_all, mask_all)
             solver.params, solver.opt_state, value = solver.lbfgs_step(
-                solver.params, solver.opt_state, idx_all, mask_all
+                solver.params, solver.opt_state, idx_dev, mask_dev
             )
             solver.params = solver.constraint_fn(solver.params, solver.buffers, niter)
             term_avgs = {"loss_total": float(value)}
         total = float(sum(term_avgs.values()))
+        if not np.isfinite(total):
+            # divergence halt (mirrors recon_loop, solver.py): a NaN trial
+            # value would break the TPE sort order and is unprunable
+            # (nan > median is False) — fail the trial instead
+            raise FloatingPointError(
+                f"trial diverged: non-finite loss at iter {niter}"
+            )
         solver.history.loss_iters.append((niter, total))
+        solver.history.term_iters.append(term_avgs)
         solver.history.iter_times.append(_time.perf_counter() - t0)
         solver.history.dz_iters.append((niter, float(solver.params.slice_thickness)))
         solver.history.avg_tilt_iters.append((niter, np.asarray(solver.params.obj_tilts).mean(0)))
@@ -296,7 +305,14 @@ def run_hypertune(params: dict, mesh=None, logger=None, jobid: Optional[str] = N
         lambda trial: hypertune_objective(trial, params, init, mesh=mesh),
         n_trials=n_trials, timeout=timeout,
     )
-    best = study.best_trial
+    try:
+        best = study.best_trial
+    except ValueError:
+        # optuna raises when no trial completed (the builtin engine returns
+        # None); a study where every trial failed must still report cleanly
+        best = None
+    if best is None:
+        vprint("WARNING: no completed trials — nothing to report as best")
     if best is not None:
         if isinstance(best, dict):
             vprint(f"Best trial: #{best['number']} value={best['value']:.6g} params={best['params']}")

@@ -161,7 +161,15 @@ class GridSampler:
     def sample(self, name, spec, history):
         axis = self._axis(name, spec)
         n_done = len([t for t in history if name in t["params"]])
-        return axis[n_done % len(axis)]
+        # cartesian product, not lockstep: each axis advances with a stride
+        # equal to the product of the lengths of the axes registered AFTER
+        # it (every trial samples every axis, so a shared n_done index would
+        # only ever visit the grid's diagonal)
+        later = list(self._axes)[list(self._axes).index(name) + 1:]
+        stride = 1
+        for other in later:
+            stride *= len(self._axes[other])
+        return axis[(n_done // stride) % len(axis)]
 
 
 class TPESampler:
@@ -195,7 +203,8 @@ class TPESampler:
         self._random = RandomSampler(seed)
 
     def sample(self, name, spec, history):
-        done = [t for t in history if t["state"] == COMPLETE and name in t["params"] and t["value"] is not None]
+        done = [t for t in history if t["state"] == COMPLETE and name in t["params"]
+                and t["value"] is not None and math.isfinite(t["value"])]
         if len(done) < self.n_startup:
             return self._random.sample(name, spec, history)
         done.sort(key=lambda t: t["value"])
@@ -298,6 +307,10 @@ class HyperbandPruner(MedianPruner):
 
     def __init__(self, min_resource: int = 1, reduction_factor: int = 3, **kw):
         super().__init__(n_startup_trials=kw.get("n_startup_trials", 3))
+        if reduction_factor <= 1:
+            raise ValueError(f"reduction_factor must be > 1, got {reduction_factor}")
+        if min_resource < 1:
+            raise ValueError(f"min_resource must be >= 1, got {min_resource}")
         self.min_resource = min_resource
         self.eta = reduction_factor
 

@@ -162,7 +162,12 @@ def objp_contrast(objp, crop_pos, probe_shape, indices=None):
     """
     import numpy as np
 
-    objp_sum = np.asarray(objp).sum(axis=1).squeeze()
+    objp_sum = np.asarray(objp).sum(axis=1)  # (omode, Noy, Nox)
+    # collapse object modes by mean — the reference's .squeeze() silently
+    # leaves a 3D array for omode > 1 and its 2D crop then slices the
+    # (omode, Noy) axes (latent bug, reference losses.py:162-170); the
+    # metric is only meaningful on a 2D phase map
+    objp_sum = objp_sum.mean(axis=0)
     pos = np.asarray(crop_pos)
     if indices is not None:
         pos = pos[np.asarray(indices)]

@@ -77,6 +77,14 @@ class TestIndices:
         with pytest.raises(ValueError):
             select_scan_indices(4, 4, mode="bogus")
 
+    def test_single_subscan_dim_defaults_independently(self):
+        """Giving just one subscan dim must default the other, not crash
+        with int-minus-None (review r3)."""
+        idx = select_scan_indices(4, 4, subscan_slow=2, mode="center")
+        assert idx.shape == (2 * 2,)  # fast defaulted to 4//2
+        idx = select_scan_indices(4, 4, subscan_fast=2, mode="sub")
+        assert idx.shape == (2 * 2,)
+
 
 class TestBatches:
     @pytest.mark.parametrize("mode", ["random", "compact", "sparse"])
@@ -86,6 +94,17 @@ class TestBatches:
         batches = make_batches(indices, pos, 8, mode=mode, seed=0)
         flat = np.sort(np.concatenate(batches))
         assert np.array_equal(flat, indices)
+
+    def test_compact_degenerate_positions_no_empty_batches(self):
+        """Identical scan positions collapse k-means clusters; compact mode
+        must drop empty clusters instead of handing pad_batches a
+        zero-length batch (IndexError at prepare time — review r3)."""
+        pos = np.zeros((16, 2))
+        batches = make_batches(np.arange(16), pos, 4, mode="compact", seed=0)
+        assert all(len(b) for b in batches)
+        assert np.array_equal(np.sort(np.concatenate(batches)), np.arange(16))
+        idx, mask = pad_batches(batches)
+        assert np.isfinite(idx).all()
 
     def test_compact_is_spatially_tight(self, rng):
         # compact groups should have smaller intra-group spread than random

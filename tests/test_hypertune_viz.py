@@ -95,6 +95,27 @@ class TestTunerCore:
         s2.optimize(lambda t: t.suggest_float("x", 0, 1) ** 2, n_trials=3)
         assert len(s1.trials) == 8
 
+    def test_grid_sampler_covers_cartesian_product(self):
+        """Two axes of different lengths must yield every combination, not
+        just the lockstep diagonal (review r3)."""
+        s = tuner.GridSampler()
+        spec_a = {"kind": "cat", "choices": ["x", "y"]}
+        spec_b = {"kind": "int", "low": 0, "high": 2, "step": 1}
+        history = []
+        seen = set()
+        for t in range(6):
+            a = s.sample("a", spec_a, history)
+            b = s.sample("b", spec_b, history)
+            seen.add((a, b))
+            history.append({"params": {"a": a, "b": b}, "state": "COMPLETE", "value": 0.0})
+        assert seen == {(a, b) for a in ["x", "y"] for b in [0, 1, 2]}
+
+    def test_hyperband_rejects_degenerate_configs(self):
+        with pytest.raises(ValueError):
+            tuner.HyperbandPruner(reduction_factor=1)
+        with pytest.raises(ValueError):
+            tuner.HyperbandPruner(min_resource=0)
+
     def test_median_pruner(self):
         study = tuner.Study(sampler=tuner.RandomSampler(seed=1),
                             pruner=tuner.MedianPruner(n_startup_trials=2))
@@ -191,6 +212,29 @@ class TestHypertune:
         assert new_params["model_params"]["update_params"]["objp"]["lr"] == 7e-3
         ext_after = init.init_variables["crop_pos"].max(0) - init.init_variables["crop_pos"].min(0)
         assert (ext_after > ext_before).all()
+
+    def test_identity_affine_trial_resets_previous_trial_state(self, rng, tmp_path):
+        """A trial sampling exactly the identity affine must still re-run
+        init_pos: gating on value != identity leaves the shared Initializer
+        holding the PREVIOUS trial's scaled positions (cross-trial
+        contamination, review r3)."""
+        init = Initializer(base_init_params(rng), verbose=False).init_all()
+        baseline = init.init_variables["crop_pos"].copy()
+
+        def one_trial(scale_choice):
+            cfg = hypertune_cfg(rng, tmp_path, tune_over={
+                "scale": {"state": True, "suggest": "cat",
+                          "kwargs": {"choices": [scale_choice]}},
+            })
+            study = tuner.Study(sampler=tuner.RandomSampler(seed=0))
+            trial = tuner.Trial(study, study.storage.create_trial())
+            apply_trial_params(trial, cfg, init)
+
+        one_trial(1.5)
+        scaled = init.init_variables["crop_pos"].copy()
+        assert not np.array_equal(scaled, baseline)
+        one_trial(1.0)  # identity — must RESET, not keep the 1.5 positions
+        np.testing.assert_array_equal(init.init_variables["crop_pos"], baseline)
 
     def test_lbfgs_trials_run(self, rng, tmp_path):
         """LBFGS hypertune trials must drive solver.lbfgs_step (train_step is
