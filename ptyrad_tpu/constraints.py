@@ -30,7 +30,6 @@ from ptyrad_tpu.ops.blur import gaussian_blur_1d, gaussian_blur_2d
 from ptyrad_tpu.ops.cplx import Cplx
 from ptyrad_tpu.ops.fourier import fft2, fftn3, fftshift2, ifft2, ifftshift2
 from ptyrad_tpu.ops.masks import make_sigmoid_mask
-from ptyrad_tpu.ops.resize import bilinear_resize
 
 DEFAULT_CONSTRAINT_PARAMS = {
     "ortho_pmode": {"freq": None},
@@ -92,7 +91,9 @@ def kr_filter_fn(obj: jnp.ndarray, radius: float, width: float) -> jnp.ndarray:
     ny, nx = obj.shape[-2:]
     mask = make_sigmoid_mask(min(ny, nx), radius, width)
     if (ny, nx) != mask.shape:
-        mask = bilinear_resize(mask[None], (ny / mask.shape[0], nx / mask.shape[1]))[0]
+        # nearest, not bilinear: the reference's F.interpolate default
+        # (reference constraints.py kr_filter) stair-steps the sigmoid mask
+        mask = jax.image.resize(mask, (ny, nx), method="nearest")
     w = ifftshift2(mask)
     return ifft2(fft2(obj) * w).re.astype(obj.dtype)
 
@@ -348,8 +349,6 @@ class ConstraintScheduler:
     def __call__(self, params: PtychoParams, buffers: Buffers, niter: int) -> PtychoParams:
         if not any(niter % freq == 0 for _, freq, _ in self._active):
             return params
-        import jax.numpy as jnp
-
         return self._composite()(params, buffers, jnp.asarray(niter, jnp.int32))
 
     @property

@@ -24,19 +24,36 @@ import jax.numpy as jnp
 from ptyrad_tpu.ops.blur import gaussian_blur_2d
 from ptyrad_tpu.ops.resize import area_downsample
 
+# Per-term parameter defaults match params/schema.py (the reference's file
+# defaults) so a partial dict through the direct API behaves like the same
+# partial dict through a validated params file. The `state` flags here are
+# deliberately conservative (only the primary data term on): loss_params=None
+# at the direct API means "plain loss_single", while a params FILE with an
+# empty loss_params gets the schema's defaults (which also enable sparse).
 DEFAULT_LOSS_PARAMS = {
     "loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5},
     "loss_poissn": {"state": False, "weight": 1.0, "dp_pow": 1.0, "eps": 1e-6},
-    "loss_pacbed": {"state": False, "weight": 1.0, "dp_pow": 0.2},
-    "loss_sparse": {"state": False, "weight": 1.0, "ln_order": 1},
+    "loss_pacbed": {"state": False, "weight": 0.5, "dp_pow": 0.2},
+    "loss_sparse": {"state": False, "weight": 0.1, "ln_order": 1},
     "loss_simlar": {
         "state": False,
-        "weight": 1.0,
-        "obj_type": "phase",
-        "blur_std": None,
-        "scale_factor": None,
+        "weight": 0.1,
+        "obj_type": "both",
+        "blur_std": 1.0,
+        "scale_factor": [1.0, 1.0],
     },
 }
+
+
+def merge_loss_params(loss_params):
+    """Per-term deep merge over DEFAULT_LOSS_PARAMS: a partial term dict
+    (e.g. {'loss_sparse': {'state': True}}) inherits the remaining term
+    fields instead of replacing the whole term and KeyError-ing later."""
+    user = loss_params or {}
+    return {
+        k: {**DEFAULT_LOSS_PARAMS[k], **(user.get(k) or {})}
+        for k in DEFAULT_LOSS_PARAMS
+    }
 
 
 def _bmean(x, mask):
@@ -132,7 +149,7 @@ def combined_loss(model_dp, measured_dp, obja_patches, objp_patches, omode_occu,
     """
     zero = jnp.float32(0.0)
     terms = {}
-    cfg = {**DEFAULT_LOSS_PARAMS, **(loss_params or {})}
+    cfg = merge_loss_params(loss_params)
     terms["loss_single"] = (
         loss_single(model_dp, measured_dp, cfg["loss_single"], mask) if cfg["loss_single"]["state"] else zero
     )

@@ -216,14 +216,14 @@ def fused_loss_terms(params: PtychoParams, buffers: Buffers, geom: Geometry,
     match the corner-centered order (pixel-sum losses are permutation-
     invariant). See ops/pallas_multislice.multislice_loss_sums_fused.
     """
-    from ptyrad_tpu.losses import DEFAULT_LOSS_PARAMS, loss_simlar, loss_sparse
+    from ptyrad_tpu.losses import loss_simlar, loss_sparse, merge_loss_params
     from ptyrad_tpu.ops.fourier import ifftshift2
     from ptyrad_tpu.ops.pallas_multislice import (
         fused_applicable_shapes,
         multislice_loss_sums_fused,
     )
 
-    cfg = {**DEFAULT_LOSS_PARAMS, **(loss_params or {})}
+    cfg = merge_loss_params(loss_params)
     if (not cfg["loss_single"]["state"] or cfg["loss_poissn"]["state"]
             or cfg["loss_pacbed"]["state"]):
         return None

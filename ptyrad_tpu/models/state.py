@@ -169,10 +169,12 @@ def make_model(init_variables: dict, model_params: Optional[dict] = None):
     )
 
     probe_shape = probe.shape[-2:]
-    H = np.asarray(
-        init_variables.get("H", near_field_evolution(probe_shape, dx, dz, lambd)),
-        dtype=np.complex64,
-    )
+    # lazy fallback: dict.get would evaluate the full propagator grid even
+    # when a checkpoint-supplied H is present
+    H = init_variables.get("H")
+    if H is None:
+        H = near_field_evolution(probe_shape, dx, dz, lambd)
+    H = np.asarray(H, dtype=np.complex64)
     Ky, Kx = propagator_kgrid(probe_shape, dx)
     k = 2.0 * np.pi / lambd
     Kz = np.sqrt(np.maximum(k**2 - Kx**2 - Ky**2, 0.0))

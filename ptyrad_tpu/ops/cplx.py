@@ -219,9 +219,20 @@ def eigh(z: Cplx):
 
     For Hermitian A = Ar + i*Ai (Ar symmetric, Ai antisymmetric), the real
     2n x 2n matrix M = [[Ar, -Ai], [Ai, Ar]] is symmetric with each eigenvalue
-    of A doubled; a real eigenvector u = [u1; u2] of M maps to the complex
-    eigenvector u1 + i*u2 of A. Taking every second eigenvector (ascending)
-    yields one representative per pair.
+    of A doubled; ANY real eigenvector [x; y] of M maps to the complex
+    eigenvector x + i*y of A.
+
+    Degeneracy care: taking simply every second real eigenvector is only
+    valid for simple spectra — inside a multiplicity-k eigenvalue's 2k-dim
+    real eigenspace, jnp.linalg.eigh returns an arbitrary real-orthonormal
+    basis whose every-other columns can be complex-linearly DEPENDENT
+    (observed: V^H V with 0.66i off-diagonals for A with a doubled
+    eigenvalue). Instead, each eigenvalue pair contributes the better of its
+    TWO candidate columns after Gram-Schmidt against the accepted vectors
+    (jit-safe select by residual norm). This is provably complete: if both
+    candidates of a pair lay in the accepted span, the remaining columns
+    could real-span at most 2k-2 of the eigenspace's 2k real dimensions —
+    contradiction with eigh returning a full basis.
 
     Returns (eigenvalues (n,), eigenvectors Cplx (n, n) column-wise),
     ascending — the complex-free TPU substitute for jnp.linalg.eigh on
@@ -231,5 +242,29 @@ def eigh(z: Cplx):
     m = jnp.block([[z.re, -z.im], [z.im, z.re]])
     w, v = jnp.linalg.eigh(m)
     w_half = w[0::2]
-    u = v[:, 0::2]
-    return w_half, Cplx(u[:n, :], u[n:, :])
+    cand_re, cand_im = v[:n, :], v[n:, :]
+
+    qs_re: list = []
+    qs_im: list = []
+    for j in range(n):
+        best_r = best_i = best_norm = None
+        for col in (2 * j, 2 * j + 1):
+            ur, ui = cand_re[:, col], cand_im[:, col]
+            for qr, qi in zip(qs_re, qs_im):
+                # u -= q <q, u>  with <q, u> = conj(q) . u
+                pr = qr @ ur + qi @ ui
+                pi = qr @ ui - qi @ ur
+                ur = ur - (qr * pr - qi * pi)
+                ui = ui - (qr * pi + qi * pr)
+            nrm = jnp.sqrt(ur @ ur + ui @ ui)
+            if best_norm is None:
+                best_r, best_i, best_norm = ur, ui, nrm
+            else:
+                take = nrm > best_norm
+                best_r = jnp.where(take, ur, best_r)
+                best_i = jnp.where(take, ui, best_i)
+                best_norm = jnp.where(take, nrm, best_norm)
+        scale = 1.0 / jnp.maximum(best_norm, jnp.asarray(1e-12, best_norm.dtype))
+        qs_re.append(best_r * scale)
+        qs_im.append(best_i * scale)
+    return w_half, Cplx(jnp.stack(qs_re, axis=1), jnp.stack(qs_im, axis=1))

@@ -61,6 +61,10 @@ def shard_model(
     pattern stays correct). N is zero-padded up to a device-count multiple;
     valid scan indices never reference the padding.
     """
+    import dataclasses
+
+    import numpy as np
+
     rep = replicate(mesh)
     params = jax.device_put(params, rep)
     meas_sharding = data_sharding(mesh) if shard_measurements else rep
@@ -68,28 +72,26 @@ def shard_model(
         n = buffers.measurements.shape[0]
         n_dev = mesh.devices.size
         if n % n_dev:
+            # np.pad, not jnp.pad: this runs eagerly on the host at setup,
+            # and an eager jnp op costs a remote compile on tunneled
+            # backends (CLAUDE.md); the array is device_put just below
             pad = n_dev - (n % n_dev)
-            buffers = Buffers(
-                **{
-                    **{f: getattr(buffers, f) for f in (
-                        "H", "crop_pos", "omode_occu", "Ky", "Kx", "Kz",
-                        "probe_int_sum", "meas_padded")},
-                    "measurements": jax.numpy.pad(
-                        buffers.measurements, ((0, pad), (0, 0), (0, 0))
-                    ),
-                }
+            padded = np.pad(
+                np.asarray(buffers.measurements), ((0, pad), (0, 0), (0, 0))
             )
+            buffers = dataclasses.replace(buffers, measurements=padded)
 
-    buffers = Buffers(
-        H=jax.device_put(buffers.H, rep),
-        measurements=jax.device_put(buffers.measurements, meas_sharding),
-        crop_pos=jax.device_put(buffers.crop_pos, rep),
-        omode_occu=jax.device_put(buffers.omode_occu, rep),
-        Ky=jax.device_put(buffers.Ky, rep),
-        Kx=jax.device_put(buffers.Kx, rep),
-        Kz=jax.device_put(buffers.Kz, rep),
-        probe_int_sum=jax.device_put(buffers.probe_int_sum, rep),
-        meas_padded=(jax.device_put(buffers.meas_padded, rep) if buffers.meas_padded is not None else None),
+    def put(x, sharding):
+        return jax.device_put(x, sharding) if x is not None else None
+
+    buffers = dataclasses.replace(
+        buffers,
+        measurements=put(buffers.measurements, meas_sharding),
+        **{
+            f.name: put(getattr(buffers, f.name), rep)
+            for f in dataclasses.fields(buffers)
+            if f.name != "measurements"
+        },
     )
     return params, buffers
 

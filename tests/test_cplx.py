@@ -92,3 +92,58 @@ class TestLinalg:
         # columns are orthonormal
         gram = vc.conj().T @ vc
         np.testing.assert_allclose(gram, np.eye(6), atol=1e-3)
+
+
+class TestEighDegenerate:
+    def test_unitary_for_degenerate_spectra(self):
+        """Repeated eigenvalues (equal-power probe modes give exactly this
+        Gram structure) must still yield a UNITARY eigenbasis: the naive
+        every-other-column selection from the real embedding returns
+        complex-dependent vectors inside degenerate subspaces (review r3,
+        confirmed: V^H V had 0.66i off-diagonals)."""
+        import numpy as np
+
+        from ptyrad_tpu.ops import cplx
+
+        rng = np.random.default_rng(0)
+        cases = []
+        Q, _ = np.linalg.qr(rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3)))
+        cases.append(Q @ np.diag([1.0, 1.0, 2.0]) @ Q.conj().T)   # 2-fold
+        cases.append(np.eye(4, dtype=np.complex128) * 0.7)         # fully degenerate
+        B = rng.standard_normal((5, 5)) + 1j * rng.standard_normal((5, 5))
+        cases.append(B @ B.conj().T)                               # generic PSD
+        for A in cases:
+            z = cplx.Cplx(jnp.asarray(A.real, jnp.float32), jnp.asarray(A.imag, jnp.float32))
+            w, V = cplx.eigh(z)
+            Vc = np.asarray(V.re) + 1j * np.asarray(V.im)
+            np.testing.assert_allclose(
+                Vc.conj().T @ Vc, np.eye(A.shape[0]), atol=2e-5,
+                err_msg="eigenbasis not unitary",
+            )
+            np.testing.assert_allclose(
+                Vc @ np.diag(np.asarray(w)) @ Vc.conj().T, A, atol=2e-5,
+                err_msg="eigendecomposition does not reconstruct A",
+            )
+
+    def test_ortho_pmode_preserves_intensity_for_equal_power_modes(self):
+        """The downstream symptom: orthogonalizing EQUAL-power orthogonal
+        modes (common mixed-state init) must keep them orthogonal and
+        conserve total intensity."""
+        import numpy as np
+
+        from ptyrad_tpu.constraints import orthogonalize_modes
+        from ptyrad_tpu.ops import cplx
+
+        rng = np.random.default_rng(1)
+        base = rng.standard_normal((3, 8, 8)) + 1j * rng.standard_normal((3, 8, 8))
+        q, _ = np.linalg.qr(base.reshape(3, -1).T)
+        modes = (q.T * 0.5).reshape(3, 8, 8)  # orthogonal, EQUAL power
+        z = cplx.Cplx(jnp.asarray(modes.real, jnp.float32), jnp.asarray(modes.imag, jnp.float32))
+        out = orthogonalize_modes(z, sort=False)
+        oc = np.asarray(out.re) + 1j * np.asarray(out.im)
+        flat = oc.reshape(3, -1)
+        gram = flat @ flat.conj().T
+        np.testing.assert_allclose(np.abs(gram - np.diag(np.diag(gram))).max(), 0, atol=1e-5)
+        np.testing.assert_allclose(
+            (np.abs(oc) ** 2).sum(), (np.abs(modes) ** 2).sum(), rtol=1e-5,
+        )

@@ -87,3 +87,24 @@ class TestCombined:
         assert float(terms["loss_sparse"]) == 0.0
         assert float(terms["loss_simlar"]) == 0.0
         assert float(total) == pytest.approx(float(terms["loss_single"]), rel=1e-6)
+
+
+class TestLossParamsMerge:
+    def test_partial_term_dict_inherits_defaults(self, rng):
+        """A partial per-term dict must deep-merge over the term's defaults
+        instead of replacing the whole dict and KeyError-ing (review r3)."""
+        dp = jnp.asarray(np.abs(rng.standard_normal((2, 8, 8))).astype(np.float32))
+        meas = jnp.asarray(np.abs(rng.standard_normal((2, 8, 8))).astype(np.float32))
+        oa = jnp.ones((2, 1, 1, 8, 8), jnp.float32)
+        op = jnp.zeros((2, 1, 1, 8, 8), jnp.float32)
+        occu = jnp.ones(1, jnp.float32)
+        total, terms = combined_loss(
+            dp, meas, oa, op, occu, {"loss_single": {"state": True}}, None
+        )
+        assert np.isfinite(float(total))
+        total2, terms2 = combined_loss(
+            dp, meas, oa, op, occu, {"loss_sparse": {"weight": 0.5}}, None
+        )
+        assert np.isfinite(float(total2))
+        # weight given but state inherited (False): sparse contributes zero
+        assert float(terms2["loss_sparse"]) == 0.0

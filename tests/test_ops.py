@@ -257,3 +257,23 @@ class TestMasksResize:
         got = np.asarray(area_downsample(jnp.asarray(x), (0.5, 0.5)))
         want = x.reshape(1, 4, 2, 4, 2).mean(axis=(2, 4))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestResizeTorchParity:
+    def test_bilinear_downsample_matches_torch_no_antialias(self, rng):
+        """jax.image.resize defaults to antialias=True on downsampling;
+        torch F.interpolate(mode='bilinear') does not antialias — the
+        reference's on-the-fly measurement resample must match torch
+        (review r3, confirmed 0.49 max abs diff before the fix)."""
+        import torch
+        import torch.nn.functional as F
+
+        from ptyrad_tpu.ops.resize import bilinear_resize
+
+        x = rng.standard_normal((2, 16, 16)).astype(np.float32)
+        ours = np.asarray(bilinear_resize(jnp.asarray(x), (0.5, 0.5)))
+        theirs = F.interpolate(
+            torch.from_numpy(x)[None], scale_factor=(0.5, 0.5),
+            mode="bilinear", align_corners=False,
+        )[0].numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-6)
