@@ -29,7 +29,7 @@ from ptyrad_tpu.engine.batching import make_batches, pad_batches, select_scan_in
 from ptyrad_tpu.losses import combined_loss
 from ptyrad_tpu.models.forward import forward, fused_loss_terms, get_measurements
 from ptyrad_tpu.models.state import Buffers, Geometry, PtychoParams, make_model
-from ptyrad_tpu.optim import create_optimizer, mask_unstarted_grads
+from ptyrad_tpu.optim import create_optimizer, freeze_unstarted_params, mask_unstarted_grads
 from ptyrad_tpu.parallel.mesh import make_mesh, shard_model
 from ptyrad_tpu.utils.logging import vprint
 
@@ -158,6 +158,7 @@ def build_lbfgs_step(
     geom: Geometry,
     loss_params: Optional[dict],
     optimizer,
+    start_iters: Optional[Dict[str, int]] = None,
 ):
     """LBFGS step: grad-accumulated full-dataset value_fn drives the optax
     linesearch.
@@ -174,7 +175,7 @@ def build_lbfgs_step(
     group-summed closure).
     """
 
-    def value_fn_of(bufs, idx_all, mask_all):
+    def value_fn_of(bufs, idx_all, mask_all, niter):
         def one_batch(params, indices, mask):
             fused = fused_loss_terms(params, bufs, geom, indices, mask, loss_params)
             if fused is not None:
@@ -191,6 +192,11 @@ def build_lbfgs_step(
         one_batch = jax.checkpoint(one_batch)
 
         def value_fn(params):
+            if start_iters:
+                # start_iter gating INSIDE the objective so the linesearch's
+                # internal gradient evaluations are gated too
+                params = freeze_unstarted_params(params, niter, start_iters)
+
             def body(acc, xs):
                 indices, mask = xs
                 return acc + one_batch(params, indices, mask), None
@@ -201,8 +207,8 @@ def build_lbfgs_step(
         return value_fn
 
     @jax.jit
-    def _lbfgs_step(params, opt_state, bufs, idx_all, mask_all):
-        value_fn = value_fn_of(bufs, idx_all, mask_all)
+    def _lbfgs_step(params, opt_state, bufs, idx_all, mask_all, niter):
+        value_fn = value_fn_of(bufs, idx_all, mask_all, niter)
         value, grad = optax.value_and_grad_from_state(value_fn)(params, state=opt_state)
         updates, opt_state = optimizer.update(
             grad, opt_state, params, value=value, grad=grad, value_fn=value_fn
@@ -210,8 +216,9 @@ def build_lbfgs_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, value
 
-    def lbfgs_step(params, opt_state, idx_all, mask_all):
-        return _lbfgs_step(params, opt_state, buffers, idx_all, mask_all)
+    def lbfgs_step(params, opt_state, idx_all, mask_all, niter=1):
+        return _lbfgs_step(params, opt_state, buffers, idx_all, mask_all,
+                           jnp.asarray(niter, jnp.int32))
 
     return lbfgs_step
 
@@ -256,7 +263,11 @@ def recon_step(
         params, opt_state, total, terms = train_step(
             params, opt_state, jnp.asarray(idx), jnp.asarray(msk), niter_dev
         )
-        for name, val in terms.items():
+        # ONE device->host transfer per batch for the whole term dict — a
+        # float(val) per term would cost a blocking round-trip each (5 terms
+        # x n_batches adds seconds/iteration on tunneled backends)
+        terms_host = jax.device_get(terms)
+        for name, val in terms_host.items():
             term_lists.setdefault(name, []).append(float(val))
     term_avgs = {k: float(np.mean(v)) for k, v in term_lists.items()}
     recon_step.last_batch_terms = term_lists
@@ -405,11 +416,13 @@ class PtyRADSolver:
 
     def prepare(self):
         rp = self.recon_params
+        im = rp.get("INDICES_MODE", {}) or {}
         indices = select_scan_indices(
             self.geom.n_scan_slow,
             self.geom.n_scan_fast,
-            *(rp.get("INDICES_MODE", {}).get("subscan") or (None, None)),
-            mode=rp.get("INDICES_MODE", {}).get("mode", "full"),
+            im.get("subscan_slow"),
+            im.get("subscan_fast"),
+            mode=im.get("mode", "full"),
         )
         batch_size = int(rp.get("BATCH_SIZE", {}).get("size", 32))
         grad_accum = int(rp.get("BATCH_SIZE", {}).get("grad_accumulation", 1))
@@ -468,9 +481,20 @@ class PtyRADSolver:
                     f"WARNING: failed to restore optimizer state from "
                     f"'{load_state}': {e}. Using fresh state."
                 )
+        # shard BEFORE building the jitted steps: they close over buffers,
+        # so on a mesh the steps must see the sharded store (previously the
+        # steps were built twice, once over unsharded buffers and discarded)
+        self._put_batch = None
+        if self.mesh is not None:
+            self.params, self.buffers = shard_model(
+                self.params, self.buffers, self.mesh,
+                shard_measurements=bool(self.recon_params.get("shard_measurements", True)),
+            )
+
         if self.optimizer_name in ("LBFGS", "lbfgs"):
             self.lbfgs_step = build_lbfgs_step(
-                self.buffers, self.geom, self.loss_params, self.optimizer
+                self.buffers, self.geom, self.loss_params, self.optimizer,
+                start_iters=self.start_dict,
             )
             self.train_step, self.eval_loss, self.train_epoch = None, None, None
         else:
@@ -481,24 +505,7 @@ class PtyRADSolver:
                 self.buffers, self.geom, self.loss_params, self.optimizer, self.start_dict
             )
 
-        self._put_batch = None
         if self.mesh is not None:
-            self.params, self.buffers = shard_model(
-                self.params, self.buffers, self.mesh,
-                shard_measurements=bool(self.recon_params.get("shard_measurements", True)),
-            )
-            if self.optimizer_name not in ("LBFGS", "lbfgs"):
-                # rebuild steps closing over sharded buffers
-                self.train_step, self.eval_loss = build_train_step(
-                    self.buffers, self.geom, self.loss_params, self.optimizer, self.start_dict
-                )
-                self.train_epoch = build_train_epoch(
-                    self.buffers, self.geom, self.loss_params, self.optimizer, self.start_dict
-                )
-            else:
-                self.lbfgs_step = build_lbfgs_step(
-                    self.buffers, self.geom, self.loss_params, self.optimizer
-                )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             def put_batch(idx, msk):
@@ -560,6 +567,13 @@ class PtyRADSolver:
                 "time (the budget heuristic was optimistic for this shape); "
                 f"falling back to the XLA path. Mosaic said: {e}"
             )
+            # rebuild model state from init_variables, NOT from self.params:
+            # if the failure happened after the first step began executing
+            # (rather than at compile), the donated params/opt_state buffers
+            # are already consumed and any reuse dies on deleted arrays
+            self.params, self.buffers, self.geom = make_model(
+                self.init_variables, self.model_params
+            )
             self.geom = _dc.replace(self.geom, fwd_fused=False)
             self._build()
             if self.optimizer_name in ("LBFGS", "lbfgs"):
@@ -603,7 +617,7 @@ class PtyRADSolver:
         history = self.history
         for niter in range(1, n_iter + 1):
             t0 = time.perf_counter()
-            params, opt_state, value = self.lbfgs_step(params, opt_state, idx_all, mask_all)
+            params, opt_state, value = self.lbfgs_step(params, opt_state, idx_all, mask_all, niter)
             params = self.constraint_fn(params, self.buffers, niter)
             jax.block_until_ready(params.obja)
             iter_t = time.perf_counter() - t0

@@ -38,11 +38,21 @@ def load_fastraw() -> Optional[object]:
             os.makedirs(build, exist_ok=True)
             include = sysconfig.get_paths()["include"]
             cc = os.environ.get("CC", "cc")
-            subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-pthread",
-                 f"-I{include}", src, "-o", so_path],
-                check=True, capture_output=True,
-            )
+            # compile to a per-process temp name and os.replace (atomic):
+            # writing the final path directly means an interrupted or
+            # concurrent build leaves a fresh-mtime corrupt .so that
+            # permanently disables the fast path
+            tmp_path = f"{so_path}.{os.getpid()}.tmp"
+            try:
+                subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC", "-pthread",
+                     f"-I{include}", src, "-o", tmp_path],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp_path, so_path)
+            finally:
+                if os.path.exists(tmp_path):
+                    os.remove(tmp_path)
         spec = importlib.util.spec_from_file_location("ptyrad_tpu.native.fastraw", so_path)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)

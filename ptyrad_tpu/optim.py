@@ -132,7 +132,11 @@ def create_optimizer(
                 transforms[pname] = ctor(learning_rate=lr_dict[pname], **configs)
         tx = optax.multi_transform(transforms, _label_tree(params))
 
-    if grad_accumulation > 1:
+    if grad_accumulation > 1 and name not in ("LBFGS", "lbfgs"):
+        # LBFGS excluded: its step already accumulates over ALL batches in a
+        # scanned full-dataset objective (engine/solver.build_lbfgs_step), so
+        # a MultiSteps wrapper would simply discard k-1 of every k full
+        # linesearch steps
         tx = optax.MultiSteps(tx, every_k_schedule=int(grad_accumulation))
 
     opt_state = tx.init(params)
@@ -158,6 +162,33 @@ def mask_unstarted_grads(grads: PtychoParams, niter, start_dict: Dict[str, int])
         probe_pos_shifts=grads.probe_pos_shifts * gate("probe_pos_shifts"),
         obj_tilts=grads.obj_tilts * gate("obj_tilts"),
         slice_thickness=grads.slice_thickness * gate("slice_thickness"),
+    )
+
+
+def freeze_unstarted_params(params: PtychoParams, niter, start_dict: Dict[str, int]) -> PtychoParams:
+    """start_iter gating on the PARAMS side: x*g + stop_gradient(x)*(1-g) is
+    numerically x but blocks gradients while niter < start_iter. Used by the
+    LBFGS path, where masking only the outer gradient would leak unmasked
+    gradients through the linesearch's internal value_and_grad evaluations
+    (reference toggle_grad_requires semantics, reconstruction.py:783-790).
+    """
+    def gate(name):
+        si = start_dict.get(name, 1)
+        if si < 0:
+            return jnp.float32(0.0)
+        return (niter >= si).astype(jnp.float32)
+
+    def apply(name, x):
+        g = gate(name)
+        return x * g + jax.lax.stop_gradient(x) * (1.0 - g)
+
+    return PtychoParams(
+        obja=apply("obja", params.obja),
+        objp=apply("objp", params.objp),
+        probe=apply("probe", params.probe),
+        probe_pos_shifts=apply("probe_pos_shifts", params.probe_pos_shifts),
+        obj_tilts=apply("obj_tilts", params.obj_tilts),
+        slice_thickness=apply("slice_thickness", params.slice_thickness),
     )
 
 

@@ -258,7 +258,8 @@ class UpdateParams(BaseModel):
     obj_tilts: Dict[str, Union[int, float, None]] = Field(default={"start_iter": None, "lr": 0})
     slice_thickness: Dict[str, Union[int, float, None]] = Field(default={"start_iter": None, "lr": 0})
     probe: Dict[str, Union[int, float, None]] = Field(default={"start_iter": 1, "lr": 1e-4})
-    probe_pos_shifts: Dict[str, Union[int, float, None]] = Field(default={"start_iter": None, "lr": 0})
+    # reference default (params/model_params.py:52-55): position refinement ON
+    probe_pos_shifts: Dict[str, Union[int, float, None]] = Field(default={"start_iter": 1, "lr": 5e-4})
 
     @model_validator(mode="after")
     def _consistent(self):

@@ -720,3 +720,55 @@ class TestNanGuard:
         losses = [v for _, v in history.loss_iters]
         assert any(not np.isfinite(v) for v in losses)
         assert len(losses) < 30
+
+
+class TestSolverReviewFixesR3b:
+    def test_indices_mode_subscan_keys_respected(self, rng):
+        """INDICES_MODE subscan_slow/subscan_fast (the schema's key names)
+        must reach select_scan_indices — they were read under a nonexistent
+        'subscan' key and silently ignored (review r3)."""
+        init, _ = make_synthetic(rng)  # 6x6 scan
+        cfg = solver_params(niter=1, extra={
+            "recon_params": {"NITER": 1, "BATCH_SIZE": {"size": 8},
+                             "INDICES_MODE": {"mode": "center",
+                                              "subscan_slow": 4,
+                                              "subscan_fast": 2}},
+        })
+        solver = PtyRADSolver(cfg, init_variables=init, mesh=None, verbose=False)
+        solver.prepare()
+        assert len(solver.indices) == 4 * 2
+
+    def test_lbfgs_respects_start_iter(self, rng):
+        """A tensor with start_iter > 1 must not move during earlier LBFGS
+        iterations (the gating lives inside the objective via stop_gradient
+        so linesearch-internal gradients are gated too — review r3)."""
+        init, _ = make_synthetic(rng)
+        upd = {"objp": {"lr": 1e-2, "start_iter": 1},
+               "obja": {"lr": 1e-2, "start_iter": 5}}
+        cfg = solver_params(niter=2, optimizer="LBFGS")
+        cfg["model_params"]["update_params"] = upd
+        solver = PtyRADSolver(cfg, init_variables=init, mesh=None, verbose=False)
+        solver.prepare()
+        solver._build()
+        obja0 = np.asarray(solver.params.obja).copy()
+        objp0 = np.asarray(solver.params.objp).copy()
+        params, opt_state, value = solver.lbfgs_step(
+            solver.params, solver.opt_state, jnp.asarray(solver.batch_idx),
+            jnp.asarray(solver.batch_mask), niter=1,
+        )
+        np.testing.assert_array_equal(np.asarray(params.obja), obja0)
+        assert not np.array_equal(np.asarray(params.objp), objp0)
+
+    def test_lbfgs_ignores_grad_accumulation_wrapper(self, rng):
+        """grad_accumulation must not wrap LBFGS in MultiSteps: its step is
+        already a full-dataset objective, and the wrapper would discard k-1
+        of every k linesearch steps (review r3)."""
+        init, _ = make_synthetic(rng)
+        upd = {"objp": {"lr": 1e-2, "start_iter": 1}}
+        params, buffers, geom = make_model(init)
+        tx, st, _, _ = create_optimizer({"name": "LBFGS"}, upd, params,
+                                        grad_accumulation=4)
+        import optax
+
+        # a MultiSteps wrapper would expose .mini_step in the state
+        assert not hasattr(st, "mini_step")
