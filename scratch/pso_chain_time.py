@@ -45,10 +45,12 @@ def main():
 
     K = 16  # chain steps per dispatch: amortizes the ~30 ms tunnel overhead
 
+    need_dh = "--dh" in sys.argv
+
     def f(obja, objp, pr, pi, hr, hi):
         dp = pch.multislice_dp_chain(
             obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi), occu, 1e-10,
-            need_dh=False,
+            need_dh=need_dh,
         )
         return jnp.sum(jnp.sqrt(dp + 1e-10))
 
