@@ -52,3 +52,22 @@ def load_h(hr_ref, hi_ref, h_shared):
     if h_shared:
         return hr_ref[0], hi_ref[0]
     return hr_ref[...], hi_ref[...]
+
+
+def tmul(psi_r, psi_i, tr, ti, blk, pc, n):
+    """psi (blk*pc, N, N) times per-sample (blk, N, N) complex multiplier
+    (transmission function or per-position propagator)."""
+    pr = psi_r.reshape(blk, pc, n, n)
+    pi = psi_i.reshape(blk, pc, n, n)
+    outr = pr * tr[:, None] - pi * ti[:, None]
+    outi = pr * ti[:, None] + pi * tr[:, None]
+    return outr.reshape(blk * pc, n, n), outi.reshape(blk * pc, n, n)
+
+
+def hmul(kr, ki, h_r, h_i, conj, blk, pc, n):
+    """k-field times the propagator — h is (N, N) when shared or (blk, N, N)
+    per-position (broadcast over the pmode chunk)."""
+    hi = -h_i if conj else h_i
+    if h_r.ndim == 2:
+        return kr * h_r - ki * hi, kr * hi + ki * h_r
+    return tmul(kr, ki, h_r, hi, blk, pc, n)

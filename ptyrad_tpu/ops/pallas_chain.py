@@ -49,10 +49,13 @@ from jax.sharding import PartitionSpec as P
 from ptyrad_tpu.ops.cplx import Cplx
 from ptyrad_tpu.ops.fourier import _dft_consts, fft2
 from ptyrad_tpu.ops.kernel_util import (
+    VMEM_LIMIT_BYTES as _VMEM_LIMIT_BYTES,
     compiler_params as _compiler_params,
     cpass as _cpass,
     gemm_dtype as _gemm_dtype,
+    hmul as _mul_h,
     load_h as _load_h,
+    tmul as _mul_t,
 )
 from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
@@ -203,22 +206,6 @@ def _bundles(mat_refs, radix):
     vals = [r[...] for r in mat_refs]
     half = len(vals) // 2
     return (vals[:half], radix, False), (vals[half:], radix, True)
-
-
-def _mul_t(psi_r, psi_i, tr, ti, m, pc, n):
-    """psi (m*pc, N, N) times per-sample (m, N, N) transmission/propagator."""
-    pr = psi_r.reshape(m, pc, n, n)
-    pi = psi_i.reshape(m, pc, n, n)
-    outr = pr * tr[:, None] - pi * ti[:, None]
-    outi = pr * ti[:, None] + pi * tr[:, None]
-    return outr.reshape(m * pc, n, n), outi.reshape(m * pc, n, n)
-
-
-def _mul_h(kr, ki, h_r, h_i, conj, m, pc, n):
-    hi = -h_i if conj else h_i
-    if h_r.ndim == 2:
-        return kr * h_r - ki * hi, kr * hi + ki * h_r
-    return _mul_t(kr, ki, h_r, hi, m, pc, n)
 
 
 def _seg_fwd_kernel(sg, n, pc, blk, last, h_shared, dt, radix, n_mats,
@@ -678,7 +665,7 @@ def _mega_plan(b_local, sg, n, pmode, h_shared, need_dh):
 # (B=32, nz=21, N=256, pmode=4): plans (1,2)/(1,4)/(2,4) land within 5% of
 # each other (20.6/20.3/19.7 ms fwd+bwd) — the kernel is compute-bound on
 # this chip, so the budget mainly controls how much VMEM we risk, not speed.
-_MEGA_VMEM_BUDGET = int(60 * 1024 * 1024)
+_MEGA_VMEM_BUDGET = (_VMEM_LIMIT_BYTES * 5) // 8  # 60 MB at the 96 MiB ceiling
 
 # s-parked index maps for the backward's g/dpsi0 blocks (see _chain_stack_bwd)
 _PARK_MAPS = True
@@ -693,6 +680,12 @@ def _mega_fwd_impl(psi0_r, psi0_i, a_main, p_main, h_r, h_i, sg, last_mega,
                    need_dh):
     b, pmode, n, _ = psi0_r.shape
     nz_main = a_main.shape[1]
+    if nz_main % sg:
+        # S = nz_main // sg below would silently DROP the trailing slices
+        raise ValueError(
+            f"chain_stack: nz_main ({nz_main}) must be divisible by sg ({sg});"
+            " route the ragged tail through chain_segment"
+        )
     S = nz_main // sg
     h_shared = h_r.shape[0] == 1
     mesh = get_kernel_mesh()
@@ -758,16 +751,31 @@ def _mega_fwd_impl(psi0_r, psi0_i, a_main, p_main, h_r, h_i, sg, last_mega,
 def chain_stack(psi0_r, psi0_i, a_main, p_main, h_r, h_i, sg, last_mega=True,
                 need_dh=False):
     """Advance psi0 through the uniform part of the chain (S = nz_main/sg
-    segments of exactly sg slices) in ONE kernel per direction.
+    segments of exactly sg slices) in ONE kernel per direction (under AD).
 
     a_main/p_main: (B, nz_main, N, N) with nz_main % sg == 0. h in KERNEL
     k-order (see chain_segment). last_mega: the chain ends here (no
     propagation after the final slice); False when a ragged chain_segment
     tail follows. Returns the exit wavefield (B, pmode, N, N) pair.
+
+    PRIMAL-only calls (no grad: validation dp, exports) run the per-segment
+    kernels instead of the mega kernel: the mega forward always emits the
+    backward's segment-entry remat stack to HBM (~134 MB at PSO scale),
+    which is pure waste when nothing will differentiate it.
     """
-    _, _, out_r, out_i = _mega_fwd_impl(
-        psi0_r, psi0_i, a_main, p_main, h_r, h_i, sg, last_mega, need_dh)
-    return out_r, out_i
+    nz_main = a_main.shape[1]
+    if nz_main % sg:
+        raise ValueError(
+            f"chain_stack: nz_main ({nz_main}) must be divisible by sg ({sg})"
+        )
+    psi_r, psi_i = psi0_r, psi0_i
+    for z0 in range(0, nz_main, sg):
+        last = last_mega and (z0 + sg >= nz_main)
+        psi_r, psi_i = chain_segment(
+            psi_r, psi_i, a_main[:, z0:z0 + sg], p_main[:, z0:z0 + sg],
+            h_r, h_i, last, need_dh,
+        )
+    return psi_r, psi_i
 
 
 def _chain_stack_fwd(psi0_r, psi0_i, a_main, p_main, h_r, h_i, sg, last_mega,
@@ -1047,7 +1055,7 @@ chain_segment.defvjp(_chain_fwd, _chain_bwd)
 # pmode chunk grows GEMM rows with less real VMEM than widening the batch
 # block. Anything Mosaic still rejects degrades through the solver's
 # Mosaic-OOM fallback to the XLA path (engine/solver._mosaic_vmem_error).
-_VMEM_BUDGET = int(60 * 1024 * 1024)
+_VMEM_BUDGET = (_VMEM_LIMIT_BYTES * 5) // 8  # tracks the Mosaic ceiling
 
 
 def _pick_plan(b, sg, n, pmode, backward, h_shared, need_dh):

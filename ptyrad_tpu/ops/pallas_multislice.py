@@ -58,7 +58,9 @@ from ptyrad_tpu.ops.kernel_util import (
     compiler_params as _compiler_params,
     cpass as _cpass,
     gemm_dtype as _gemm_dtype,
+    hmul as _hmul,
     load_h as _load_h,
+    tmul as _tmul,
 )
 from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
@@ -89,25 +91,6 @@ def _dft2(xr, xi, mats, dt, scale=None):
 
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
-
-
-def _tmul(psi_r, psi_i, tr, ti, blk, pmode, n):
-    """psi (blk*pmode, N, N) times per-sample transmission (blk, N, N)."""
-    pr = psi_r.reshape(blk, pmode, n, n)
-    pi = psi_i.reshape(blk, pmode, n, n)
-    outr = pr * tr[:, None] - pi * ti[:, None]
-    outi = pr * ti[:, None] + pi * tr[:, None]
-    return outr.reshape(blk * pmode, n, n), outi.reshape(blk * pmode, n, n)
-
-
-def _hmul(kr, ki, h_r, h_i, conj, blk, pmode, n):
-    """k-field (blk*pmode, N, N) times the propagator — h is (N, N) when
-    shared or (blk, N, N) when per-position (broadcast over pmode)."""
-    hi = -h_i if conj else h_i
-    if h_r.ndim == 2:
-        return _cmul(kr, ki, h_r, hi)
-    out_r, out_i = _tmul(kr, ki, h_r, hi, blk, pmode, n)
-    return out_r, out_i
 
 
 def _forward_chain(psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n,

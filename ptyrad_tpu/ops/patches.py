@@ -67,10 +67,12 @@ def set_interpret(flag: bool) -> None:
 
 
 _SUB, _LANE = 8, 128  # f32 VMEM tile (sublane, lane)
-# What the lead-chunk planner asks for, sized against kernel_util's raised
-# Mosaic ceiling (96 MiB) with headroom; at 60 MB the 21-slice PSO canvas
-# (13.9 MB block) runs as ONE chunk instead of two, with no lead padding.
-_VMEM_BUDGET = 60 * 1024 * 1024
+# What the lead-chunk planner asks for, tracking kernel_util's Mosaic
+# ceiling with headroom; at 60 MB the 21-slice PSO canvas (13.9 MB block)
+# runs as ONE chunk instead of two, with no lead padding.
+from ptyrad_tpu.ops.kernel_util import VMEM_LIMIT_BYTES as _VMEM_LIMIT_BYTES
+
+_VMEM_BUDGET = (_VMEM_LIMIT_BYTES * 5) // 8
 
 
 def _round_up(v: int, m: int) -> int:
@@ -241,11 +243,12 @@ def _lead_chunk(canvas_shape: tuple[int, ...], ny: int, nx: int,
     fit VMEM; None if even one slice does not fit (falls back to the XLA
     path — would need 2D canvas tiling).
 
-    Among fitting chunk sizes, prefer DIVISORS of l: a non-divisor rounds the
-    lead dim up to a multiple of lc, and the resulting jnp.pad/slice copies
-    of the canvas and patch stacks are real per-step HBM traffic (profiled at
-    ~2.3 ms/step on the 21-slice PSO workload when lc=18 padded 21 -> 36).
-    Only when no divisor fits does the largest fitting non-divisor win."""
+    The chunk is the largest DIVISOR of l that fits: a non-divisor rounds
+    the lead dim up to a multiple of lc, and the resulting jnp.pad/slice
+    copies of the canvas and patch stacks are real per-step HBM traffic
+    (profiled at ~2.3 ms/step on the 21-slice PSO workload when lc=18
+    padded 21 -> 36). lc=1 always divides, so whenever ANY chunking fits a
+    divisor is returned (fits() is monotone in lc)."""
     lead = canvas_shape[:-2]
     l = int(np.prod(lead)) if lead else 1
     h, w = canvas_shape[-2], canvas_shape[-1]
@@ -259,15 +262,10 @@ def _lead_chunk(canvas_shape: tuple[int, ...], ny: int, nx: int,
         )
         return need <= _VMEM_BUDGET
 
-    best_any = None
     for lc in range(l, 0, -1):
-        if not fits(lc):
-            continue
-        if best_any is None:
-            best_any = lc
-        if l % lc == 0:
+        if l % lc == 0 and fits(lc):
             return lc
-    return best_any
+    return None
 
 
 def _kernel_fits(canvas_shape: tuple[int, ...], ny: int, nx: int, itemsize: int = 4) -> bool:

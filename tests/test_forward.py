@@ -678,8 +678,11 @@ class TestPallasChainPath:
         pch.set_park_maps(park)
         try:
             dp_c = chain_fn(*args)
-            assert calls, "dispatcher did not route the uniform part to chain_stack"
+            # primal-only calls are stack-free by design (per-segment
+            # kernels); the mega kernel must NOT run without AD
+            assert not calls, "primal chain_stack unexpectedly ran the mega kernel"
             g_c = self._grads(chain_fn, args)
+            assert calls, "AD did not route the uniform part to the mega kernel"
         finally:
             pch.set_interpret(False)
             pch.set_park_maps(True)
