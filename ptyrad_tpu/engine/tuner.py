@@ -78,6 +78,8 @@ class Storage:
 
     def update_trial(self, number: int, state=None, value=None, params=None, reports=None):
         if self.path:
+            if state is value is params is reports is None:
+                return  # nothing to update; bare SET would be malformed SQL
             sets, vals = [], []
             if state is not None:
                 sets.append("state=?"); vals.append(state)
@@ -136,6 +138,7 @@ class RandomSampler:
             val = self.rng.uniform(low, high)
         if spec.get("step"):
             val = low + round((val - low) / spec["step"]) * spec["step"]
+            val = min(max(val, low), high)  # snap can overshoot when (high-low) % step != 0
         if kind == "int":
             return int(round(val))
         return float(val)
@@ -151,10 +154,17 @@ class GridSampler:
         if name not in self._axes:
             if spec["kind"] == "cat":
                 self._axes[name] = list(spec["choices"])
+            elif spec.get("log"):
+                # geometric spacing: linear steps on a log-scale axis would
+                # put every grid point except the first in the top decade
+                lo, hi = math.log(spec["low"]), math.log(spec["high"])
+                vals = [math.exp(lo + i * (hi - lo) / 9) for i in range(10)]
+                self._axes[name] = vals
             else:
                 step = spec.get("step") or (spec["high"] - spec["low"]) / 9
                 n = int(round((spec["high"] - spec["low"]) / step)) + 1
                 vals = [spec["low"] + i * step for i in range(n)]
+                vals = [v for v in vals if v <= spec["high"] + 1e-12]
                 self._axes[name] = [int(round(v)) for v in vals] if spec["kind"] == "int" else vals
         return self._axes[name]
 
@@ -289,7 +299,7 @@ class MedianPruner:
     def should_prune(self, trial_reports: Dict[int, float], step: int, history: List[dict]) -> bool:
         if step <= self.n_warmup or step % self.interval != 0:
             return False
-        finished = [t for t in history if t["state"] in (COMPLETE, PRUNED) and t["reports"]]
+        finished = [t for t in history if t["state"] == COMPLETE and t["reports"]]
         if len(finished) < self.n_startup:
             return False
         peers = [t["reports"].get(str(step)) for t in finished]
@@ -306,7 +316,11 @@ class HyperbandPruner(MedianPruner):
     exponentially spaced rungs."""
 
     def __init__(self, min_resource: int = 1, reduction_factor: int = 3, **kw):
-        super().__init__(n_startup_trials=kw.get("n_startup_trials", 3))
+        super().__init__(
+            n_startup_trials=kw.get("n_startup_trials", 3),
+            n_warmup_steps=kw.get("n_warmup_steps", 0),
+            interval_steps=kw.get("interval_steps", 1),
+        )
         if reduction_factor <= 1:
             raise ValueError(f"reduction_factor must be > 1, got {reduction_factor}")
         if min_resource < 1:
@@ -354,6 +368,8 @@ class Trial:
         return val
 
     def suggest_float(self, name, low, high, step=None, log=False):
+        if log and low <= 0:
+            raise ValueError(f"suggest_float('{name}', log=True) requires low > 0, got {low}")
         return self._suggest(name, {"kind": "float", "low": low, "high": high, "step": step, "log": log})
 
     def suggest_int(self, name, low, high, step=1, log=False):
@@ -373,6 +389,19 @@ class Trial:
             return False
         step = max(self._reports)
         return self.study.pruner.should_prune(self._reports, step, self.study.storage.all_trials())
+
+
+def _pruned_exception_types():
+    """TrialPruned classes the builtin Study must recognize: its own, plus
+    optuna's when optuna is importable — the objective picks its exception by
+    availability, and a pruned trial recorded as FAILED would lose its
+    intermediate value and starve the pruner/sampler history."""
+    try:
+        import optuna
+
+        return (TrialPruned, optuna.exceptions.TrialPruned)
+    except ImportError:
+        return (TrialPruned,)
 
 
 class Study:
@@ -397,7 +426,7 @@ class Study:
                 value = objective(trial)
                 self.storage.update_trial(number, state=COMPLETE, value=value, params=trial.params)
                 vprint(f"Trial {number} COMPLETE value={value:.6g} params={trial.params}")
-            except TrialPruned:
+            except _pruned_exception_types():
                 last = trial._reports[max(trial._reports)] if trial._reports else None
                 self.storage.update_trial(number, state=PRUNED, value=last, params=trial.params)
                 vprint(f"Trial {number} PRUNED at step {max(trial._reports) if trial._reports else '?'}")
@@ -433,6 +462,12 @@ def create_study(study_name: str, storage_path: Optional[str] = None,
             raise ValueError(f"Pruner '{pname}' not supported; choose from {sorted(PRUNER_REGISTRY)}")
         pruner = PRUNER_REGISTRY[pname](**(pruner_params.get("configs") or {}))
 
-    if storage_path and not load_if_exists and os.path.exists(storage_path):
-        os.remove(storage_path)
-    return Study(study_name, storage_path, sampler, pruner)
+    study = Study(study_name, storage_path, sampler, pruner)
+    if storage_path and not load_if_exists and study.storage.path:
+        # clear only THIS study's rows: deleting the file would destroy
+        # co-hosted studies and split-brain workers holding the old inode
+        study.storage._conn.execute(
+            "DELETE FROM trials WHERE study=?", (study.storage.study_name,)
+        )
+        study.storage._conn.commit()
+    return study

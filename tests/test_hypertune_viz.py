@@ -308,3 +308,50 @@ class TestVisualization:
         for f in figs:
             assert f is not None
             plt.close(f)
+
+
+class TestTunerReviewFixesR3:
+    def test_builtin_study_catches_optuna_pruned(self, tmp_path):
+        """When optuna is installed the objective raises optuna's
+        TrialPruned; the builtin Study must record PRUNED, not FAILED
+        (review r3)."""
+        optuna = pytest.importorskip("optuna")
+
+        def objective(trial):
+            trial.report(1.0, 1)
+            raise optuna.exceptions.TrialPruned()
+
+        study = tuner.Study(sampler=tuner.RandomSampler(seed=0))
+        study.optimize(objective, n_trials=2)
+        assert [t["state"] for t in study.trials] == ["PRUNED", "PRUNED"]
+        assert all(t["value"] == 1.0 for t in study.trials)
+
+    def test_random_step_snap_clamped(self):
+        s = tuner.RandomSampler(seed=0)
+        spec = {"kind": "float", "low": 0.0, "high": 1.0, "step": 0.6}
+        vals = {s.sample("x", spec, []) for _ in range(200)}
+        assert all(0.0 <= v <= 1.0 for v in vals)
+
+    def test_grid_axis_respects_bounds_and_log(self):
+        g = tuner.GridSampler()
+        lin = g._axis("a", {"kind": "float", "low": 0.0, "high": 1.0, "step": 0.6})
+        assert max(lin) <= 1.0 + 1e-12
+        lg = g._axis("b", {"kind": "float", "low": 1e-5, "high": 1e-1, "log": True})
+        assert min(lg) == pytest.approx(1e-5) and max(lg) == pytest.approx(1e-1)
+        # geometric: half the points below the geometric midpoint
+        assert sum(v < 1e-3 for v in lg) == 5
+
+    def test_load_if_exists_false_clears_only_this_study(self, tmp_path):
+        db = str(tmp_path / "shared.db")
+        a = tuner.create_study("A", db)
+        a.storage.create_trial()
+        b = tuner.create_study("B", db, load_if_exists=False)
+        assert len(a.storage.all_trials()) == 1  # study A untouched
+        b2 = tuner.create_study("B", db, load_if_exists=False)
+        assert len(b2.storage.all_trials()) == 0
+
+    def test_log_space_low_zero_rejected(self):
+        study = tuner.Study(sampler=tuner.RandomSampler(seed=0))
+        trial = tuner.Trial(study, study.storage.create_trial())
+        with pytest.raises(ValueError, match="low > 0"):
+            trial.suggest_float("dz", 0.0, 2.0, log=True)
