@@ -17,6 +17,7 @@ source-size blur -> detector blur -> Poisson noise -> final clip.
 from __future__ import annotations
 
 import os
+from collections import Counter
 from copy import deepcopy
 from math import floor
 from typing import Optional
@@ -76,14 +77,29 @@ def default_probe_simu_params(init_params: dict) -> dict:
     raise ValueError(f"probe_illum_type '{illum}' not supported; use 'electron' or 'xray'")
 
 
+def _copy_config(obj):
+    """Deep copy of dict/list/tuple structure with ndarray (and other
+    non-container) leaves shared by reference."""
+    if isinstance(obj, dict):
+        return {k: _copy_config(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_copy_config(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_copy_config(v) for v in obj)
+    return obj
+
+
 class Initializer:
     """Builds the init_variables dict consumed by models.state.make_model."""
 
     def __init__(self, init_params: dict, verbose: bool = True):
-        # deepcopy: crop/pad/resample mutate Npix/N_scans in init_params while
-        # init_params_original keeps the user's values for provenance
-        self.init_params = deepcopy(init_params)
-        self.init_params_original = deepcopy(init_params)
+        # config-level copies: crop/pad/resample mutate scalar fields
+        # (meas_Npix, pos_N_scan_*) while init_params_original keeps the
+        # user's values for provenance. ndarray leaves are SHARED, never
+        # mutated — a plain deepcopy would triple resident memory for
+        # in-memory 'custom' sources (e.g. a 20 GB measurement array)
+        self.init_params = _copy_config(init_params)
+        self.init_params_original = _copy_config(init_params)
         self.init_variables: dict = {}
         self.verbose = verbose
 
@@ -108,8 +124,6 @@ class Initializer:
                     p = self.init_params.get(f"{field}_params")
                     if isinstance(p, str):
                         paths.append((field, p))
-            from collections import Counter
-
             counts = Counter(p for _, p in paths)
             for path, n in counts.items():
                 if n >= 2:
@@ -175,7 +189,7 @@ class Initializer:
             meas = load_array_from_file(**params)
         else:
             raise ValueError(f"Unsupported meas_source '{source}'; use 'custom' or 'file'")
-        return meas.astype("float32")
+        return meas.astype("float32", copy=False)
 
     def _process_meas(self, meas: np.ndarray) -> np.ndarray:
         meas = self._meas_permute(meas, self.init_params.get("meas_permute"))
@@ -200,7 +214,7 @@ class Initializer:
         meas = self._meas_add_detector_blur(meas, self.init_params.get("meas_add_detector_blur"))
         meas = self._meas_add_poisson_noise(meas, self.init_params.get("meas_add_poisson_noise"))
         meas = self._meas_remove_neg(meas, {"mode": "clip_neg"})
-        return meas.astype("float32")
+        return meas.astype("float32", copy=False)
 
     def _meas_permute(self, meas, order):
         return meas.transpose(order) if order is not None else meas
@@ -229,8 +243,11 @@ class Initializer:
             return meas
         if len(crop_ranges) != 4:
             raise ValueError(f"meas_crop expects 4 ranges, got {crop_ranges}")
-        nslow = self.init_params["pos_N_scan_slow"]
-        nfast = self.init_params["pos_N_scan_fast"]
+        # pre-crop counts come from the ORIGINAL params: init_measurements
+        # must be re-runnable (staged hypertune re-init), and a prior run
+        # already overwrote the working copies with post-crop counts
+        nslow = self.init_params_original["pos_N_scan_slow"]
+        nfast = self.init_params_original["pos_N_scan_fast"]
         meas = meas.reshape(nslow, nfast, *meas.shape[-2:])
         slices = [slice(*b) if b is not None else slice(None) for b in crop_ranges]
         meas = meas[slices[0], slices[1], slices[2], slices[3]]
@@ -440,7 +457,9 @@ class Initializer:
             fit_rbf = guess_radius_of_bright_field_disk(meas_raw_avg, thresh=calib.get("thresh", 0.5))
             self.init_variables["fitRBF"] = fit_rbf
             if self.verbose:
-                fit_cbed_pattern(meas_raw_avg, verbose=False)  # sanity fit
+                # sanity fit: prints the fitted center/radius/blur so a user
+                # can eyeball the calibration (reference initialization.py:165)
+                fit_cbed_pattern(meas_raw_avg, verbose=self.verbose)
             if mode == "fitRBF":
                 dx = infer_dx(RBF=fit_rbf, Npix=npix, wavelength=wavelength, conv_angle=conv_angle)
             else:
@@ -605,7 +624,12 @@ class Initializer:
         if source == "PtyShv":
             return self._load_pos_ptyshv(params)
         if source == "py4DSTEM":
-            contents = self.cache_contents if self.use_cached_pos else load_hdf5(params)
+            # targeted read: a full py4DSTEM results file also holds the
+            # reconstruction stack (GBs); only two small arrays are needed
+            contents = (
+                self.cache_contents if self.use_cached_pos
+                else load_hdf5(params, key=["positions_px", "probe"])
+            )
             positions = np.asarray(contents["positions_px"])
             probe_shape = np.asarray(contents["probe"]).shape[-2:]
             return positions - np.array(probe_shape) / 2
@@ -839,10 +863,15 @@ class Initializer:
         scale = v.get("on_the_fly_meas_scale_factors") or [1, 1]
 
         shapes_ok = (
-            npix == meas.shape[-2] == meas.shape[-1] == probe.shape[-1] == H.shape[-1]
-            or npix == target_npix == probe.shape[-1] == H.shape[-1]
-            or npix == floor(meas.shape[-1] * scale[-1]) == probe.shape[-1] == H.shape[-1]
-            or npix == floor(target_npix * scale[-1]) == probe.shape[-1] == H.shape[-1]
+            npix == meas.shape[-2] == meas.shape[-1]
+            or npix == target_npix
+            or npix == floor(meas.shape[-1] * scale[-1])
+            or npix == floor(target_npix * scale[-1])
+        ) and (
+            # probe/H must be square at Npix on BOTH trailing axes: checking
+            # only the last axis lets a mis-permuted (e.g. (1, 130, 128))
+            # probe through to an opaque in-jit broadcast error
+            npix == probe.shape[-2] == probe.shape[-1] == H.shape[-2] == H.shape[-1]
         )
         if not shapes_ok:
             raise ValueError(

@@ -582,3 +582,29 @@ class TestReviewFixesR3:
                      {"recon_params": {"save_result": ["probe_prop"]}},
                      solver.opt_state, solver.history, 1, solver.indices)
         assert any(f.startswith("probe_prop_amp") for f in os.listdir(out2))
+
+    def test_init_measurements_rerunnable_with_crop(self, rng):
+        """Staged hypertune re-init re-runs init_measurements; with meas_crop
+        set, the second run must not reshape the raw data with the already-
+        cropped scan counts (review r3)."""
+        p = base_init_params(
+            rng, meas_crop=[[0, 2], [0, 2], [8, 24], [8, 24]],
+        )
+        init = Initializer(p, verbose=False)
+        init.init_measurements()
+        assert init.init_variables["measurements"].shape == (4, 16, 16)
+        init.init_measurements()  # re-run: must be idempotent
+        assert init.init_variables["measurements"].shape == (4, 16, 16)
+
+    def test_custom_ndarray_source_not_deepcopied(self, rng):
+        """In-memory 'custom' measurement arrays must be SHARED into the
+        Initializer's config copies, not duplicated (a 20 GB array would
+        otherwise become 60 GB resident — review r3)."""
+        meas = synth_meas(rng)
+        p = base_init_params(rng, meas_params=meas)
+        init = Initializer(p, verbose=False)
+        assert init.init_params["meas_params"] is meas
+        assert init.init_params_original["meas_params"] is meas
+        # scalar mutation still isolated between the copies
+        init.init_params["meas_Npix"] = 999
+        assert init.init_params_original["meas_Npix"] != 999
