@@ -243,23 +243,28 @@ def fused_loss_terms(params: PtychoParams, buffers: Buffers, geom: Geometry,
     if not fused_applicable_shapes(
         b, omode, obja_p.shape[2], obja_p.shape[3], obja_p.shape[4],
         probe_b, params.probe.shape[0], H.shape[0], need_dh=h_differentiable,
+        loss=True,
     ):
         return None
 
-    if geom.shift_probes:
-        from ptyrad_tpu.ops.shift import fourier_shift_kspace
-
-        probes_k = fourier_shift_kspace(params.probe, params.probe_pos_shifts[indices])
-        pr, pi, kspace = probes_k.re, probes_k.im, True
-    else:
-        pr, pi, kspace = params.probe[None].re, params.probe[None].im, False
     # the kernel computes raw |Y|^2; forward() weights the single object
     # mode by omode_occu[0] (not necessarily 1.0 for custom init_occu).
     # dp is quadratic in psi, so scaling the probe by sqrt(occu) reproduces
     # occu * |Y|^2 exactly — gradients flow through the scaling
     occu_root = jnp.sqrt(buffers.omode_occu[0])
-    pr = pr * occu_root
-    pi = pi * occu_root
+    if geom.shift_probes:
+        from ptyrad_tpu.ops.shift import fourier_shift_kspace
+
+        # occu root folded into the shift ramp: fuses into the existing
+        # elementwise product instead of a separate (B, pmode, N, N) pass
+        probes_k = fourier_shift_kspace(
+            params.probe, params.probe_pos_shifts[indices], scale=occu_root
+        )
+        pr, pi, kspace = probes_k.re, probes_k.im, True
+    else:
+        pr = params.probe[None].re * occu_root  # (1, pmode, N, N): tiny
+        pi = params.probe[None].im * occu_root
+        kspace = False
 
     meas = get_measurements(buffers, geom, indices)
     meas_cc = ifftshift2(meas)

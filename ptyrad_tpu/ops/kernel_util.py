@@ -17,10 +17,22 @@ from ptyrad_tpu.ops.fourier import get_matmul_dtype
 # stay under this with headroom for Mosaic's own temporaries.
 VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 
+# Raising the scoped limit changes Mosaic's scheduling even for kernels
+# whose live set fits the 16 MiB default, and measures ~2-3% SLOWER on the
+# tBL-scale fused multislice kernel (r4 A/B on-chip: 1.95 vs 1.99 ms
+# fwd+bwd). Kernels whose modeled working set stays under this threshold
+# therefore keep the default limit; only plans that genuinely need the
+# headroom (the chain/mega kernels, large patch canvases) raise it.
+_SMALL_KERNEL_BYTES = 14 * 1024 * 1024
 
-def compiler_params():
+
+def compiler_params(need_bytes: int | None = None):
+    """Mosaic CompilerParams for a kernel whose modeled working set is
+    `need_bytes` (None = unknown: raise the ceiling to be safe)."""
     from jax.experimental.pallas import tpu as pltpu
 
+    if need_bytes is not None and need_bytes <= _SMALL_KERNEL_BYTES:
+        return pltpu.CompilerParams()  # XLA's default scoped-vmem limit
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
 

@@ -315,9 +315,14 @@ def _common_specs(nz, n, pmode, blk, shared, h_shared):
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _pick_blk(b, nz, n, pmode, backward, shared=True, h_shared=True, need_dh=False):
+def _pick_blk(b, nz, n, pmode, backward, shared=True, h_shared=True, need_dh=False,
+              loss=False):
     """Largest batch block whose working set fits VMEM; None if even blk=1
-    doesn't fit (callers must fall back to the jnp path)."""
+    doesn't fit (callers must fall back to the jnp path).
+
+    loss=True models the loss-folded variant's extra per-block buffers
+    (double-buffered meas_cc block, mask tile, dp/mp/diff temporaries) so
+    the applicability check sizes the kernel actually launched."""
     for blk in (8, 4, 2, 1):
         if b % blk:
             continue
@@ -333,6 +338,11 @@ def _pick_blk(b, nz, n, pmode, backward, shared=True, h_shared=True, need_dh=Fal
             live += h_block  # dH output blocks
             if need_dh:
                 live += 2 * pair  # K_z/chi_z recompute temporaries + dh acc
+        if loss:
+            # double-buffered meas_cc block + mask tile + dp/mp/diff/d2 (fwd)
+            # or the g2d cotangent rows (bwd)
+            live += 2 * blk * n * n * 4 + 2 * blk * 8 * 128 * 4
+            live += 4 * blk * n * n * 4
         if live <= _VMEM_BUDGET:
             return blk
     return None
@@ -394,7 +404,7 @@ def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, probe_kspace=Fal
             out_specs=_block((blk, n, n), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((bl, n, n), jnp.float32),
             interpret=_INTERPRET,
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(_VMEM_BUDGET),
         )(obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats)
 
     if mesh is not None:
@@ -469,7 +479,7 @@ def _fused_bwd(need_dh, probe_kspace, residuals, g):
                 dh_shape,
             ],
             interpret=_INTERPRET,
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(_VMEM_BUDGET),
         )(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats)
         if mesh is not None:
             # shared-parameter cotangents reduce across the data shards —
@@ -631,7 +641,7 @@ def _loss_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc,
     mesh = get_kernel_mesh()
     b_local = b // kernel_mesh_size()
     blk = _pick_blk(b_local, nz, n, pmode, backward=False, shared=shared,
-                    h_shared=h_shared)
+                    h_shared=h_shared, loss=True)
     if blk is None:
         raise ValueError(
             "multislice_loss_sums_fused: shapes exceed the VMEM budget — "
@@ -654,7 +664,7 @@ def _loss_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc,
             out_specs=_block((1, 8, 128), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((bl // blk, 8, 128), jnp.float32),
             interpret=_INTERPRET,
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(_VMEM_BUDGET),
         )(mask_pad, obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc, *mats)
         s1 = jnp.sum(out[:, 0, 0])
         s2 = jnp.sum(out[:, 0, 1])
@@ -693,7 +703,7 @@ def _loss_fused_bwd(dp_pow, eps, need_dh, probe_kspace, residuals, g):
     mesh = get_kernel_mesh()
     b_local = b // kernel_mesh_size()
     blk = _pick_blk(b_local, nz, n, pmode, backward=True, shared=shared,
-                    h_shared=h_shared, need_dh=bool(need_dh))
+                    h_shared=h_shared, need_dh=bool(need_dh), loss=True)
     if blk is None:
         raise ValueError(
             "multislice_loss_sums_fused backward: shapes exceed the VMEM "
@@ -748,7 +758,7 @@ def _loss_fused_bwd(dp_pow, eps, need_dh, probe_kspace, residuals, g):
                 dh_shape,
             ],
             interpret=_INTERPRET,
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(_VMEM_BUDGET),
         )(c_row, mask_pad, obja_p, objp_p, probe_r, probe_i, h_r, h_i,
           meas_cc, *mats)
         if mesh is not None:
@@ -782,7 +792,7 @@ multislice_loss_sums_fused.defvjp(_loss_fused_fwd, _loss_fused_bwd)
 
 
 def fused_applicable_shapes(b, omode, nz, ny, nx, probe_b, pmode, h_b,
-                            need_dh=False) -> bool:
+                            need_dh=False, loss=False) -> bool:
     """Shape-level applicability check (no arrays needed): the backend can
     run Mosaic kernels, shapes match the kernel's supported regime, and the
     working set fits VMEM (fwd AND bwd). On a registered kernel mesh
@@ -794,7 +804,7 @@ def fused_applicable_shapes(b, omode, nz, ny, nx, probe_b, pmode, h_b,
     still sees omode == 1 and the VMEM working set is omode-independent."""
     shared = probe_b == 1
     h_shared = h_b == 1
-    kw = dict(shared=shared, h_shared=h_shared, need_dh=need_dh)
+    kw = dict(shared=shared, h_shared=h_shared, need_dh=need_dh, loss=loss)
     n_shards = kernel_mesh_size()
     if b % n_shards:
         return False

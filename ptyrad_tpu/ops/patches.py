@@ -185,7 +185,7 @@ def pallas_gather(
         ),
         out_shape=jax.ShapeDtypeStruct((b, lpad, ny, nx), canvas.dtype),
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(_chunk_need_bytes(canvas.shape, ny, nx, lc)),
     )(crop_pos.astype(jnp.int32), canvas3)
     return out[:, :l].reshape((b,) + lead + (ny, nx))
 
@@ -232,7 +232,7 @@ def pallas_scatter_add(
         ),
         out_shape=jax.ShapeDtypeStruct((lpad, hp, wp), patches.dtype),
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(_chunk_need_bytes(canvas_shape, ny, nx, lc)),
     )(crop_pos.astype(jnp.int32), patches4)
     return out[:l, :h, :w].reshape(canvas_shape)
 
@@ -256,16 +256,30 @@ def _lead_chunk(canvas_shape: tuple[int, ...], ny: int, nx: int,
     hp, wp = h + (wy - ny), w + (wx - nx)
     wp_tiled = _round_up(wp, _LANE)  # VMEM pads lanes to full tiles
 
-    def fits(lc):
-        need = itemsize * (
+    def need_bytes(lc):
+        return itemsize * (
             lc * hp * wp_tiled + lc * wy * wx + 3 * lc * ny * _round_up(nx, _LANE)
         )
-        return need <= _VMEM_BUDGET
 
     for lc in range(l, 0, -1):
-        if l % lc == 0 and fits(lc):
+        if l % lc == 0 and need_bytes(lc) <= _VMEM_BUDGET:
             return lc
     return None
+
+
+def _chunk_need_bytes(canvas_shape: tuple[int, ...], ny: int, nx: int, lc: int,
+                      itemsize: int = 4) -> int:
+    """Modeled VMEM working set of the gather/scatter kernel at chunk lc —
+    drives the Mosaic scoped-vmem ceiling (kernel_util.compiler_params):
+    small canvases keep XLA's default limit (measurably better scheduling),
+    large ones raise it."""
+    h, w = canvas_shape[-2], canvas_shape[-1]
+    wy, wx = _window_dims(ny, nx)
+    hp, wp = h + (wy - ny), w + (wx - nx)
+    wp_tiled = _round_up(wp, _LANE)
+    return itemsize * (
+        lc * hp * wp_tiled + lc * wy * wx + 3 * lc * ny * _round_up(nx, _LANE)
+    )
 
 
 def _kernel_fits(canvas_shape: tuple[int, ...], ny: int, nx: int, itemsize: int = 4) -> bool:

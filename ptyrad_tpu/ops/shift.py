@@ -51,7 +51,8 @@ def fourier_shift(img, shifts: jnp.ndarray, grid: jnp.ndarray | None = None) -> 
     return ifft2(fourier_shift_kspace(img, shifts, grid))
 
 
-def fourier_shift_kspace(img, shifts: jnp.ndarray, grid: jnp.ndarray | None = None) -> Cplx:
+def fourier_shift_kspace(img, shifts: jnp.ndarray, grid: jnp.ndarray | None = None,
+                         scale=None) -> Cplx:
     """The shifted SPECTRUM (fourier_shift without the final ifft2):
     fft2(img) times the phase ramp, (B, ..., Ny, Nx) corner layout.
 
@@ -59,7 +60,11 @@ def fourier_shift_kspace(img, shifts: jnp.ndarray, grid: jnp.ndarray | None = No
     inverse transform runs inside the kernel (VMEM-resident, ~2-3x cheaper
     than the XLA DFT), so only the tiny shared-probe fft2 and the ramp
     stay outside — along with their autodiff, which keeps position-shift
-    gradients exact with no custom adjoint."""
+    gradients exact with no custom adjoint.
+
+    scale: optional real scalar folded into the ramp (e.g. sqrt(omode_occu)
+    for the loss-folded kernel) — fuses into the existing elementwise ramp
+    product instead of a separate (B, pmode, Ny, Nx) pass over the output."""
     if not isinstance(img, Cplx):
         img = jnp.asarray(img)
     ny, nx = img.shape[-2], img.shape[-1]
@@ -78,4 +83,6 @@ def fourier_shift_kspace(img, shifts: jnp.ndarray, grid: jnp.ndarray | None = No
     gx = gx.reshape(*([1] * (ndim - 1)), ny, nx)
 
     w = expi(-2.0 * jnp.pi * (sx * gx + sy * gy))  # Cplx (B, 1..., Ny, Nx)
+    if scale is not None:
+        w = w * scale
     return fft2(img) * w
