@@ -886,6 +886,76 @@ class TestPallasChainPath:
                 err_msg=f"mesh gradient mismatch: {name}",
             )
 
+    @pytest.mark.parametrize("need_dh", [False, True])
+    def test_mega_chain_on_mesh_matches_single_device(self, rng, need_dh, monkeypatch):
+        """The chain_stack (mega) kernel + ragged-tail segment under a
+        registered kernel mesh must reproduce the single-device gradients for
+        ALL inputs — including the psum'd shared-H cotangent (need_dh=True)
+        and the shared-probe cotangent reduced across data shards. This is
+        the chain-path analog of the fused-kernel DDP-equivalence test
+        (reference gradient-allreduce semantics, reconstruction.py:115-141).
+
+        nz=7 with seg 2 engages chain_stack for the 6 uniform slices plus a
+        ragged 1-slice chain_segment tail, so both kernels' mesh paths are
+        exercised in one backward."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ptyrad_tpu.ops import cplx, pallas_chain as pch
+        from ptyrad_tpu.ops.mesh_env import set_kernel_mesh
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        B, omode, nz, seg, n, pmode = 16, 1, 7, 2, 16, 2
+        obja = jnp.asarray(rng.uniform(0.9, 1.0, (B, omode, nz, n, n)).astype(np.float32))
+        objp = jnp.asarray(rng.uniform(-0.3, 0.3, (B, omode, nz, n, n)).astype(np.float32))
+        pr = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        pi = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        hr = jnp.asarray((1 + 0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        hi = jnp.asarray((0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        occu = jnp.ones(1, jnp.float32)
+
+        mega_calls = []
+        orig = pch._mega_fwd_impl
+
+        def counting(*a, **k):
+            mega_calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pch, "_mega_fwd_impl", counting)
+
+        def chain_fn(obja, objp, pr, pi, hr, hi):
+            return pch.multislice_dp_chain(
+                obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi), occu, 1e-10,
+                need_dh=need_dh, seg_override=seg,
+            )
+
+        args = (obja, objp, pr, pi, hr, hi)
+        pch.set_interpret(True)
+        try:
+            g1 = self._grads(chain_fn, args)
+            assert mega_calls, "single-device AD did not engage chain_stack"
+
+            mesh = make_mesh(8)
+            set_kernel_mesh(mesh)
+            d = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            args_s = (jax.device_put(obja, d), jax.device_put(objp, d),
+                      jax.device_put(pr, rep), jax.device_put(pi, rep),
+                      jax.device_put(hr, rep), jax.device_put(hi, rep))
+            mega_calls.clear()
+            g8 = self._grads(chain_fn, args_s)
+            assert mega_calls, "mesh AD did not engage chain_stack"
+        finally:
+            set_kernel_mesh(None)
+            pch.set_interpret(False)
+
+        for name, a, b in zip(["obja", "objp", "pr", "pi", "hr", "hi"], g1, g8):
+            scale = max(float(jnp.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-6 * scale,
+                err_msg=f"mega mesh gradient mismatch (need_dh={need_dh}): {name}",
+            )
+
     @pytest.mark.parametrize("tilt_each", [False, True])
     def test_fused_dz_tilt_gradients_match_jnp(self, rng, tilt_each):
         """With optimizable slice thickness / tilts, H depends on params; the
