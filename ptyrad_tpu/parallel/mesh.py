@@ -46,6 +46,28 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """device_put that also works in multi-process (multi-host) runs.
+
+    In a single-process run this is jax.device_put. With
+    jax.process_count() > 1 a plain device_put cannot address other
+    processes' devices, so the global array is assembled from per-process
+    callbacks instead (every process holds the full host value — true for
+    all model state here, which each rank initializes identically, exactly
+    like every DDP rank running the reference's Initializer redundantly)."""
+    if x is None:
+        return None
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+
+    def leaf(v):
+        arr = np.asarray(v)
+        return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+    # x may be a pytree (e.g. a Cplx pair); map the assembly over its leaves
+    return jax.tree_util.tree_map(leaf, x)
+
+
 def shard_model(
     params: PtychoParams,
     buffers: Buffers,
@@ -66,7 +88,7 @@ def shard_model(
     import numpy as np
 
     rep = replicate(mesh)
-    params = jax.device_put(params, rep)
+    params = jax.tree_util.tree_map(lambda x: put_global(x, rep), params)
     meas_sharding = data_sharding(mesh) if shard_measurements else rep
     if shard_measurements:
         n = buffers.measurements.shape[0]
@@ -82,7 +104,7 @@ def shard_model(
             buffers = dataclasses.replace(buffers, measurements=padded)
 
     def put(x, sharding):
-        return jax.device_put(x, sharding) if x is not None else None
+        return put_global(x, sharding)
 
     buffers = dataclasses.replace(
         buffers,

@@ -1,0 +1,154 @@
+"""Verified multi-process launch: 2 CPU processes, one process-spanning mesh.
+
+The reference's multi-GPU path is `accelerate launch` + torch DDP over NCCL
+(reference docs/launch/multiGPU.md:41, utils/common.py:58-90). The TPU-native
+equivalent is jax.distributed + a mesh spanning all processes' devices
+(parallel/mesh.init_multihost). This test actually EXECUTES that path — two
+subprocesses with a 127.0.0.1 coordinator, 4 virtual CPU devices each, one
+train epoch over the 8-device process-spanning mesh — and asserts:
+
+  * both ranks converge to the same epoch loss (the psum'd gradient
+    reduction spans processes),
+  * rank-0-only side effects fire exactly once (the DDP rank-0 saving
+    contract, reference reconstruction.py:639).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+_CHILD = r"""
+import os, sys
+rank, port, outdir, repo = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+sys.path.insert(0, repo)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from ptyrad_tpu.parallel.mesh import (
+    init_multihost, make_mesh, put_global, shard_model,
+)
+
+pid, nproc = init_multihost(f"127.0.0.1:{port}", 2, rank)
+assert pid == rank and nproc == 2, (pid, nproc)
+assert len(jax.devices()) == 8, jax.devices()
+assert len(jax.local_devices()) == 4
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ptyrad_tpu.engine.solver import build_train_epoch
+from ptyrad_tpu.models import make_model
+from ptyrad_tpu.optim import create_optimizer
+from ptyrad_tpu.physics import make_stem_probe, make_mixed_probe, near_field_evolution
+from ptyrad_tpu.physics.constants import electron_wavelength
+
+# tiny synthetic workload, built IDENTICALLY on every rank (like every DDP
+# rank running the reference Initializer redundantly)
+rng = np.random.default_rng(0)
+n_scans, npix, nz, pmode = 16, 16, 2, 2
+kv, dx, dz = 80.0, 0.2, 2.0
+lam = electron_wavelength(kv)
+probe = make_stem_probe({"kv": kv, "conv_angle": 20.0, "Npix": npix, "dx": dx})
+probe = make_mixed_probe(probe, pmode, [0.02])
+side = 4
+canvas = side * 2 + npix + 8
+ys, xs = np.meshgrid(np.arange(side) * 2, np.arange(side) * 2, indexing="ij")
+crop_pos = np.stack([ys.ravel() + 4, xs.ravel() + 4], -1).astype(np.int32)
+obj = np.exp(1j * 0.1 * rng.standard_normal((1, nz, canvas, canvas))).astype(np.complex64)
+meas = np.abs(rng.standard_normal((n_scans, npix, npix))).astype(np.float32)
+init = {
+    "obj": obj, "probe": probe,
+    "probe_pos_shifts": np.zeros((n_scans, 2), np.float32),
+    "obj_tilts": np.zeros((1, 2), np.float32), "slice_thickness": dz,
+    "H": near_field_evolution((npix, npix), dx, dz, lam),
+    "measurements": meas, "crop_pos": crop_pos,
+    "omode_occu": np.ones(1, np.float32), "dx": dx, "lambd": lam,
+    "N_scan_slow": side, "N_scan_fast": side,
+}
+upd = {"obja": {"lr": 1e-3, "start_iter": 1}, "objp": {"lr": 1e-3, "start_iter": 1}}
+params, buffers, geom = make_model(init, {"update_params": upd})
+
+mesh = make_mesh()  # all 8 devices across BOTH processes
+params, buffers = shard_model(params, buffers, mesh, shard_measurements=True)
+optimizer, opt_state, _, start = create_optimizer({"name": "Adam"}, upd, params)
+train_epoch = build_train_epoch(buffers, geom, None, optimizer, start)
+
+rows = np.arange(n_scans).reshape(2, 8)
+sharded = NamedSharding(mesh, P(None, "data"))
+idx_all = put_global(rows.astype(np.int32), sharded)
+mask_all = put_global(np.ones(rows.shape, np.float32), sharded)
+
+new_params, _, total, _ = train_epoch(
+    params, opt_state, idx_all, mask_all, jnp.asarray(1, jnp.int32)
+)
+total = float(total)
+objp_sum = float(jnp.sum(jnp.abs(new_params.objp)))
+print(f"MHOK rank={rank} loss={total:.9f} objp={objp_sum:.9f}", flush=True)
+
+# rank-0-only side effect (the saving contract): exactly one rank writes
+if jax.process_index() == 0:
+    with open(os.path.join(outdir, f"rank0_save.txt"), "w") as f:
+        f.write(f"{total:.9f}")
+jax.distributed.shutdown()
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+
+def test_two_process_multihost_epoch(tmp_path):
+    port = _free_port()
+    child_src = _CHILD
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child_src, str(rank), str(port), str(tmp_path), REPO],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO, env=env,
+        )
+        for rank in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank failed:\nstdout:\n{out}\nstderr:\n{err[-4000:]}"
+        outs.append(out)
+
+    vals = {}
+    for rank, out in enumerate(outs):
+        line = [ln for ln in out.splitlines() if ln.startswith("MHOK")]
+        assert line, f"rank {rank} produced no result line:\n{out}"
+        parts = dict(kv.split("=") for kv in line[0].split()[1:])
+        assert int(parts["rank"]) == rank
+        vals[rank] = (float(parts["loss"]), float(parts["objp"]))
+
+    # both ranks agree on the reduced loss AND on the updated parameters
+    assert vals[0][0] == pytest.approx(vals[1][0], rel=1e-6)
+    assert vals[0][1] == pytest.approx(vals[1][1], rel=1e-6)
+    assert np.isfinite(vals[0][0])
+
+    # rank-0-only saving: the file exists and was written exactly once
+    saved = (tmp_path / "rank0_save.txt").read_text()
+    assert float(saved) == pytest.approx(vals[0][0], rel=1e-6)
