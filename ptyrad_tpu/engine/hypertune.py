@@ -145,18 +145,58 @@ def compute_hypertune_error(solver, error_metric: str) -> float:
 
 def hypertune_objective(trial, params: dict, init: Initializer, mesh=None, verbose: bool = False) -> float:
     """One trial: apply sampled params, rebuild the model, run NITER iterations
-    with per-iteration pruning reports, collate results."""
+    with per-iteration pruning reports, collate results.
+
+    Robustness (beyond the reference, which aborts the whole study on the
+    first bad trial, reconstruction.py:234): a Mosaic VMEM compile failure
+    inside a trial retries the trial once with the Pallas kernels disabled
+    (mirroring the solver's reconstruct() fallback), and run_hypertune
+    passes catch=(FloatingPointError,) so diverged trials are recorded as
+    failed without killing the study."""
     from ptyrad_tpu.engine.solver import PtyRADSolver
-    from ptyrad_tpu.save import save_results
 
     trial_params = apply_trial_params(trial, params, init)
     recon_params = trial_params["recon_params"]
     ht = trial_params["hypertune_params"]
     n_iter = int(recon_params.get("NITER", 50))
-    save_iters = recon_params.get("SAVE_ITERS")
     trial_id = "t" + str(trial.number).zfill(4)
 
+    try:
+        solver, error, pruned = _run_trial_loop(
+            trial, trial_params, init, mesh, verbose, ht, n_iter, fwd_fused=True
+        )
+    except Exception as e:  # noqa: BLE001 — inspect for Mosaic VMEM overflow
+        if not PtyRADSolver._mosaic_vmem_error(e):
+            raise
+        vprint(
+            f"WARNING: trial {trial_id}: fused Pallas kernel exceeded VMEM "
+            f"at compile time; retrying the trial with kernels disabled. "
+            f"Mosaic said: {e}"
+        )
+        solver, error, pruned = _run_trial_loop(
+            trial, trial_params, init, mesh, verbose, ht, n_iter, fwd_fused=False
+        )
+
+    if ht.get("collate_results", True):
+        _collate_trial(trial, trial_params, init, solver, error, trial_id, ht, recon_params)
+
+    if pruned:
+        raise _pruned_exception()
+    return error
+
+
+def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
+                    fwd_fused=True):
+    """Build the trial solver and run its iteration loop; returns
+    (solver, error, pruned). fwd_fused=False disables the Pallas kernels
+    (the Mosaic-OOM retry path)."""
+    import dataclasses as _dc
+
+    from ptyrad_tpu.engine.solver import PtyRADSolver
+
     solver = PtyRADSolver(trial_params, init_variables=init.init_variables, mesh=mesh, verbose=verbose)
+    if not fwd_fused:
+        solver.geom = _dc.replace(solver.geom, fwd_fused=False)
     solver.prepare()
     solver._build()
 
@@ -190,8 +230,10 @@ def hypertune_objective(trial, params: dict, init: Initializer, mesh=None, verbo
             solver.params = solver.constraint_fn(solver.params, solver.buffers, niter)
             jax.block_until_ready(solver.params.obja)
         else:  # LBFGS: the solver builds lbfgs_step (train_step is None)
+            # pass the loop's niter so freeze_unstarted_params gates tensors
+            # by start_iter exactly as the production run would
             solver.params, solver.opt_state, value = solver.lbfgs_step(
-                solver.params, solver.opt_state, idx_dev, mask_dev
+                solver.params, solver.opt_state, idx_dev, mask_dev, niter
             )
             solver.params = solver.constraint_fn(solver.params, solver.buffers, niter)
             term_avgs = {"loss_total": float(value)}
@@ -218,33 +260,33 @@ def hypertune_objective(trial, params: dict, init: Initializer, mesh=None, verbo
 
     if error is None:
         error = compute_hypertune_error(solver, ht["error_metric"])
+    return solver, error, pruned
 
-    if ht.get("collate_results", True):
-        params_str = parse_hypertune_params_to_str(trial.params) if ht.get("append_params", True) else ""
-        collate_str = f"_error_{error:.5f}_{trial_id}{params_str}"
-        try:
-            out_dir = recon_params.get("output_dir", "output/")
-            save_results(
-                out_dir, solver.params, solver.buffers,
-                solver.geom, trial_params, solver.opt_state, solver.history,
-                len(solver.history.loss_iters), solver.indices, collate_str=collate_str,
+
+def _collate_trial(trial, trial_params, init, solver, error, trial_id, ht, recon_params):
+    from ptyrad_tpu.save import save_results
+
+    params_str = parse_hypertune_params_to_str(trial.params) if ht.get("append_params", True) else ""
+    collate_str = f"_error_{error:.5f}_{trial_id}{params_str}"
+    try:
+        out_dir = recon_params.get("output_dir", "output/")
+        save_results(
+            out_dir, solver.params, solver.buffers,
+            solver.geom, trial_params, solver.opt_state, solver.history,
+            len(solver.history.loss_iters), solver.indices, collate_str=collate_str,
+        )
+        selected = recon_params.get("selected_figs") or []
+        if selected:
+            from ptyrad_tpu.visualization import plot_summary
+
+            plot_summary(
+                out_dir, solver.params, solver.buffers, solver.geom,
+                solver.history, len(solver.history.loss_iters), solver.indices,
+                selected_figs=selected, init_variables=init.init_variables,
+                collate_str=collate_str,
             )
-            selected = recon_params.get("selected_figs") or []
-            if selected:
-                from ptyrad_tpu.visualization import plot_summary
-
-                plot_summary(
-                    out_dir, solver.params, solver.buffers, solver.geom,
-                    solver.history, len(solver.history.loss_iters), solver.indices,
-                    selected_figs=selected, init_variables=init.init_variables,
-                    collate_str=collate_str,
-                )
-        except Exception as e:  # noqa: BLE001 — result collation must not fail the trial
-            vprint(f"WARNING: collate save failed for {trial_id}: {e}")
-
-    if pruned:
-        raise _pruned_exception()
-    return error
+    except Exception as e:  # noqa: BLE001 — result collation must not fail the trial
+        vprint(f"WARNING: collate save failed for {trial_id}: {e}")
 
 
 def _pruned_exception():
@@ -301,9 +343,17 @@ def run_hypertune(params: dict, mesh=None, logger=None, jobid: Optional[str] = N
         )
 
     vprint(f"Starting hypertune: {n_trials} trials, engine={'optuna' if use_optuna else 'builtin'}")
+    optimize_kwargs = {}
+    if use_optuna:
+        # a diverged trial raises FloatingPointError (hypertune_objective's
+        # divergence halt); without catch= optuna aborts the WHOLE study on
+        # the first bad trial — the reference has exactly that bug
+        # (reconstruction.py:234). The builtin engine catches per-trial
+        # unconditionally (tuner.py Study.optimize).
+        optimize_kwargs["catch"] = (FloatingPointError,)
     study.optimize(
         lambda trial: hypertune_objective(trial, params, init, mesh=mesh),
-        n_trials=n_trials, timeout=timeout,
+        n_trials=n_trials, timeout=timeout, **optimize_kwargs,
     )
     try:
         best = study.best_trial

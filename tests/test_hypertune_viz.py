@@ -311,11 +311,12 @@ class TestVisualization:
 
 
 class TestTunerReviewFixesR3:
-    def test_builtin_study_catches_optuna_pruned(self, tmp_path):
+    def test_builtin_study_catches_optuna_pruned(self, tmp_path, fake_optuna):
         """When optuna is installed the objective raises optuna's
         TrialPruned; the builtin Study must record PRUNED, not FAILED
-        (review r3)."""
-        optuna = pytest.importorskip("optuna")
+        (review r3). Runs against the faithful optuna double (the real
+        package is not installable offline — fake_optuna fixture)."""
+        optuna = fake_optuna
 
         def objective(trial):
             trial.report(1.0, 1)
@@ -355,3 +356,82 @@ class TestTunerReviewFixesR3:
         trial = tuner.Trial(study, study.storage.create_trial())
         with pytest.raises(ValueError, match="low > 0"):
             trial.suggest_float("dz", 0.0, 2.0, log=True)
+
+
+@pytest.fixture
+def fake_optuna(monkeypatch):
+    """Install the faithful optuna stand-in (tests/fake_optuna.py) so the
+    optuna branches of run_hypertune/_suggest/trial.report execute. optuna
+    itself is not installable offline; the double mirrors the 3.x semantics
+    the integration relies on (see fake_optuna docstring)."""
+    import sys
+
+    import fake_optuna as fo
+
+    fo._STUDIES.clear()
+    mod = fo.make_module()
+    monkeypatch.setitem(sys.modules, "optuna", mod)
+    monkeypatch.setitem(sys.modules, "optuna.samplers", mod.samplers)
+    monkeypatch.setitem(sys.modules, "optuna.pruners", mod.pruners)
+    monkeypatch.setitem(sys.modules, "optuna.exceptions", mod.exceptions)
+    return mod
+
+
+class TestOptunaBranch:
+    def test_run_hypertune_optuna_end_to_end(self, rng, tmp_path, fake_optuna):
+        """The optuna code path (sampler/pruner by name, sqlite URL, suggest,
+        study.optimize, best_trial) runs end to end against the double."""
+        cfg = hypertune_cfg(rng, tmp_path, n_trials=3, niter=2, tune_over={
+            "oplr": {"state": True, "suggest": "float",
+                     "kwargs": {"low": 1e-3, "high": 1e-2, "log": True}},
+        })
+        cfg["hypertune_params"]["sampler_params"] = {"name": "TPESampler", "configs": {"seed": 0}}
+        study = run_hypertune(cfg, use_optuna=True)
+        assert isinstance(study, fake_optuna.Study)
+        assert study.storage.startswith("sqlite:///")
+        states = [t.state for t in study.trials]
+        assert states == ["COMPLETE"] * 3
+        assert all("oplr" in t.params and 1e-3 <= t.params["oplr"] <= 1e-2
+                   for t in study.trials)
+        assert np.isfinite(study.best_trial.value)
+
+    def test_optuna_pruner_reports_intermediates(self, rng, tmp_path, fake_optuna):
+        """With pruner_params set, the objective reports per-iteration errors
+        through trial.report (the optuna pruning contract)."""
+        cfg = hypertune_cfg(rng, tmp_path, n_trials=2, niter=3, tune_over={
+            "oplr": {"state": True, "suggest": "float",
+                     "kwargs": {"low": 1e-3, "high": 1e-2, "log": True}},
+        })
+        cfg["hypertune_params"]["pruner_params"] = {
+            "name": "MedianPruner", "configs": {"n_startup_trials": 5}}
+        study = run_hypertune(cfg, use_optuna=True)
+        for t in study.trials:
+            assert set(t.intermediate_values) == {1, 2, 3}
+
+    def test_diverging_trial_does_not_kill_optuna_study(self, rng, tmp_path, fake_optuna):
+        """One diverging trial (huge SGD lr -> inf loss -> FloatingPointError)
+        must be recorded as failed while the study keeps optimizing — the
+        catch=(FloatingPointError,) run_hypertune passes. The reference has
+        the abort bug (study.optimize without catch,
+        reconstruction.py:234)."""
+        cfg = hypertune_cfg(rng, tmp_path, n_trials=4, niter=3, tune_over={
+            "oalr": {"state": True, "suggest": "cat",
+                     "kwargs": {"choices": [1e22, 1e-4]}},
+        })
+        cfg["model_params"]["optimizer_params"] = {"name": "SGD"}
+        study = run_hypertune(cfg, use_optuna=True)
+        states = [t.state for t in study.trials]
+        assert len(states) == 4, "study aborted early — catch= missing"
+        assert "FAIL" in states, f"no trial diverged (states={states}); tighten the lr"
+        assert "COMPLETE" in states
+        # without catch the same study DOES abort (optuna semantics)
+        fake_optuna.create_study.__globals__["_STUDIES"].clear()
+        from ptyrad_tpu.engine.hypertune import Initializer as _Init, hypertune_objective
+        init = _Init(cfg["init_params"], verbose=False)
+        init.init_all()
+        bare = fake_optuna.create_study(
+            study_name="bare", storage=None,
+            sampler=fake_optuna.samplers.RandomSampler(seed=0))
+        with pytest.raises(FloatingPointError):
+            for _ in range(8):
+                bare.optimize(lambda t: hypertune_objective(t, cfg, init), n_trials=1)
