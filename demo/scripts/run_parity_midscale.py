@@ -148,7 +148,7 @@ def simulate_with_reference(iv):
     return meas
 
 
-def run_reference(iv, batches):
+def run_reference(iv, batches, loss_params=None, constraints=None, niter=None):
     from test_reference_parity import ref_import
 
     ref_model_cls = ref_import("ptyrad.models.PtychoAD")
@@ -159,8 +159,11 @@ def run_reference(iv, batches):
 
     from ptyrad_tpu.constraints import DEFAULT_CONSTRAINT_PARAMS
 
+    loss_params = loss_params or LOSS_PARAMS
+    constraints = constraints or ACTIVE_CONSTRAINTS
+    niter = niter or NITER
     cparams = {k: dict(v) for k, v in DEFAULT_CONSTRAINT_PARAMS.items()}
-    cparams.update({k: dict(v) for k, v in ACTIVE_CONSTRAINTS.items()})
+    cparams.update({k: dict(v) for k, v in constraints.items()})
 
     model_params = {
         "detector_blur_std": None,
@@ -169,36 +172,39 @@ def run_reference(iv, batches):
         "optimizer_params": {"name": "Adam", "configs": None},
     }
     model = ref_model_cls(dict(iv), model_params, device="cpu", verbose=False)
-    loss_fn = ref_loss_cls(dict(LOSS_PARAMS), device="cpu")
+    loss_fn = ref_loss_cls(dict(loss_params), device="cpu")
     constraint_fn = ref_cc_cls(cparams, device="cpu", verbose=False)
     optimizer = ref_create_opt(model.optimizer_params, model.optimizable_params, verbose=False)
 
     iter_times = []
-    for it in range(1, NITER + 1):
+    for it in range(1, niter + 1):
         t0 = time.perf_counter()
         ref_recon_step(batches, 1, model, optimizer, loss_fn, constraint_fn, it, verbose=False)
         iter_times.append(time.perf_counter() - t0)
-        log(f"  reference iter {it}/{NITER}: {iter_times[-1]:.1f}s "
+        log(f"  reference iter {it}/{niter}: {iter_times[-1]:.1f}s "
             f"loss={model.loss_iters[-1][1]:.6f}")
 
     losses = np.array([v for _, v in model.loss_iters], np.float64)
     return losses, model.opt_objp.detach().numpy(), float(np.mean(iter_times))
 
 
-def run_ours(iv, batches):
+def run_ours(iv, batches, loss_params=None, constraints=None, niter=None):
     import jax
 
     from ptyrad_tpu.engine.batching import pad_batches
     from ptyrad_tpu.engine.solver import PtyRADSolver
 
+    loss_params = loss_params or LOSS_PARAMS
+    constraints = constraints or ACTIVE_CONSTRAINTS
+    niter = niter or NITER
     cfg = {
         "model_params": {
             "update_params": UPDATE_PARAMS,
             "optimizer_params": {"name": "Adam"},
         },
-        "loss_params": dict(LOSS_PARAMS),
-        "constraint_params": {k: dict(v) for k, v in ACTIVE_CONSTRAINTS.items()},
-        "recon_params": {"NITER": NITER, "BATCH_SIZE": {"size": BATCH}},
+        "loss_params": dict(loss_params),
+        "constraint_params": {k: dict(v) for k, v in constraints.items()},
+        "recon_params": {"NITER": niter, "BATCH_SIZE": {"size": BATCH}},
     }
     solver = PtyRADSolver(cfg, init_variables=dict(iv), verbose=False)
     solver.prepare()
@@ -211,7 +217,7 @@ def run_ours(iv, batches):
     idx_dev = jnp.asarray(solver.batch_idx)
     mask_dev = jnp.asarray(solver.batch_mask)
     iter_times = []
-    for it in range(1, NITER + 1):
+    for it in range(1, niter + 1):
         t0 = time.perf_counter()
         solver.params, solver.opt_state, _total, terms = solver.train_epoch(
             solver.params, solver.opt_state, idx_dev, mask_dev, jnp.asarray(it, jnp.int32)
@@ -222,7 +228,7 @@ def run_ours(iv, batches):
         total = float(sum(term_avgs.values()))
         solver.history.loss_iters.append((it, total))
         iter_times.append(time.perf_counter() - t0)
-        log(f"  ours iter {it}/{NITER}: {iter_times[-1]:.2f}s loss={total:.6f}")
+        log(f"  ours iter {it}/{niter}: {iter_times[-1]:.2f}s loss={total:.6f}")
 
     losses = np.array([v for _, v in solver.history.loss_iters], np.float64)
     # drop the compile iteration from the timing average
@@ -236,6 +242,98 @@ def nmse(objp, true_phase):
     w = objp.sum(1)[0, lo:hi, lo:hi]
     t = true_phase.sum(0)[lo:hi, lo:hi]
     return float(np.mean((w - t) ** 2) / np.mean(t ** 2))
+
+
+LEG_NITER = 10
+
+# Leg A: the Poisson + PACBED data terms active (the low-dose production
+# loss surface, reference losses.py:52-89) — compared at the same trajectory
+# tolerance as the base loss_single leg.
+POISSN_LOSS = {
+    "loss_single": {"state": False, "weight": 0.0, "dp_pow": 0.5},
+    "loss_poissn": {"state": True, "weight": 1.0, "dp_pow": 1.0, "eps": 1e-6},
+    "loss_pacbed": {"state": True, "weight": 0.5, "dp_pow": 0.2},
+    "loss_sparse": {"state": False, "weight": 0.0, "ln_order": 1},
+    "loss_simlar": {"state": False, "weight": 0.0, "obj_type": "both",
+                    "blur_std": None, "scale_factor": None},
+}
+
+# Leg B: ortho_pmode active (reference constraints.py:34-41). Probe-mode
+# orthogonalization has a per-mode phase-gauge freedom (eig backends pick
+# arbitrary eigenvector phases), so elementwise trajectories legitimately
+# diverge once the probe optimizes — the comparison is gauge-invariant:
+# final data residual and reconstruction agreement, not raw loss equality.
+ORTHO_CONSTRAINTS = {
+    "ortho_pmode": {"freq": 1},
+    "fix_probe_int": {"freq": 1},
+    "obja_thresh": {"freq": 1, "relax": 0.0, "thresh": (0.9, 1.1)},
+    "objp_postiv": {"freq": 1, "relax": 0.0, "mode": "clip_neg"},
+}
+
+
+def run_legs(iv, true_phase, batches):
+    """The two composed-trajectory legs beyond the base loss_single run;
+    results merge into PARITY_MIDSCALE.json under 'legs'."""
+    legs = {}
+
+    log("leg poissn_pacbed: ours...")
+    our_l, our_objp, _ = run_ours(iv, batches, loss_params=POISSN_LOSS, niter=LEG_NITER)
+    log("leg poissn_pacbed: reference...")
+    ref_l, ref_objp, _ = run_reference(iv, batches, loss_params=POISSN_LOSS, niter=LEG_NITER)
+    scale = float(np.mean(np.abs(ref_l)))
+    diff = float(np.max(np.abs(our_l - ref_l))) / scale
+    legs["poissn_pacbed"] = {
+        "config": f"loss_poissn(w=1)+loss_pacbed(w=0.5), 4 constraints, {LEG_NITER} iters",
+        "ref_losses": ref_l.tolist(),
+        "our_losses": our_l.tolist(),
+        "max_loss_diff_rel_to_scale": diff,
+        "nmse_ref": nmse(ref_objp, true_phase),
+        "nmse_ours": nmse(our_objp, true_phase),
+        "objp_corr": float(np.corrcoef(our_objp.ravel(), ref_objp.ravel())[0, 1]),
+    }
+    log(f"leg poissn_pacbed: max traj diff {diff:.2e}, "
+        f"objp corr {legs['poissn_pacbed']['objp_corr']:.5f}")
+
+    log("leg ortho_pmode: ours...")
+    our_l, our_objp, _ = run_ours(iv, batches, constraints=ORTHO_CONSTRAINTS, niter=LEG_NITER)
+    log("leg ortho_pmode: reference...")
+    ref_l, ref_objp, _ = run_reference(iv, batches, constraints=ORTHO_CONSTRAINTS, niter=LEG_NITER)
+    legs["ortho_pmode"] = {
+        "config": f"loss_single, ortho_pmode+3 constraints, {LEG_NITER} iters "
+                  "(gauge-invariant comparison)",
+        "ref_losses": ref_l.tolist(),
+        "our_losses": our_l.tolist(),
+        # gauge-invariant: the DATA residual both gauges reach, and the
+        # reconstructions' agreement
+        "final_dp_residual_ratio": float(our_l[-1] / ref_l[-1]),
+        "nmse_ref": nmse(ref_objp, true_phase),
+        "nmse_ours": nmse(our_objp, true_phase),
+        "objp_corr": float(np.corrcoef(our_objp.ravel(), ref_objp.ravel())[0, 1]),
+    }
+    log(f"leg ortho_pmode: final residual ratio "
+        f"{legs['ortho_pmode']['final_dp_residual_ratio']:.4f}, "
+        f"objp corr {legs['ortho_pmode']['objp_corr']:.5f}")
+    return legs
+
+
+def main_legs():
+    """Run only the two composed legs and merge into PARITY_MIDSCALE.json."""
+    t0 = time.perf_counter()
+    iv, true_phase = build_init_variables()
+    log("simulating measurements with the REFERENCE forward model...")
+    iv["measurements"] = simulate_with_reference(iv)
+    iv["obj"] = np.ones_like(iv["obj"])
+    log(f"simulated {iv['measurements'].shape[0]} DPs in {time.perf_counter()-t0:.0f}s")
+    n = iv["measurements"].shape[0]
+    batches = [np.arange(s, s + BATCH) for s in range(0, n, BATCH)]
+
+    legs = run_legs(iv, true_phase, batches)
+    path = os.path.join(_ROOT, "PARITY_MIDSCALE.json")
+    result = json.load(open(path)) if os.path.exists(path) else {}
+    result["legs"] = legs
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(legs, indent=1))
 
 
 def main():
@@ -282,4 +380,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main_legs() if "--legs" in sys.argv else main()

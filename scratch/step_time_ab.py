@@ -72,10 +72,12 @@ def main():
     print(f"compile+first epoch {time.perf_counter()-t0:.1f}s loss={total:.4f} "
           f"fold_off={fold_off}", flush=True)
     best = float("inf")
-    for niter in range(2, 6):
+    for niter in range(2, 10):
         t0 = time.perf_counter()
         params, opt_state, total = one(params, opt_state, niter)
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        print(f"  epoch {niter}: {dt/n_batches*1e3:.2f} ms/step", flush=True)
     print(f"tBL step: {best/n_batches*1e3:.2f} ms ({batch/(best/n_batches):.0f} "
           f"patterns/s) fold_off={fold_off} loss={total:.4f}", flush=True)
 
