@@ -196,7 +196,14 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
 
     solver = PtyRADSolver(trial_params, init_variables=init.init_variables, mesh=mesh, verbose=verbose)
     if not fwd_fused:
+        from ptyrad_tpu.ops.patches import set_force_xla
+
+        # disable BOTH kernel families: geom.fwd_fused gates the multislice
+        # kernels, set_force_xla the patch gather/scatter (either may be the
+        # one that overflowed Mosaic). The flag resets in the next solver's
+        # __init__, so later trials try the kernels again.
         solver.geom = _dc.replace(solver.geom, fwd_fused=False)
+        set_force_xla(True)
     solver.prepare()
     solver._build()
 

@@ -397,6 +397,11 @@ class PtyRADSolver:
         from ptyrad_tpu.ops.fourier import set_matmul_dtype
 
         set_matmul_dtype(model_params.get("matmul_dtype", "float32"))
+        # a previous run's Mosaic-OOM fallback may have forced the XLA patch
+        # path; every fresh solver starts with the kernels enabled again
+        from ptyrad_tpu.ops.patches import set_force_xla
+
+        set_force_xla(False)
         self.params, self.buffers, self.geom = make_model(init_variables, model_params)
 
         recon_params = self.params_dict.get("recon_params", {})
@@ -428,7 +433,14 @@ class PtyRADSolver:
         grad_accum = int(rp.get("BATCH_SIZE", {}).get("grad_accumulation", 1))
         group_mode = rp.get("GROUP_MODE", "random")
         pos = np.asarray(self.buffers.crop_pos)
-        batches = make_batches(indices, pos, batch_size, mode=group_mode)
+        seed = rp.get("GROUP_MODE_SEED")
+        if seed is None and jax.process_count() > 1:
+            # multi-process: every rank must build IDENTICAL batches (they
+            # feed one SPMD program) — an unseeded shuffle would diverge
+            # per rank. The reference solves this with a shared DataLoader
+            # (reconstruction.py:124-137); here a fixed seed does.
+            seed = 0
+        batches = make_batches(indices, pos, batch_size, mode=group_mode, seed=seed)
         n_shards = self.mesh.devices.size if self.mesh is not None else 1
         self.batch_idx, self.batch_mask = pad_batches(batches, multiple_of=n_shards)
         self.indices = indices
@@ -508,21 +520,24 @@ class PtyRADSolver:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from ptyrad_tpu.parallel.mesh import put_global
+
             def put_batch(idx, msk):
-                idx = jnp.asarray(idx)
+                idx = np.asarray(idx)
                 # batch vectors shard over 'data'; stacked (num_batch, L)
-                # epoch arrays shard their last axis
+                # epoch arrays shard their last axis. put_global (not plain
+                # device_put) so a process-spanning mesh works too.
                 spec = P("data") if idx.ndim == 1 else P(None, "data")
                 sharding = NamedSharding(self.mesh, spec)
                 return (
-                    jax.device_put(idx, sharding),
-                    jax.device_put(jnp.asarray(msk), sharding),
+                    put_global(idx, sharding),
+                    put_global(np.asarray(msk), sharding),
                 )
 
             self._put_batch = put_batch
+            rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
             self.opt_state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()))
-                if hasattr(x, "shape") else x,
+                lambda x: put_global(x, rep) if hasattr(x, "shape") else x,
                 self.opt_state,
             )
 
@@ -575,6 +590,12 @@ class PtyRADSolver:
                 self.init_variables, self.model_params
             )
             self.geom = _dc.replace(self.geom, fwd_fused=False)
+            # fwd_fused only gates the multislice kernels; the patch
+            # gather/scatter kernels have their own dispatch and may be the
+            # ones that overflowed — force the XLA path for them too
+            from ptyrad_tpu.ops.patches import set_force_xla
+
+            set_force_xla(True)
             self._build()
             if self.optimizer_name in ("LBFGS", "lbfgs"):
                 self.params, self.opt_state, self.history = self._lbfgs_loop(n_iter, callback)

@@ -315,35 +315,44 @@ def _common_specs(nz, n, pmode, blk, shared, h_shared):
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
+def _live_bytes(blk, nz, n, pmode, backward, shared=True, h_shared=True,
+                need_dh=False, loss=False) -> int:
+    """Modeled VMEM working set of one kernel launch at batch block `blk` —
+    the single source for block planning (_pick_blk) AND the Mosaic
+    scoped-vmem ceiling request (kernel_util.compiler_params at each
+    pallas_call site), so the ceiling tracks the plan actually launched.
+
+    loss=True models the loss-folded variant's extra per-block buffers
+    (double-buffered meas_cc block, mask tile, dp/mp/diff temporaries)."""
+    pair = 2 * blk * pmode * n * n * 4
+    patches = 2 * 2 * blk * nz * n * n * 4
+    mats = 6 * n * n * 4
+    h_block = 2 * (blk if not h_shared else 1) * n * n * 4
+    live = 4 * pair + patches + mats + 2 * h_block
+    if not shared:
+        live += pair  # per-position probe block (and its bwd output)
+    if backward:
+        live += nz * pair + pair
+        live += h_block  # dH output blocks
+        if need_dh:
+            live += 2 * pair  # K_z/chi_z recompute temporaries + dh acc
+    if loss:
+        # double-buffered meas_cc block + mask tile + dp/mp/diff/d2 (fwd)
+        # or the g2d cotangent rows (bwd)
+        live += 2 * blk * n * n * 4 + 2 * blk * 8 * 128 * 4
+        live += 4 * blk * n * n * 4
+    return live
+
+
 def _pick_blk(b, nz, n, pmode, backward, shared=True, h_shared=True, need_dh=False,
               loss=False):
     """Largest batch block whose working set fits VMEM; None if even blk=1
-    doesn't fit (callers must fall back to the jnp path).
-
-    loss=True models the loss-folded variant's extra per-block buffers
-    (double-buffered meas_cc block, mask tile, dp/mp/diff temporaries) so
-    the applicability check sizes the kernel actually launched."""
+    doesn't fit (callers must fall back to the jnp path)."""
     for blk in (8, 4, 2, 1):
         if b % blk:
             continue
-        pair = 2 * blk * pmode * n * n * 4
-        patches = 2 * 2 * blk * nz * n * n * 4
-        mats = 6 * n * n * 4
-        h_block = 2 * (blk if not h_shared else 1) * n * n * 4
-        live = 4 * pair + patches + mats + 2 * h_block
-        if not shared:
-            live += pair  # per-position probe block (and its bwd output)
-        if backward:
-            live += nz * pair + pair
-            live += h_block  # dH output blocks
-            if need_dh:
-                live += 2 * pair  # K_z/chi_z recompute temporaries + dh acc
-        if loss:
-            # double-buffered meas_cc block + mask tile + dp/mp/diff/d2 (fwd)
-            # or the g2d cotangent rows (bwd)
-            live += 2 * blk * n * n * 4 + 2 * blk * 8 * 128 * 4
-            live += 4 * blk * n * n * 4
-        if live <= _VMEM_BUDGET:
+        if _live_bytes(blk, nz, n, pmode, backward, shared, h_shared,
+                       need_dh, loss) <= _VMEM_BUDGET:
             return blk
     return None
 
@@ -404,7 +413,7 @@ def _fused_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, probe_kspace=Fal
             out_specs=_block((blk, n, n), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((bl, n, n), jnp.float32),
             interpret=_INTERPRET,
-            compiler_params=_compiler_params(_VMEM_BUDGET),
+            compiler_params=_compiler_params(_live_bytes(blk, nz, n, pmode, False, shared, h_shared)),
         )(obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats)
 
     if mesh is not None:
@@ -479,7 +488,7 @@ def _fused_bwd(need_dh, probe_kspace, residuals, g):
                 dh_shape,
             ],
             interpret=_INTERPRET,
-            compiler_params=_compiler_params(_VMEM_BUDGET),
+            compiler_params=_compiler_params(_live_bytes(blk, nz, n, pmode, True, shared, h_shared, bool(need_dh))),
         )(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats)
         if mesh is not None:
             # shared-parameter cotangents reduce across the data shards —
@@ -664,7 +673,7 @@ def _loss_fwd_impl(obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc,
             out_specs=_block((1, 8, 128), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((bl // blk, 8, 128), jnp.float32),
             interpret=_INTERPRET,
-            compiler_params=_compiler_params(_VMEM_BUDGET),
+            compiler_params=_compiler_params(_live_bytes(blk, nz, n, pmode, False, shared, h_shared, loss=True)),
         )(mask_pad, obja_p, objp_p, probe_r, probe_i, h_r, h_i, meas_cc, *mats)
         s1 = jnp.sum(out[:, 0, 0])
         s2 = jnp.sum(out[:, 0, 1])
@@ -758,7 +767,7 @@ def _loss_fused_bwd(dp_pow, eps, need_dh, probe_kspace, residuals, g):
                 dh_shape,
             ],
             interpret=_INTERPRET,
-            compiler_params=_compiler_params(_VMEM_BUDGET),
+            compiler_params=_compiler_params(_live_bytes(blk, nz, n, pmode, True, shared, h_shared, bool(need_dh), loss=True)),
         )(c_row, mask_pad, obja_p, objp_p, probe_r, probe_i, h_r, h_i,
           meas_cc, *mats)
         if mesh is not None:

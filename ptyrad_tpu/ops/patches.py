@@ -59,11 +59,21 @@ from ptyrad_tpu.ops.kernel_util import compiler_params as _compiler_params
 from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
 _INTERPRET = False  # flipped by tests: route dispatch through interpret-mode kernels
+_FORCE_XLA = False  # kernels-off retry after a Mosaic VMEM compile failure
 
 
 def set_interpret(flag: bool) -> None:
     global _INTERPRET
     _INTERPRET = flag
+
+
+def set_force_xla(flag: bool) -> None:
+    """Disable the Pallas gather/scatter kernels (geom.fwd_fused only gates
+    the multislice kernels — the Mosaic-OOM fallback needs BOTH off). Reset
+    to False by each fresh PtyRADSolver so one degraded run does not leak
+    into the next."""
+    global _FORCE_XLA
+    _FORCE_XLA = flag
 
 
 _SUB, _LANE = 8, 128  # f32 VMEM tile (sublane, lane)
@@ -248,21 +258,11 @@ def _lead_chunk(canvas_shape: tuple[int, ...], ny: int, nx: int,
     copies of the canvas and patch stacks are real per-step HBM traffic
     (profiled at ~2.3 ms/step on the 21-slice PSO workload when lc=18
     padded 21 -> 36). lc=1 always divides, so whenever ANY chunking fits a
-    divisor is returned (fits() is monotone in lc)."""
+    divisor is returned (_chunk_need_bytes is monotone in lc)."""
     lead = canvas_shape[:-2]
     l = int(np.prod(lead)) if lead else 1
-    h, w = canvas_shape[-2], canvas_shape[-1]
-    wy, wx = _window_dims(ny, nx)
-    hp, wp = h + (wy - ny), w + (wx - nx)
-    wp_tiled = _round_up(wp, _LANE)  # VMEM pads lanes to full tiles
-
-    def need_bytes(lc):
-        return itemsize * (
-            lc * hp * wp_tiled + lc * wy * wx + 3 * lc * ny * _round_up(nx, _LANE)
-        )
-
     for lc in range(l, 0, -1):
-        if l % lc == 0 and need_bytes(lc) <= _VMEM_BUDGET:
+        if l % lc == 0 and _chunk_need_bytes(canvas_shape, ny, nx, lc, itemsize) <= _VMEM_BUDGET:
             return lc
     return None
 
@@ -270,15 +270,24 @@ def _lead_chunk(canvas_shape: tuple[int, ...], ny: int, nx: int,
 def _chunk_need_bytes(canvas_shape: tuple[int, ...], ny: int, nx: int, lc: int,
                       itemsize: int = 4) -> int:
     """Modeled VMEM working set of the gather/scatter kernel at chunk lc —
-    drives the Mosaic scoped-vmem ceiling (kernel_util.compiler_params):
-    small canvases keep XLA's default limit (measurably better scheduling),
-    large ones raise it."""
+    the single source for both chunk selection (_lead_chunk) and the Mosaic
+    scoped-vmem ceiling (kernel_util.compiler_params): small canvases keep
+    XLA's default limit (measurably better scheduling), large ones raise it.
+
+    When the canvas is actually lead-chunked (more than one chunk), the
+    (lc, hp, wp) canvas block's index changes across grid steps, so Pallas
+    double-buffers it — count it twice in that regime."""
+    lead = canvas_shape[:-2]
+    l = int(np.prod(lead)) if lead else 1
     h, w = canvas_shape[-2], canvas_shape[-1]
     wy, wx = _window_dims(ny, nx)
     hp, wp = h + (wy - ny), w + (wx - nx)
     wp_tiled = _round_up(wp, _LANE)
+    canvas_blocks = 2 if lc < l else 1  # double-buffered once chunked
     return itemsize * (
-        lc * hp * wp_tiled + lc * wy * wx + 3 * lc * ny * _round_up(nx, _LANE)
+        canvas_blocks * lc * hp * wp_tiled
+        + lc * wy * wx
+        + 3 * lc * ny * _round_up(nx, _LANE)
     )
 
 
@@ -291,7 +300,7 @@ def _use_pallas_scatter() -> bool:
     # Single-device TPU, or any backend with a registered kernel mesh (the
     # kernels then run per-shard under shard_map, see _shard_gather /
     # _shard_scatter). _INTERPRET lets the CPU test mesh exercise that path.
-    if not _HAVE_PALLAS:
+    if not _HAVE_PALLAS or _FORCE_XLA:
         return False
     if _INTERPRET:
         return True

@@ -88,7 +88,7 @@ def shard_model(
     import numpy as np
 
     rep = replicate(mesh)
-    params = jax.tree_util.tree_map(lambda x: put_global(x, rep), params)
+    params = put_global(params, rep)
     meas_sharding = data_sharding(mesh) if shard_measurements else rep
     if shard_measurements:
         n = buffers.measurements.shape[0]
@@ -103,14 +103,11 @@ def shard_model(
             )
             buffers = dataclasses.replace(buffers, measurements=padded)
 
-    def put(x, sharding):
-        return put_global(x, sharding)
-
     buffers = dataclasses.replace(
         buffers,
-        measurements=put(buffers.measurements, meas_sharding),
+        measurements=put_global(buffers.measurements, meas_sharding),
         **{
-            f.name: put(getattr(buffers, f.name), rep)
+            f.name: put_global(getattr(buffers, f.name), rep)
             for f in dataclasses.fields(buffers)
             if f.name != "measurements"
         },

@@ -76,23 +76,22 @@ init = {
     "N_scan_slow": side, "N_scan_fast": side,
 }
 upd = {"obja": {"lr": 1e-3, "start_iter": 1}, "objp": {"lr": 1e-3, "start_iter": 1}}
-params, buffers, geom = make_model(init, {"update_params": upd})
+
+# drive the PUBLIC solver facade on the process-spanning mesh — the
+# production multi-process path (shard_model via put_global, put_batch,
+# replicated opt_state, deterministic cross-rank batching), not a
+# hand-rolled epoch
+from ptyrad_tpu.engine.solver import PtyRADSolver
 
 mesh = make_mesh()  # all 8 devices across BOTH processes
-params, buffers = shard_model(params, buffers, mesh, shard_measurements=True)
-optimizer, opt_state, _, start = create_optimizer({"name": "Adam"}, upd, params)
-train_epoch = build_train_epoch(buffers, geom, None, optimizer, start)
-
-rows = np.arange(n_scans).reshape(2, 8)
-sharded = NamedSharding(mesh, P(None, "data"))
-idx_all = put_global(rows.astype(np.int32), sharded)
-mask_all = put_global(np.ones(rows.shape, np.float32), sharded)
-
-new_params, _, total, _ = train_epoch(
-    params, opt_state, idx_all, mask_all, jnp.asarray(1, jnp.int32)
-)
-total = float(total)
-objp_sum = float(jnp.sum(jnp.abs(new_params.objp)))
+cfg = {
+    "model_params": {"update_params": upd, "optimizer_params": {"name": "Adam"}},
+    "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": 8}},
+}
+solver = PtyRADSolver(cfg, init_variables=init, mesh=mesh, verbose=False)
+solver.run()
+total = float(solver.history.loss_iters[-1][1])
+objp_sum = float(jnp.sum(jnp.abs(solver.params.objp)))
 print(f"MHOK rank={rank} loss={total:.9f} objp={objp_sum:.9f}", flush=True)
 
 # rank-0-only side effect (the saving contract): exactly one rank writes
