@@ -112,12 +112,24 @@ def build_workload():
     }
     params, buffers, geom = make_model(init)
 
-    sim = jax.jit(lambda p, i: forward(p, buffers, geom, i)[0])
-    meas = np.empty((N_SCANS, NPIX, NPIX), np.float32)
+    # simulate ON DEVICE and keep the store there (make_model passes a jax
+    # array through untouched): the old host round-trip moved 2 GB through
+    # the tunnel, which costs minutes under backend load. One jitted
+    # lax.map over chunk rows = one program, no eager ops, no concat.
+    # chunk 512: b=2048 pushes the patch-gather kernel's scalar prefetch
+    # past the 1 MB SMEM space (measured: exceeded by 144 B)
     chunk = 512
+
+    @jax.jit
+    def sim_all(p):
+        idx = jnp.arange(N_SCANS, dtype=jnp.int32).reshape(-1, chunk)
+        dps = jax.lax.map(lambda i: forward(p, buffers, geom, i)[0], idx)
+        dps = dps.reshape(N_SCANS, NPIX, NPIX)
+        return dps, jnp.sum(dps[-1])
+
     t0 = time.perf_counter()
-    for s in range(0, N_SCANS, chunk):
-        meas[s:s + chunk] = np.asarray(sim(params, jnp.arange(s, s + chunk)))
+    meas, check = sim_all(params)
+    float(check)  # forced execution barrier
     log(f"simulated {N_SCANS} DPs from ground truth in {time.perf_counter()-t0:.1f}s")
 
     init["measurements"] = meas
@@ -184,11 +196,16 @@ def bench_pso():
         "dx": dx, "lambd": lam, "N_scan_slow": grid, "N_scan_fast": grid,
     }
     params, buffers, geom = make_model(init)
-    sim = jax.jit(lambda p, i: forward(p, buffers, geom, i)[0])
-    meas = np.empty((n_scans, npix, npix), np.float32)
+    @jax.jit
+    def sim_all(p):
+        idx = jnp.arange(n_scans, dtype=jnp.int32).reshape(-1, 256)
+        dps = jax.lax.map(lambda i: forward(p, buffers, geom, i)[0], idx)
+        dps = dps.reshape(n_scans, npix, npix)
+        return dps, jnp.sum(dps[-1])
+
     t0 = time.perf_counter()
-    for s in range(0, n_scans, 256):
-        meas[s:s + 256] = np.asarray(sim(params, jnp.arange(s, s + 256)))
+    meas, check = sim_all(params)  # stays on device (see tBL note)
+    float(check)
     log(f"PSO: simulated {n_scans} DPs in {time.perf_counter()-t0:.1f}s")
 
     init["measurements"] = meas

@@ -152,7 +152,15 @@ def make_model(init_variables: dict, model_params: Optional[dict] = None):
     tilts = np.asarray(init_variables["obj_tilts"], dtype=np.float32).reshape(-1, 2)
     shifts = np.asarray(init_variables["probe_pos_shifts"], dtype=np.float32)
     dz = float(np.asarray(init_variables["slice_thickness"]))
-    meas = np.asarray(init_variables["measurements"], dtype=np.float32)
+    meas_in = init_variables["measurements"]
+    if isinstance(meas_in, jax.Array) and meas_in.dtype == jnp.float32:
+        # already on device (e.g. simulated there): keep it — np.asarray
+        # would round-trip the whole store through the host, which on
+        # tunneled backends costs minutes per GB. Only shapes are read
+        # below; jnp.asarray(meas) is then a no-op.
+        meas = meas_in
+    else:
+        meas = np.asarray(meas_in, dtype=np.float32)
     crop_pos = np.asarray(init_variables["crop_pos"], dtype=np.int32)
     omode_occu = np.asarray(init_variables["omode_occu"], dtype=np.float32)
     dx = float(np.asarray(init_variables["dx"]))

@@ -503,6 +503,10 @@ class ReconParams(BaseModel):
     INDICES_MODE: IndicesMode = Field(default_factory=IndicesMode)
     BATCH_SIZE: BatchSize = Field(default_factory=BatchSize)
     GROUP_MODE: Literal["random", "sparse", "compact"] = "random"
+    # batch-grouping RNG seed; None = fresh shuffle per run, EXCEPT on
+    # multi-process meshes where the solver forces 0 so every rank builds
+    # identical batches (engine/solver.prepare)
+    GROUP_MODE_SEED: Optional[int] = None
     SAVE_ITERS: Optional[int] = Field(default=10, ge=1)
     shard_measurements: bool = True
     output_dir: str = "output/"

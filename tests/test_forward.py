@@ -83,6 +83,23 @@ def toy(rng):
     return init, params, buffers, geom
 
 
+def test_make_model_keeps_device_measurements(rng):
+    """A jax-array measurement store passes through make_model WITHOUT a
+    host round-trip (device-side simulation, bench.py): the buffer is the
+    very same array object, and the model built from it matches one built
+    from the numpy copy."""
+    import jax.numpy as jnp
+
+    init = make_toy_init(rng)
+    meas_dev = jnp.asarray(init["measurements"])
+    init_dev = dict(init, measurements=meas_dev)
+    p1, b1, g1 = make_model(init_dev)
+    assert b1.measurements is meas_dev  # no copy, no fetch
+    p2, b2, g2 = make_model(init)
+    assert g1 == g2
+    np.testing.assert_array_equal(np.asarray(b1.measurements), np.asarray(b2.measurements))
+
+
 class TestMultisliceForward:
     def test_matches_numpy_oracle(self, toy):
         init, params, buffers, geom = toy
