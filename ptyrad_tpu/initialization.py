@@ -366,7 +366,14 @@ class Initializer:
             self.init_variables["on_the_fly_meas_scale_factors"] = None
             return meas
         mode = cfg["mode"]
-        npix = self.init_params["meas_Npix"]
+        # base Npix from the DATA of this run, not the working-copy
+        # init_params['meas_Npix'] — a previous run's on_the_fly resample
+        # already wrote the scaled value there, so re-running
+        # init_measurements (staged hypertune re-init) would double-apply
+        # the scale. With an on-the-fly pad active the base is the padded
+        # template's size (the array itself stays unpadded).
+        padded = self.init_variables.get("on_the_fly_meas_padded")
+        npix = int(padded.shape[-1]) if padded is not None else int(meas.shape[-1])
         scale = list(cfg["scale_factors"])
         if len(scale) != 2:
             raise ValueError("scale_factors must have two entries")

@@ -65,25 +65,32 @@ def save_array(
     `output_shape` first (reference save.py:40-81)."""
     data = np.asarray(data)
     if output_shape is not None:
-        data = data.reshape(output_shape)
+        try:
+            data = data.reshape(output_shape)
+        except ValueError as e:
+            # reference behavior (save.py:55-58): warn and keep the shape
+            vprint(f"WARNING: {e}, the data shape is preserved as {data.shape}")
     shape_str = "_" + "_".join(str(s) for s in data.shape) if append_shape else ""
     if file_dir:
         os.makedirs(file_dir, exist_ok=True)
-    base = os.path.join(file_dir, f"{file_name}{shape_str}")
+    file_format = file_format.lower()
+    # extension tracks file_format exactly, like the reference (save.py:67)
+    path = os.path.join(file_dir, f"{file_name}{shape_str}.{file_format}")
     if file_format in ("tif", "tiff"):
-        path = base + ".tif"
         imwrite_tif(path, data)
     elif file_format == "npy":
-        path = base + ".npy"
         np.save(path, data)
-    elif file_format in ("hdf5", "h5"):
+    elif file_format in ("hdf5", "h5", "mat"):
+        # 'mat' is HDF5 as if it were .mat v7.3 (py4DGUI compat, reference
+        # save.py:77-79); dataset name 'meas' + gzip is the export contract
         import h5py
 
-        path = base + ".hdf5"
         with h5py.File(path, "w") as hf:
-            hf.create_dataset("data", data=data, **kwargs)
+            hf.create_dataset("meas", data=data, compression="gzip", **kwargs)
     else:
-        raise ValueError(f"Unsupported file_format '{file_format}'; use 'tif', 'npy', or 'hdf5'")
+        raise ValueError(
+            f"Unsupported file_format '{file_format}'; use 'tif', 'npy', 'hdf5', 'h5', or 'mat'"
+        )
     vprint(f"Saved array with shape {data.shape} to '{path}'")
     return path
 
@@ -269,7 +276,11 @@ def make_output_folder(
     parts: List[str] = []
     prefix_time = recon_params.get("prefix_time", False)
     if prefix_time:
-        fmt = prefix_time if isinstance(prefix_time, str) else "%Y%m%d"
+        # named presets match the reference's get_time (utils/common.py:511):
+        # 'date' / 'time' / 'datetime' / True, else a raw strftime format
+        named = {"date": "%Y%m%d", "time": "%H%M%S",
+                 "datetime": "%Y%m%d_%H%M%S", True: "%Y%m%d"}
+        fmt = named.get(prefix_time, prefix_time if isinstance(prefix_time, str) else "%Y%m%d")
         parts.append(datetime.now().strftime(fmt))
     if recon_params.get("prefix"):
         parts.append(recon_params["prefix"])
@@ -309,9 +320,15 @@ def make_output_folder(
             if si is not None and si > 1:
                 parts.append(f"{tag}{si}")
     if "lr" in affixes:
-        lrs = {k: v.get("lr", 0) for k, v in update.items() if v.get("lr")}
-        if lrs:
-            parts.append("lr" + "_".join(_fmt_lr(v) for v in lrs.values()))
+        # per-tensor tags in the reference's fixed order (save.py:362-377):
+        # folder names stay self-describing and comparable side by side
+        lr_map = {"probe": "plr", "obja": "oalr", "objp": "oplr",
+                  "probe_pos_shifts": "slr", "obj_tilts": "tlr",
+                  "slice_thickness": "dzlr"}
+        for key, tag in lr_map.items():
+            lr_val = (update.get(key) or {}).get("lr", 0)
+            if lr_val:
+                parts.append(f"{tag}{_fmt_lr(lr_val)}")
     if "model" in affixes:
         if geom.obj_preblur_std:
             parts.append(f"preblur{geom.obj_preblur_std:g}")

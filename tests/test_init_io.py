@@ -536,6 +536,56 @@ class TestReviewFixesR3:
         assert "ss10" in name
         assert "None" not in name and "si1" not in name
 
+    def test_lr_affix_per_tensor_tags(self):
+        """Folder lr tags carry the reference's per-tensor names in its
+        fixed order (reference save.py:362-377), not anonymous values."""
+        from ptyrad_tpu.save import make_output_folder
+
+        params_dict = {
+            "model_params": {
+                "update_params": {
+                    "objp": {"lr": 5e-4, "start_iter": 1},
+                    "probe": {"lr": 1e-4, "start_iter": 1},
+                },
+            },
+            "recon_params": {},
+        }
+        name = make_output_folder(
+            "/tmp/ptyrad_tpu_affix_test", np.arange(4), params_dict, None,
+            None, recon_dir_affixes=["lr"], make_dir=False,
+        )
+        assert "plr1e-4" in name and "oplr5e-4" in name
+        assert name.index("plr1e-4") < name.index("oplr5e-4")  # reference order
+
+    def test_prefix_time_named_presets(self):
+        """'date'/'time'/'datetime' map to real formats (reference
+        get_time, utils/common.py:511) instead of literal strftime text."""
+        from ptyrad_tpu.save import make_output_folder
+
+        for preset, digits in (("date", 8), ("time", 6), ("datetime", 15)):
+            name = make_output_folder(
+                "/tmp/ptyrad_tpu_affix_test", np.arange(4),
+                {"recon_params": {"prefix_time": preset}}, None, None,
+                recon_dir_affixes=["indices"], make_dir=False,
+            )
+            stamp = os.path.basename(name).split("_")[0] if preset != "datetime" else \
+                "_".join(os.path.basename(name).split("_")[:2])
+            assert "datetime" not in name and "time" not in os.path.basename(name)
+            assert len(stamp) == digits, (preset, name)
+
+    def test_save_array_mat_and_meas_key(self, tmp_path):
+        """file_format 'mat' writes HDF5 (py4DGUI compat) and all HDF5-family
+        exports use dataset name 'meas' with the extension following the
+        format (reference save.py:32-38, 67-79)."""
+        import h5py
+
+        data = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        for fmt in ("mat", "h5", "hdf5"):
+            path = save_array(data, str(tmp_path), f"exp_{fmt}", fmt, append_shape=False)
+            assert path.endswith("." + fmt)
+            with h5py.File(path, "r") as hf:
+                np.testing.assert_array_equal(hf["meas"][()], data)
+
     def test_load_hdf5_delimiter_and_literal_keys(self, tmp_path):
         """The delimiter maps nested paths; a dataset literally named with a
         dot resolves verbatim (review r3: delimiter was accepted but unused)."""
@@ -595,6 +645,21 @@ class TestReviewFixesR3:
         assert init.init_variables["measurements"].shape == (4, 16, 16)
         init.init_measurements()  # re-run: must be idempotent
         assert init.init_variables["measurements"].shape == (4, 16, 16)
+
+    def test_init_measurements_rerunnable_with_otf_resample(self, rng):
+        """With meas_resample on_the_fly, re-running init_measurements must
+        NOT double-apply the scale: the base Npix comes from the data, not
+        the working-copy meas_Npix a previous run already scaled (review r4)."""
+        p = base_init_params(
+            rng, meas_resample={"mode": "on_the_fly", "scale_factors": [0.5, 0.5]},
+        )
+        init = Initializer(p, verbose=False)
+        init.init_measurements()
+        npix1 = init.init_params["meas_Npix"]
+        scale1 = list(init.init_variables["on_the_fly_meas_scale_factors"])
+        init.init_measurements()  # re-run: must be idempotent
+        assert init.init_params["meas_Npix"] == npix1
+        assert list(init.init_variables["on_the_fly_meas_scale_factors"]) == scale1
 
     def test_custom_ndarray_source_not_deepcopied(self, rng):
         """In-memory 'custom' measurement arrays must be SHARED into the
