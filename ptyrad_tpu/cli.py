@@ -15,6 +15,12 @@ import sys
 
 
 
+def _jobid_prefix(jobid) -> str:
+    """Log-file jobid prefix: only non-zero hypertune worker ids qualify
+    (reference common.py:165 gates on jobid != 0)."""
+    return "" if jobid in ("0", 0, None, "") else str(jobid)
+
+
 def _apply_common_overrides(params: dict, args) -> None:
     """CLI flags that override params-file fields."""
     if getattr(args, "mixed_precision", False):
@@ -47,7 +53,7 @@ def cmd_run(args):
     _maybe_init_multihost(args)
     logger = CustomLogger(
         log_file="ptyrad_tpu_log.txt",
-        prefix_jobid=args.jobid or "",
+        prefix_jobid=_jobid_prefix(args.jobid),
         append_to_file=True,
         show_timestamp=True,
     )
@@ -80,13 +86,38 @@ def cmd_print_system_info(args):
 
 
 def cmd_export_meas_init(args):
+    """Reference contract (cli.py:45-82): params-file meas_export config,
+    overridable by --output (path + extension -> dir/name/format),
+    --reshape, and --append (append_shape defaults FALSE here, matching the
+    reference's always-override of args.append)."""
+    from pathlib import Path
+
     from ptyrad_tpu.initialization import Initializer
     from ptyrad_tpu.load import load_params
 
     params = load_params(args.params_path, validate=not args.skip_validate)
     init_params = dict(params["init_params"])
-    if not init_params.get("meas_export"):
-        init_params["meas_export"] = True
+    export_cfg = init_params.get("meas_export")
+    if export_cfg in (True, False, None):
+        export_cfg = {}
+    elif not isinstance(export_cfg, dict):
+        raise TypeError("`meas_export` in init_params must be True, False, None, or a dict")
+    export_cfg = dict(export_cfg)
+
+    if args.output:
+        output_path = Path(args.output)
+        export_cfg["file_dir"] = str(output_path.parent)
+        export_cfg["file_name"] = output_path.stem
+        export_cfg["file_format"] = output_path.suffix.lstrip(".") or "hdf5"
+    else:
+        export_cfg.setdefault("file_dir", "")
+        export_cfg.setdefault("file_name", "ptyrad_init_meas")
+        export_cfg.setdefault("file_format", "hdf5")
+    if args.reshape:
+        export_cfg["output_shape"] = tuple(args.reshape)
+    export_cfg["append_shape"] = args.append  # always override
+
+    init_params["meas_export"] = export_cfg
     init = Initializer(init_params)
     init.init_measurements()
     print("Exported processed measurements.")
@@ -95,7 +126,12 @@ def cmd_export_meas_init(args):
 def cmd_validate_params(args):
     from ptyrad_tpu.load import load_params
 
-    load_params(args.params_path, validate=True)
+    try:
+        load_params(args.params_path, validate=True)
+    except Exception as e:  # noqa: BLE001 — reference contract (cli.py:86-92):
+        # a handled one-line message, not a traceback
+        print(f"Invalid parameters: {e}")
+        return
     print(f"Params file '{args.params_path}' is valid.")
 
 
@@ -148,6 +184,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_export = sub.add_parser("export-meas-init", help="Export initialized measurements")
     p_export.add_argument("--params_path", required=True)
     p_export.add_argument("--skip_validate", action="store_true")
+    p_export.add_argument("--output", type=str, default=None,
+                          help="Optional output path / file type (.mat, .hdf5, .tif, .npy)")
+    p_export.add_argument("--reshape", type=int, nargs="+", default=None,
+                          help="Optional new shape, e.g. --reshape 128 128 128 128")
+    p_export.add_argument("--append", action="store_true",
+                          help="Append the array shape to the file name")
     p_export.set_defaults(func=cmd_export_meas_init)
 
     p_val = sub.add_parser("validate-params", help="Validate a params file")

@@ -15,7 +15,10 @@ import numpy as np
 
 
 def get_time(fmt="%Y%m%d") -> str:
-    """Formatted local time string; True maps to date-only (reference 511-551)."""
+    """Formatted local time string; True maps to date-only; False/None/''
+    disable the timestamp and return '' (reference 511-551)."""
+    if not fmt:
+        return ""
     if fmt is True or fmt == "date":
         fmt = "%Y%m%d"
     elif fmt == "time":

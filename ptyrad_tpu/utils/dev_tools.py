@@ -107,10 +107,19 @@ def test_loss_fn(params, buffers, geom, indices, loss_params=None):
     from ptyrad_tpu.losses import combined_loss
     from ptyrad_tpu.models.forward import forward, get_measurements
 
+    import jax
+
     idx = jnp.asarray(np.asarray(indices))
-    dp, (obja_p, objp_p) = forward(params, buffers, geom, idx)
-    meas = get_measurements(buffers, geom, idx)
-    total, terms = combined_loss(dp, meas, obja_p, objp_p, buffers.omode_occu, loss_params)
+
+    # one jitted program (an eager forward would pay a remote compile per op
+    # on tunneled backends — CLAUDE.md)
+    @jax.jit
+    def run(params, bufs, idx):
+        dp, (obja_p, objp_p) = forward(params, bufs, geom, idx)
+        meas = get_measurements(bufs, geom, idx)
+        return combined_loss(dp, meas, obja_p, objp_p, bufs.omode_occu, loss_params)
+
+    total, terms = run(params, buffers, idx)
     for name, val in terms.items():
         vprint(f"  {name}: {float(val):.6f}")
     vprint(f"  total: {float(total):.6f}")
@@ -126,7 +135,12 @@ def test_constraint_fn(params, buffers, geom, constraint_params):
 
     sched = ConstraintScheduler(constraint_params, geom)
     before = jax.tree_util.tree_map(np.asarray, params)
-    after_params = sched(params, buffers, niter=max((f for _, f, _ in sched._active), default=1))
+    # LCM of the active frequencies: niter=max(freqs) skips any constraint
+    # whose freq does not divide the max (gate is niter % freq == 0) and
+    # would misreport it as a no-op
+    freqs = [f for _, f, _ in sched._active] or [1]
+    niter = int(np.lcm.reduce(np.asarray(freqs, dtype=np.int64)))
+    after_params = sched(params, buffers, niter=niter)
     after = jax.tree_util.tree_map(np.asarray, after_params)
     for (path, b), (_, a) in zip(
         jax.tree_util.tree_flatten_with_path(before)[0],

@@ -100,7 +100,15 @@ class CustomLogger:
         mode = "a" if self.append_to_file else "w"
         with open(path, mode) as f:
             f.write(self._buffer.getvalue())
-        self.logger.removeHandler(self._buffer_handler)
+        # truncate the buffer (reference common.py:191-192) and detach any
+        # previous file handler: a second flush (e.g. one per hypertune
+        # trial) must not replay pre-flush logs into the new file or keep
+        # mirroring lines into the previous trial's file
+        self._buffer.truncate(0)
+        self._buffer.seek(0)
+        if self._file_handler is not None:
+            self.logger.removeHandler(self._file_handler)
+            self._file_handler.close()
         fmt = self._buffer_handler.formatter
         self._file_handler = logging.FileHandler(path, mode="a")
         self._file_handler.setFormatter(fmt)

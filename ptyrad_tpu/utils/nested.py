@@ -57,7 +57,17 @@ def handle_hdf5_types(value: Any, none_sentinel: str = NONE_SENTINEL) -> Any:
     if isinstance(value, bytes):
         value = value.decode("utf-8")
     if isinstance(value, str):
-        return None if value == none_sentinel else value
+        if value == none_sentinel:
+            return None
+        # stringified literals written by the savers' str() fallback (tuples,
+        # ragged lists, dicts-in-lists) parse back to Python objects
+        # (reference common.py:733-741)
+        import ast
+
+        try:
+            return ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            return value
     if isinstance(value, np.ndarray):
         if value.dtype.names and set(value.dtype.names) >= {"real", "imag"}:
             return value["real"] + 1j * value["imag"]

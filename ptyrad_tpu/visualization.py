@@ -21,10 +21,16 @@ from ptyrad_tpu.utils.logging import vprint  # noqa: E402
 
 
 def plot_sigmoid_mask(npix: int, relative_radius: float, relative_width: float, img=None, show_circles: bool = False):
-    """Sigmoid-mask diagnostic: overlay + radial line profile (reference 14-41)."""
-    from ptyrad_tpu.ops.masks import make_sigmoid_mask
+    """Sigmoid-mask diagnostic: overlay + radial line profile (reference 14-41).
 
-    mask = np.asarray(make_sigmoid_mask(npix, relative_radius, relative_width))
+    The mask is recomputed here in NumPy (same formula as
+    ops/masks.make_sigmoid_mask) — a host plotting helper must not run eager
+    device jnp ops, which cost a remote compile each on tunneled backends."""
+    gy, gx = np.mgrid[0:npix, 0:npix].astype(np.float64)
+    kr = np.hypot(gy - npix // 2, gx - npix // 2)
+    offset = npix * relative_radius / 2.0
+    scale = relative_width * npix
+    mask = 1.0 / (1.0 + np.exp((kr - offset) / scale * 10.0))
     base = np.ones((npix, npix)) if img is None else np.asarray(img) / np.max(img)
     masked = mask * base
     fig, axs = plt.subplots(1, 2, figsize=(13, 6))
@@ -223,8 +229,18 @@ def plot_probe_modes(probe_np: np.ndarray, amp_or_phase: str = "amplitude", real
     powers in the titles (reference 363-421)."""
     probe = np.asarray(probe_np)
     if real_or_fourier == "fourier":
-        probe = np.fft.fftshift(np.fft.fft2(np.fft.ifftshift(probe, axes=(-2, -1))), axes=(-2, -1))
-    data = np.abs(probe) if amp_or_phase == "amplitude" else np.angle(probe)
+        probe = np.fft.fftshift(
+            np.fft.fft2(np.fft.ifftshift(probe, axes=(-2, -1)), norm="ortho"),
+            axes=(-2, -1),
+        )
+    if amp_or_phase == "amplitude":
+        data = np.abs(probe)
+    else:
+        # reference convention (visualization.py:388-391): negative sign for
+        # consistency with chi(k) (psi = exp(-i*chi); overfocus gives a
+        # positive phase shift near the aperture edge), amplitude-weighted so
+        # the meaningless random phases where |probe|~0 don't dominate
+        data = -np.angle(probe) * np.abs(probe)
     powers = np.sum(np.abs(probe) ** 2, axis=(-2, -1))
     powers = powers / powers.sum()
     n = probe.shape[0]
@@ -256,7 +272,14 @@ def plot_summary(
     """
     from ptyrad_tpu.ops.cplx import to_numpy as cplx_to_numpy
 
-    selected = selected_figs or ["loss", "forward", "probe_r_amp", "pos"]
+    selected = list(selected_figs or ["loss", "forward", "probe_r_amp", "pos"])
+    # reference contract (visualization.py:438-518): 'all' enables every
+    # figure; 'slice_thickness' is the reference name for the dz plot
+    if "all" in selected:
+        selected = ["loss", "forward", "probe_r_amp", "probe_r_phase",
+                    "probe_k_amp", "probe_k_phase", "pos", "tilt",
+                    "tilt_avg", "dz"]
+    selected = ["dz" if s == "slice_thickness" else s for s in selected]
     iter_str = f"_iter{str(niter).zfill(4)}"
     os.makedirs(output_path, exist_ok=True)
     probe_np = cplx_to_numpy(params.probe)

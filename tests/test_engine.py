@@ -259,6 +259,42 @@ class TestMultihostLaunch:
         C._maybe_init_multihost(argparse.Namespace(multihost=False))
         assert len(called) == 1
 
+    def test_cli_export_meas_init_flags(self, rng, tmp_path, monkeypatch):
+        """--output/--reshape/--append mirror the reference export contract
+        (reference cli.py:45-82): path decomposes into dir/name/format,
+        reshape applies, append_shape defaults off (review r4)."""
+        import argparse
+
+        import h5py
+
+        from ptyrad_tpu import cli as C
+        from test_init_io import base_init_params
+
+        p = {"init_params": base_init_params(rng)}
+        monkeypatch.setattr(C, "load_params", lambda *a, **k: p, raising=False)
+        import ptyrad_tpu.load as L
+
+        monkeypatch.setattr(L, "load_params", lambda *a, **k: p)
+        out = tmp_path / "exports" / "my_meas.mat"
+        args = argparse.Namespace(
+            params_path="ignored.yml", skip_validate=True,
+            output=str(out), reshape=[4, 4, 32, 32], append=False,
+        )
+        C.cmd_export_meas_init(args)
+        assert out.exists()
+        with h5py.File(out, "r") as hf:
+            assert hf["meas"].shape == (4, 4, 32, 32)
+
+    def test_cli_jobid_zero_no_log_prefix(self):
+        """The default jobid '0' must not prefix the log file name
+        (reference common.py:165 gates on jobid != 0 — review r4)."""
+        from ptyrad_tpu.cli import _jobid_prefix
+
+        assert _jobid_prefix("0") == ""
+        assert _jobid_prefix(0) == ""
+        assert _jobid_prefix(None) == ""
+        assert _jobid_prefix("2") == "2"
+
 
 class TestMosaicErrorMatcher:
     def test_compile_stage_signals_match(self):

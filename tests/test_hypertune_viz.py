@@ -285,6 +285,33 @@ class TestVisualization:
         for name in ("loss", "forward", "probe_r_amp", "probe_k_phase", "pos", "dz", "tilt_avg"):
             assert any(f"summary_{name}" in f for f in files), f"missing {name}: {files}"
 
+    def test_plot_summary_reference_aliases(self, rng, tmp_path):
+        """selected_figs 'all' enables every figure and 'slice_thickness'
+        maps to the dz plot (reference visualization.py:438-518 — review r4)."""
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+        from ptyrad_tpu.visualization import plot_summary
+
+        init = Initializer(base_init_params(rng), verbose=False).init_all()
+        cfg = {
+            "model_params": {"update_params": {"objp": {"lr": 1e-3, "start_iter": 1}}},
+            "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": 8}},
+        }
+        solver = PtyRADSolver(cfg, init_variables=init.init_variables, verbose=False)
+        solver.run()
+        out = str(tmp_path / "figs_all")
+        plot_summary(out, solver.params, solver.buffers, solver.geom,
+                     solver.history, 2, solver.indices,
+                     selected_figs=["all"], init_variables=init.init_variables)
+        files = os.listdir(out)
+        for name in ("loss", "forward", "probe_k_phase", "pos", "dz"):
+            assert any(f"summary_{name}" in f for f in files), (name, files)
+
+        out2 = str(tmp_path / "figs_dz")
+        plot_summary(out2, solver.params, solver.buffers, solver.geom,
+                     solver.history, 2, solver.indices,
+                     selected_figs=["slice_thickness"])
+        assert any("summary_dz" in f for f in os.listdir(out2))
+
     def test_individual_plots(self, rng):
         import matplotlib.pyplot as plt
 

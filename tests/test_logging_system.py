@@ -28,6 +28,28 @@ class TestCustomLogger:
         assert "before folder exists" in content  # buffered lines survived
         assert "after flush" in content
 
+    def test_double_flush_no_replay_no_crosstalk(self, tmp_path):
+        """A second flush (one per hypertune trial) must not replay
+        pre-first-flush logs into the new file, and lines after the second
+        flush must not keep mirroring into the first file (review r4;
+        reference common.py:191-192 truncates the buffer)."""
+        logger = CustomLogger(log_file="t.txt", prefix_date=False, show_timestamp=False)
+        vprint("early line")
+        d1, d2 = str(tmp_path / "trial1"), str(tmp_path / "trial2")
+        logger.flush_to_dir(d1)
+        vprint("trial1 line")
+        logger.flush_to_dir(d2)
+        vprint("trial2 line")
+        logger.close()
+
+        c1 = open(os.path.join(d1, "t.txt")).read()
+        c2 = open(os.path.join(d2, "t.txt")).read()
+        assert "early line" in c1 and "trial1 line" in c1
+        assert "early line" not in c2  # no replay of pre-flush buffer
+        assert "trial1 line" in c2    # buffered since the first flush
+        assert "trial2 line" in c2
+        assert "trial2 line" not in c1  # old file handler detached
+
     def test_vprint_respects_verbose(self, capsys):
         vprint("visible", verbose=True)
         vprint("hidden", verbose=False)

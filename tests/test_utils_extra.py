@@ -155,3 +155,49 @@ class TestCommonUtils:
 
 
 import os  # noqa: E402
+
+
+class TestReviewFixesR4:
+    def test_get_time_disabled_inputs(self):
+        from ptyrad_tpu.utils.common import get_time
+
+        assert get_time(False) == ""
+        assert get_time(None) == ""
+        assert get_time("") == ""
+        assert len(get_time("date")) == 8
+        assert len(get_time("datetime")) == 15
+
+    def test_handle_hdf5_types_parses_stringified_literals(self):
+        """Stringified tuples/lists written by the savers' str() fallback
+        parse back to Python objects (reference common.py:733-741); plain
+        strings and version-like strings stay strings."""
+        from ptyrad_tpu.utils.nested import handle_hdf5_types
+
+        assert handle_hdf5_types("(128, 128)") == (128, 128)
+        assert handle_hdf5_types("[None, 1]") == [None, 1]
+        assert handle_hdf5_types("random") == "random"
+        assert handle_hdf5_types("0.1.0b9") == "0.1.0b9"
+        assert handle_hdf5_types(b"__NONE__") is None
+
+    def test_constraint_fn_niter_covers_all_freqs(self, rng):
+        """The diagnostic applies constraints at the LCM of the active
+        frequencies so a freq-2 constraint fires alongside a freq-3 one
+        (niter=max would skip it and misreport delta=0)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from ptyrad_tpu.models import make_model
+        from ptyrad_tpu.utils.dev_tools import test_constraint_fn as check_fn
+
+        from test_forward import make_toy_init
+
+        init = make_toy_init(rng)
+        params, buffers, geom = make_model(init)
+        params = dataclasses.replace(params, objp=params.objp - 1.0)  # negative phase
+        out = check_fn(params, buffers, geom, {
+            "objp_postiv": {"freq": 2, "relax": 0.0, "mode": "clip_neg"},
+            "obja_thresh": {"freq": 3, "relax": 0.0, "thresh": (0.99, 1.01)},
+        })
+        # the freq-2 positivity constraint must actually have fired
+        assert float(jnp.min(out.objp)) >= 0.0
