@@ -91,9 +91,14 @@ def kr_filter_fn(obj: jnp.ndarray, radius: float, width: float) -> jnp.ndarray:
     ny, nx = obj.shape[-2:]
     mask = make_sigmoid_mask(min(ny, nx), radius, width)
     if (ny, nx) != mask.shape:
-        # nearest, not bilinear: the reference's F.interpolate default
-        # (reference constraints.py kr_filter) stair-steps the sigmoid mask
-        mask = jax.image.resize(mask, (ny, nx), method="nearest")
+        # nearest with torch's FLOOR source mapping (src = dst*S//D), not
+        # jax.image.resize's half-pixel centers: the reference's
+        # F.interpolate default (constraints.py:299) selects different
+        # source pixels in the transition band on rectangular canvases
+        sy, sx = mask.shape
+        iy = (jnp.arange(ny) * sy) // ny
+        ix = (jnp.arange(nx) * sx) // nx
+        mask = mask[iy][:, ix]
     w = ifftshift2(mask)
     return ifft2(fft2(obj) * w).re.astype(obj.dtype)
 

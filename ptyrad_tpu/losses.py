@@ -130,6 +130,11 @@ def loss_simlar(obja_patches, objp_patches, omode_occu, params, mask=None):
         if scale is not None and any(s != 1 for s in scale):
             patches = area_downsample(patches, tuple(scale))
         weighted = patches * omode_occu[:, None, None, None]
+        if weighted.shape[1] == 1:
+            # a single object mode has no cross-mode variance; the unbiased
+            # std would be 0/0 = NaN and silently poison the total loss and
+            # every gradient (the reference shares this latent NaN)
+            return jnp.float32(0.0)
         # ddof=1: the reference's torch.std is the unbiased estimator
         return _bmean(jnp.std(weighted, axis=1, ddof=1), mask)
 

@@ -90,6 +90,12 @@ def make_fzp_probe(probe_params: dict, verbose: bool = False) -> np.ndarray:
 
     probe_params keys: Npix, beam_kev [keV], dx [m], Ls [m], Rn [m], dRn [m],
     D_FZP [m], D_H [m]. Returns (Npix, Npix) complex128.
+
+    Documented deviation: the reference truncates the photon energy with
+    int(probe_params['beam_kev']) (utils/physics.py:325), so 8.8 keV is
+    computed as 8 keV (10% wavelength error in focal length and Fresnel
+    phases). Here fractional energies are honored — physically correct;
+    integer energies are bit-identical to the reference.
     """
     n = int(probe_params["Npix"])
     energy_kev = float(probe_params["beam_kev"])

@@ -75,6 +75,23 @@ class TestRegularizers:
         )
         assert float(terms["loss_simlar"]) == pytest.approx(0.0, abs=1e-6)
 
+    def test_simlar_single_omode_is_zero_not_nan(self, rng):
+        """omode == 1: the unbiased std over a size-1 mode axis is 0/0; the
+        term must come back 0, not NaN poisoning the total loss and all
+        gradients (review r4 — the reference shares this latent NaN)."""
+        patches = jnp.asarray(rng.standard_normal((3, 1, 2, 8, 8)).astype(np.float32))
+        occu = jnp.asarray([1.0], jnp.float32)
+        total, terms = combined_loss(
+            jnp.ones((3, 8, 8)), jnp.ones((3, 8, 8)), patches, patches, occu,
+            {
+                "loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5},
+                "loss_simlar": {"state": True, "weight": 1.0, "obj_type": "both",
+                                "blur_std": None, "scale_factor": None},
+            },
+        )
+        assert float(terms["loss_simlar"]) == 0.0
+        assert np.isfinite(float(total))
+
 
 class TestCombined:
     def test_disabled_terms_are_zero(self, dps, rng):

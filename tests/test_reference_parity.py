@@ -562,6 +562,20 @@ class TestMoreConstraintParity:
         ours = np.asarray(kr_filter_fn(obj, 0.2, 0.05))
         np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=1e-5)
 
+    def test_kr_filter_matches_reference_rectangular(self, rng):
+        """Non-square canvas: the nearest-mask upscale must use torch's
+        FLOOR source mapping (F.interpolate default) — half-pixel-center
+        nearest picks different pixels in the sigmoid transition band
+        (review r4)."""
+        ref_kr = ref_import("ptyrad.constraints.kr_filter")
+
+        from ptyrad_tpu.constraints import kr_filter_fn
+
+        obj = (0.3 * rng.standard_normal((1, 2, 24, 40))).astype(np.float32)
+        theirs = ref_kr(torch.tensor(obj), 0.2, 0.05).numpy()
+        ours = np.asarray(kr_filter_fn(obj, 0.2, 0.05))
+        np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=1e-5)
+
     def test_complex_ratio_matches_reference(self, rng):
         ref_cr = ref_import("ptyrad.constraints.complex_ratio_constraint")
 
