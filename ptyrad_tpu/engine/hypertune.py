@@ -333,7 +333,9 @@ def run_hypertune(params: dict, mesh=None, logger=None, jobid: Optional[str] = N
             pruner_cls = getattr(optuna.pruners, ht["pruner_params"]["name"])
             pruner = pruner_cls(**(ht["pruner_params"].get("configs") or {}))
         storage = ht.get("storage_path", "hypertune.db")
-        if not storage.startswith("sqlite:"):
+        if storage is not None and not storage.startswith("sqlite:"):
+            # None = in-memory study, like the reference's storage=None
+            # (reference/src/ptyrad/reconstruction.py:145-240)
             storage = f"sqlite:///{storage}"
         study = optuna.create_study(
             study_name=ht.get("study_name", "ptyrad_hypertune"),

@@ -82,6 +82,11 @@ def build_train_step(
         )
         grads = mask_unstarted_grads(grads, niter, start_iters)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        # mask the UPDATES too: decoupled weight decay (AdamW & co) emits
+        # -lr*wd*param even for zero grads, which would shrink tensors whose
+        # start_iter has not arrived (the reference skips frozen params
+        # entirely via requires_grad)
+        updates = mask_unstarted_grads(updates, niter, start_iters)
         params = optax.apply_updates(params, updates)
         return params, opt_state, total, terms
 
@@ -134,6 +139,9 @@ def build_train_epoch(
             )
             grads = mask_unstarted_grads(grads, niter, start_iters)
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            # updates masked too: see build_train_step (AdamW decay on
+            # unstarted tensors)
+            updates = mask_unstarted_grads(updates, niter, start_iters)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (total, terms)
 
@@ -308,14 +316,25 @@ def recon_loop(
         import inspect
 
         cb_takes_opt = "opt_state" in inspect.signature(callback).parameters
-    if train_epoch is not None:
-        idx_dev = jnp.asarray(batch_idx)
-        mask_dev = jnp.asarray(batch_mask)
+    batch_idx = np.asarray(batch_idx)
+    batch_mask = np.asarray(batch_mask)
+
+    def put_iter_batches(niter):
+        # the reference shuffles the batch ORDER every iteration
+        # (reconstruction.py:1059 shuffle(batches)); here the permutation is
+        # seeded by the iteration so every rank of a multi-process mesh
+        # builds the same order (and runs reproduce)
+        perm = np.random.default_rng(1000003 * niter + 7).permutation(batch_idx.shape[0])
+        idx_dev = jnp.asarray(batch_idx[perm])
+        mask_dev = jnp.asarray(batch_mask[perm])
         if put_batch is not None:
             idx_dev, mask_dev = put_batch(idx_dev, mask_dev)
+        return idx_dev, mask_dev
+
     for niter in range(start_niter, start_niter + n_iter):
         t0 = time.perf_counter()
         if train_epoch is not None:
+            idx_dev, mask_dev = put_iter_batches(niter)
             params, opt_state, total_dev, terms_dev = train_epoch(
                 params, opt_state, idx_dev, mask_dev, jnp.asarray(niter, jnp.int32)
             )
@@ -325,8 +344,9 @@ def recon_loop(
             if constraint_fn is not None:
                 params = constraint_fn(params, buffers, niter)
         else:
+            perm = np.random.default_rng(1000003 * niter + 7).permutation(batch_idx.shape[0])
             params, opt_state, term_avgs = recon_step(
-                train_step, params, opt_state, batch_idx, batch_mask, niter,
+                train_step, params, opt_state, batch_idx[perm], batch_mask[perm], niter,
                 constraint_fn, buffers, put_batch,
             )
             history.batch_terms = dict(recon_step.last_batch_terms)
@@ -545,8 +565,14 @@ class PtyRADSolver:
 
     def reconstruct(self, callback: Optional[Callable] = None):
         n_iter = int(self.recon_params.get("NITER", 100))
-        self.prepare()
-        self._build()
+        if getattr(self, "batch_idx", None) is None:
+            # don't re-prepare if the caller already did (run_reconstruction
+            # plots the grouping figure from prepare()'s batches — a second
+            # unseeded prepare would train on DIFFERENT batches than the
+            # saved diagnostic; the reference runs prepare_recon once)
+            self.prepare()
+        if getattr(self, "train_step", None) is None and getattr(self, "lbfgs_step", None) is None:
+            self._build()
         vprint(
             f"Starting reconstruction: {n_iter} iters, "
             f"{self.batch_idx.shape[0]} batches of {self.batch_idx.shape[1]}, "
@@ -640,9 +666,13 @@ class PtyRADSolver:
             t0 = time.perf_counter()
             params, opt_state, value = self.lbfgs_step(params, opt_state, idx_all, mask_all, niter)
             params = self.constraint_fn(params, self.buffers, niter)
-            jax.block_until_ready(params.obja)
+            # forced device->host fetch BEFORE the timestamp:
+            # block_until_ready can return at enqueue on tunneled backends
+            # (CLAUDE.md), which would make iter_t record dispatch time only
+            value = float(value)
+            np.asarray(params.slice_thickness)
             iter_t = time.perf_counter() - t0
-            history.loss_iters.append((niter, float(value)))
+            history.loss_iters.append((niter, value))
             history.iter_times.append(iter_t)
             history.dz_iters.append((niter, float(params.slice_thickness)))
             history.avg_tilt_iters.append((niter, np.asarray(params.obj_tilts).mean(0)))

@@ -159,6 +159,10 @@ class GridSampler:
                 # put every grid point except the first in the top decade
                 lo, hi = math.log(spec["low"]), math.log(spec["high"])
                 vals = [math.exp(lo + i * (hi - lo) / 9) for i in range(10)]
+                if spec["kind"] == "int":
+                    # round like the linear branch so suggest_int(log=True)
+                    # records the int actually used, deduped (review r4)
+                    vals = sorted({int(round(v)) for v in vals})
                 self._axes[name] = vals
             else:
                 step = spec.get("step") or (spec["high"] - spec["low"]) / 9

@@ -34,7 +34,9 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
         recon_dir_affixes=recon_params.get("recon_dir_affixes"),
     )
     vprint(f"Output folder: {output_path}", verbose=verbose)
-    if recon_params.get("copy_params", True):
+    import jax as _jax
+
+    if recon_params.get("copy_params", True) and _jax.process_index() == 0:
         copy_params_to_dir(params.get("params_path"), output_path)
     if logger is not None:
         logger.flush_to_dir(output_path)
@@ -62,8 +64,12 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
 
         # opt_state comes from the LOOP, not the solver attribute: the jitted
         # steps donate their inputs, so solver.opt_state is a deleted buffer
-        # while the loop runs (and stale on CPU where donation is a no-op)
-        if save_iters and niter % save_iters == 0 and jax.process_index() == 0:
+        # while the loop runs (and stale on CPU where donation is a no-op).
+        # Multi-process: save_results/plot_summary run on EVERY rank (their
+        # jit dispatches over process-spanning arrays are collective);
+        # save_results gates file writes internally, plot_summary via
+        # save_fig — rank-0-only file output either way.
+        if save_iters and niter % save_iters == 0:
             save_results(
                 output_path, cur_params, solver.buffers, solver.geom, params,
                 opt_state, history, niter, solver.indices,
@@ -79,26 +85,25 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
                         output_path, cur_params, solver.buffers, solver.geom,
                         history, niter, solver.indices, selected_figs=selected,
                         init_variables=getattr(solver, "init_variables", None),
+                        save_fig=jax.process_index() == 0,
                     )
                 except Exception as e:  # noqa: BLE001 — plotting must never kill a run
                     vprint(f"WARNING: plot_summary failed at iter {niter}: {e}")
 
     solver.run(callback=callback)
 
-    # final save
-    import jax
+    # final save — all ranks participate (collective compute inside); writes
+    # are rank-0-gated inside save_results / save_opt_state
+    n_final = len(solver.history.loss_iters)
+    save_results(
+        output_path, solver.params, solver.buffers, solver.geom, params,
+        solver.opt_state, solver.history, n_final, solver.indices,
+        lr_dict=getattr(solver, "lr_dict", None),
+        start_dict=getattr(solver, "start_dict", None),
+    )
+    if "optim_state" in (recon_params.get("save_result") or []):
+        from ptyrad_tpu.optim import save_opt_state
 
-    if jax.process_index() == 0:
-        n_final = len(solver.history.loss_iters)
-        save_results(
-            output_path, solver.params, solver.buffers, solver.geom, params,
-            solver.opt_state, solver.history, n_final, solver.indices,
-            lr_dict=getattr(solver, "lr_dict", None),
-            start_dict=getattr(solver, "start_dict", None),
-        )
-        if "optim_state" in (recon_params.get("save_result") or []):
-            from ptyrad_tpu.optim import save_opt_state
-
-            save_opt_state(solver.opt_state, os.path.join(output_path, "optim_state"))
+        save_opt_state(solver.opt_state, os.path.join(output_path, "optim_state"))
     solver.output_path = output_path
     return solver

@@ -90,6 +90,33 @@ def parse_update_params(update_params: Optional[dict]):
     return lr, start
 
 
+def _translate_configs(name: str, configs: dict, ctor) -> dict:
+    """Map torch-named optimizer kwargs (the reference's configs contract —
+    'see pytorch docs for configs', reference yml) onto the optax
+    constructor, dropping unsupported keys with a warning instead of a
+    TypeError at build time."""
+    import inspect
+
+    from ptyrad_tpu.utils.logging import vprint
+
+    out = dict(configs)
+    if "betas" in out:
+        b = out.pop("betas")
+        out.setdefault("b1", float(b[0]))
+        out.setdefault("b2", float(b[1]))
+    if "lr" in out:
+        out.setdefault("learning_rate", out.pop("lr"))
+    if "history_size" in out:  # torch LBFGS
+        out.setdefault("memory_size", int(out.pop("history_size")))
+    sig = inspect.signature(ctor).parameters
+    dropped = [k for k in out if k not in sig]
+    for k in dropped:
+        vprint(f"WARNING: optimizer '{name}' does not support config '{k}' "
+               f"(torch-only or renamed); ignoring it.")
+        out.pop(k)
+    return out
+
+
 def create_optimizer(
     optimizer_params: Optional[dict],
     update_params: Optional[dict],
@@ -111,11 +138,13 @@ def create_optimizer(
     lr_dict, start_dict = parse_update_params(update_params)
 
     if name in ("LBFGS", "lbfgs"):
-        # LBFGS has a single global learning rate: the minimum nonzero lr
-        # (reference reconstruction.py:348-352)
+        # LBFGS has a single global learning rate: the minimum nonzero lr,
+        # FORCED over any user 'lr' config like the reference
+        # (reconstruction.py:348-352 overrides configs['lr'])
         nonzero = [v for v in lr_dict.values() if v != 0]
         global_lr = min(nonzero) if nonzero else 1.0
-        configs.setdefault("learning_rate", global_lr)
+        configs = _translate_configs(name, configs, ctor)
+        configs["learning_rate"] = global_lr
         tx = ctor(**configs)
         zero_mask = _label_tree(params)
         tx = optax.chain(
@@ -124,6 +153,8 @@ def create_optimizer(
             tx,
         )
     else:
+        configs = _translate_configs(name, configs, ctor)
+        configs.pop("learning_rate", None)  # per-tensor lrs own this
         transforms: Dict[str, Any] = {}
         for pname in PARAM_NAMES:
             if lr_dict[pname] == 0:
@@ -205,8 +236,19 @@ def save_opt_state(opt_state, path: str) -> None:
     """
     import os
 
+    import jax
+    import numpy as np
     import orbax.checkpoint as ocp
 
+    # host-convert on EVERY process (np.asarray of replicated global arrays
+    # is process-local), then only rank 0 runs the checkpointer — a rank-0
+    # orbax save over process-spanning device arrays would deadlock
+    opt_state = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") and hasattr(x, "dtype") else x,
+        opt_state,
+    )
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, opt_state, force=True)

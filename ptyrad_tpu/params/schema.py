@@ -601,7 +601,8 @@ class HypertuneParams(BaseModel):
     n_trials: int = Field(default=50, ge=1)
     timeout: Optional[int] = None
     error_metric: Literal["loss", "contrast"] = "loss"
-    storage_path: str = "hypertune.db"
+    # None = in-memory study (reference passes storage=None to optuna)
+    storage_path: Optional[str] = "hypertune.db"
     study_name: str = "ptyrad_hypertune"
     tune_params: TuneParams = Field(default_factory=TuneParams)
 

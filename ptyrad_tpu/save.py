@@ -407,6 +407,31 @@ def save_results(
     save_list = recon_params.get("save_result") or ["model", "obj", "probe"]
     modes = {**DEFAULT_RESULT_MODES, **(recon_params.get("result_modes") or {})}
     iter_str = "_iter" + str(niter).zfill(4)
+
+    prop_amp = None
+    if "probe_prop" in save_list:
+        # COLLECTIVE on a process-spanning mesh: the jit dispatch must run on
+        # every process (computation follows the global arrays' sharding), so
+        # it happens BEFORE the rank-0 write gate below. Jitted (cached per
+        # geometry): eagerly-traced jnp ops each cost a remote compile on
+        # tunneled backends, and this output is optional.
+        import jax
+        import jax.numpy as jnp
+
+        global _PROP_PROBE_JIT
+        if _PROP_PROBE_JIT is None:
+            _PROP_PROBE_JIT = jax.jit(propagated_probe, static_argnums=(2,))
+        pp = _PROP_PROBE_JIT(params, buffers, geom, jnp.asarray(indices[:1]))
+        pp_np = cplx_to_numpy(pp)  # (Z, pmode, Y, X)
+        prop_amp = np.abs(
+            np.transpose(pp_np, (0, 2, 1, 3)).reshape(pp_np.shape[0], pp_np.shape[2], -1)
+        )
+
+    import jax as _jax
+
+    if _jax.process_count() > 1 and _jax.process_index() != 0:
+        return  # collective work done; only rank 0 touches the filesystem
+
     os.makedirs(output_path, exist_ok=True)
 
     if "model" in save_list:
@@ -422,22 +447,6 @@ def save_results(
     objp = np.asarray(params.objp)
     obja = np.asarray(params.obja)
     omode, zslice = objp.shape[0], objp.shape[1]
-
-    prop_amp = None
-    if "probe_prop" in save_list:
-        # jitted (cached per geometry): eagerly-traced jnp ops each cost a
-        # remote compile on tunneled backends, and this output is optional
-        import jax
-        import jax.numpy as jnp
-
-        global _PROP_PROBE_JIT
-        if _PROP_PROBE_JIT is None:
-            _PROP_PROBE_JIT = jax.jit(propagated_probe, static_argnums=(2,))
-        pp = _PROP_PROBE_JIT(params, buffers, geom, jnp.asarray(indices[:1]))
-        pp_np = cplx_to_numpy(pp)  # (Z, pmode, Y, X)
-        prop_amp = np.abs(
-            np.transpose(pp_np, (0, 2, 1, 3)).reshape(pp_np.shape[0], pp_np.shape[2], -1)
-        )
 
     pos = np.asarray(buffers.crop_pos)[np.asarray(indices)] + np.array(geom.probe_shape) // 2
     y0, y1 = pos[:, 0].min(), pos[:, 0].max()

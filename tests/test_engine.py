@@ -198,6 +198,93 @@ class TestOptim:
         with pytest.raises(ValueError):
             create_optimizer({"name": "Bogus"}, {}, params)
 
+    def test_torch_named_configs_translate(self, rng):
+        """Reference params files carry torch.optim kwargs ('see pytorch docs
+        for configs', reference demo ymls): betas must map to b1/b2, torch-only
+        keys must be dropped with a warning — not TypeError at build time."""
+        init, _ = make_synthetic(rng)
+        params, _, _ = make_model(init)
+        tx, state, _, _ = create_optimizer(
+            {"name": "Adam",
+             "configs": {"betas": [0.5, 0.9], "eps": 1e-7, "amsgrad": True}},
+            {"objp": {"lr": 1e-2, "start_iter": 1}}, params,
+        )
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        assert np.isfinite(float(jnp.abs(updates.objp).max()))
+
+    def test_lbfgs_torch_configs_build(self, rng):
+        """LBFGS with the reference's torch configs (lr, history_size,
+        max_iter) builds: lr is FORCED to the min nonzero per-tensor lr like
+        the reference (reconstruction.py:348-352), history_size maps to
+        memory_size, max_iter (torch-only) is dropped."""
+        init, _ = make_synthetic(rng)
+        params, _, _ = make_model(init)
+        tx, state, lr_dict, _ = create_optimizer(
+            {"name": "LBFGS",
+             "configs": {"lr": 123.0, "history_size": 7, "max_iter": 4}},
+            {"objp": {"lr": 1e-2, "start_iter": 1}}, params,
+        )
+        assert lr_dict["objp"] == 1e-2
+        assert state is not None
+
+    def test_adamw_decay_respects_start_iter(self, rng):
+        """Decoupled weight decay (AdamW) emits -lr*wd*param even for zero
+        grads; the train step must mask UPDATES (not just grads) so tensors
+        whose start_iter hasn't arrived stay bit-identical (the reference
+        freezes via requires_grad, skipping them entirely)."""
+        init, _ = make_synthetic(rng)
+        params, buffers, geom = make_model(init)
+        tx, state, _, start = create_optimizer(
+            {"name": "AdamW", "configs": {"weight_decay": 0.5}},
+            {"objp": {"lr": 1e-2, "start_iter": 1},
+             "obja": {"lr": 1e-2, "start_iter": 50}}, params,
+        )
+        train_step, _ = build_train_step(
+            buffers, geom,
+            {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}},
+            tx, start,
+        )
+        obja_before = np.asarray(params.obja).copy()
+        objp_before = np.asarray(params.objp).copy()
+        idx = jnp.arange(12)
+        mask = jnp.ones(12, jnp.float32)
+        params2, *_ = train_step(params, state, idx, mask, jnp.asarray(1, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(params2.obja), obja_before)
+        assert np.abs(np.asarray(params2.objp) - objp_before).max() > 0  # active one moved
+
+    def test_epoch_batch_order_shuffles_per_iteration(self, rng):
+        """The reference shuffles batch ORDER every iteration
+        (reconstruction.py:1059 shuffle(batches)); the loop must feed the
+        epoch a different, niter-seeded permutation each iteration —
+        deterministic across reruns (multi-process ranks must agree)."""
+        from ptyrad_tpu.engine.solver import recon_loop
+
+        init, _ = make_synthetic(rng)
+        params, buffers, geom = make_model(init)
+        n_batches, bsz = 6, 6
+        batch_idx = np.arange(36, dtype=np.int32).reshape(n_batches, bsz)
+        batch_mask = np.ones((n_batches, bsz), np.float32)
+
+        def run(n_iter):
+            seen = []
+
+            def spy_epoch(p, s, idx, mask, niter):
+                seen.append(np.asarray(idx).copy())
+                terms = {"loss_single": jnp.full((idx.shape[0],), 0.1, jnp.float32)}
+                return p, s, jnp.asarray(0.1), terms
+
+            recon_loop(None, params, None, batch_idx, batch_mask, n_iter,
+                       None, buffers, verbose=False, train_epoch=spy_epoch)
+            return seen
+
+        seen = run(3)
+        orders = [tuple(b[:, 0]) for b in seen]
+        assert len(set(orders)) > 1  # order changes across iterations
+        for b in seen:  # every batch present exactly once, rows intact
+            assert sorted(b.ravel().tolist()) == list(range(36))
+        assert [o.tolist() for o in run(3)] == [o.tolist() for o in seen]  # reproducible
+
 
 def solver_params(niter=30, lr=5e-3, group="random", batch=12, optimizer="Adam", extra=None):
     d = {

@@ -378,6 +378,26 @@ class TestTunerReviewFixesR3:
         b2 = tuner.create_study("B", db, load_if_exists=False)
         assert len(b2.storage.all_trials()) == 0
 
+    def test_grid_int_log_axis_yields_deduped_ints(self):
+        """suggest_int(log=True) on a grid axis must record the int actually
+        used — rounded and deduped, not raw geometric floats (review r4)."""
+        g = tuner.GridSampler()
+        ax = g._axis("n", {"kind": "int", "low": 1, "high": 64, "log": True})
+        assert all(isinstance(v, int) for v in ax)
+        assert len(set(ax)) == len(ax) and ax == sorted(ax)
+        assert ax[0] == 1 and ax[-1] == 64
+
+    def test_storage_path_none_means_in_memory(self):
+        """schema allows storage_path: null (reference passes storage=None to
+        optuna for an in-memory study); the builtin engine and the optuna
+        branch must both accept it (review r4)."""
+        from ptyrad_tpu.params.schema import HypertuneParams
+
+        hp = HypertuneParams(storage_path=None)
+        assert hp.storage_path is None
+        study = tuner.create_study("mem", None)
+        assert study.storage.path is None
+
     def test_log_space_low_zero_rejected(self):
         study = tuner.Study(sampler=tuner.RandomSampler(seed=0))
         trial = tuner.Trial(study, study.storage.create_trial())

@@ -122,7 +122,8 @@ class TestMeasExport:
         assert main(["export-meas-init", "--params_path", ppath]) == 0
         files = os.listdir(tmp_path / "exported")
         assert any(f.endswith(".hdf5") for f in files)
-        exported = load_hdf5(str(tmp_path / "exported" / files[0]), key="data")
+        # dataset name 'meas' is the export contract (reference save.py:32)
+        exported = load_hdf5(str(tmp_path / "exported" / files[0]), key="meas")
         assert exported.shape == (16, 32, 32)
 
 
