@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 from collections import Counter
-from copy import deepcopy
 from math import floor
 from typing import Optional
 
@@ -181,10 +180,13 @@ class Initializer:
                 raise KeyError(f"'path' is required in meas_params for source '{source}'")
             ext = os.path.splitext(params["path"])[1].lower()
             if ext == ".raw" and params.get("shape") is None:
+                # ORIGINAL config, not the working copy: crop/resample stages
+                # overwrite the working pos_N_scans/meas_Npix, and a staged
+                # re-run must still read the file at its on-disk geometry
                 params["shape"] = (
-                    self.init_params["pos_N_scans"],
-                    self.init_params["meas_Npix"],
-                    self.init_params["meas_Npix"],
+                    self.init_params_original["pos_N_scans"],
+                    self.init_params_original["meas_Npix"],
+                    self.init_params_original["meas_Npix"],
                 )
             meas = load_array_from_file(**params)
         else:

@@ -278,7 +278,12 @@ def load_params(file_path: str, validate: bool = True) -> dict:
         with open(file_path, "r", encoding="utf-8") as f:
             params = yaml.safe_load(f)
     elif ext == ".toml":
-        import tomllib
+        try:
+            import tomllib  # 3.11+
+        except ModuleNotFoundError:
+            # requires-python is >=3.10; tomllib landed in 3.11 (the
+            # reference falls back the same way, load.py:560)
+            import tomli as tomllib
 
         with open(file_path, "r", encoding="utf-8") as f:
             params = tomllib.loads(f.read())

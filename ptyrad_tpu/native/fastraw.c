@@ -11,7 +11,7 @@
  * multi-GB stacks 4D-STEM produces.
  *
  * Exposed as ptyrad_tpu.native.fastraw.read_frames(path, n, h, w, itemsize,
- * offset, gap, nthreads) -> bytes; the Python wrapper wraps it in an ndarray.
+ * offset, gap, nthreads) -> bytearray; the Python wrapper wraps it in an ndarray.
  */
 
 #define PY_SSIZE_T_CLEAN
@@ -64,10 +64,13 @@ static PyObject *read_frames(PyObject *self, PyObject *args)
     int64_t frame_bytes = (int64_t)h * w * itemsize;
     int64_t total = frame_bytes * n;
 
-    PyObject *out = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)total);
+    /* bytearray, not bytes: np.frombuffer over a mutable buffer yields a
+     * WRITABLE array, matching the NumPy fallback path (callers mutate
+     * measurements in place, e.g. clipping negatives) */
+    PyObject *out = PyByteArray_FromStringAndSize(NULL, (Py_ssize_t)total);
     if (!out)
         return NULL;
-    char *dst = PyBytes_AS_STRING(out);
+    char *dst = PyByteArray_AS_STRING(out);
 
     int fd = open(path, O_RDONLY);
     if (fd < 0) {
@@ -133,7 +136,7 @@ static PyObject *read_frames(PyObject *self, PyObject *args)
 
 static PyMethodDef methods[] = {
     {"read_frames", read_frames, METH_VARARGS,
-     "read_frames(path, n, h, w, itemsize, offset, gap, nthreads) -> bytes"},
+     "read_frames(path, n, h, w, itemsize, offset, gap, nthreads) -> bytearray"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -216,6 +216,39 @@ class TestRoundtripIO:
         loaded = load_raw(path, (4, 8, 8), gap=gap)
         np.testing.assert_array_equal(loaded, data)
 
+    def test_raw_loads_writable(self, rng, tmp_path):
+        """Both raw paths (C fastraw and the NumPy fallback) must return a
+        WRITABLE array — callers clip measurements in place (review r4; the
+        C path used to wrap immutable bytes)."""
+        data = rng.standard_normal((4, 8, 8)).astype(np.float32)
+        path = str(tmp_path / "w.raw")
+        with open(path, "wb") as f:
+            f.write(data.tobytes())
+        loaded = load_raw(path, (4, 8, 8), gap=0)
+        assert loaded.flags.writeable
+        loaded[loaded < 0] = 0  # must not raise
+
+    def test_raw_meas_reruns_after_crop(self, rng, tmp_path):
+        """Staged re-init: meas_crop overwrites the working pos_N_scans /
+        meas_Npix; a second init_measurements must still derive the default
+        .raw shape from the ON-DISK geometry (review r4)."""
+        data = (rng.random((16, 8, 8)) + 0.1).astype(np.float32)
+        path = str(tmp_path / "m.raw")
+        with open(path, "wb") as f:
+            f.write(data.tobytes())
+        p = base_init_params(
+            rng, meas_source="raw", meas_params={"path": path, "gap": 0},
+        )
+        p["pos_N_scan_slow"] = p["pos_N_scan_fast"] = 4
+        p["pos_N_scans"] = 16
+        p["meas_Npix"] = 8
+        p["meas_crop"] = [[0, 2], [0, 2], None, None]
+        init = Initializer(p, verbose=False)
+        init.init_measurements()
+        first = init.init_variables["measurements"].copy()
+        init.init_measurements()  # re-run must reload at on-disk shape
+        np.testing.assert_array_equal(init.init_variables["measurements"], first)
+
     def test_raw_size_mismatch(self, rng, tmp_path):
         path = str(tmp_path / "bad.raw")
         with open(path, "wb") as f:
