@@ -114,7 +114,9 @@ class Geometry:
     # Fused Pallas multislice kernel (ops/pallas_multislice.py): 2.4x the XLA
     # path on TPU at bit-equal loss. Default ON; forward() falls back to the
     # jnp path automatically off-TPU or when shapes leave the supported
-    # regime (omode>1, shifted probes, per-position H, non-square patches).
+    # regime (see pallas_multislice.fused_applicable_shapes — omode>1 runs a
+    # per-mode kernel loop, shifted probes go through probe_kspace, and
+    # per-position H uses h_b batching, so those all STAY on the kernel).
     fwd_fused: bool = True
 
     @property
@@ -126,8 +128,13 @@ class Geometry:
         """Shape of the forward diffraction pattern after pad/resample."""
         shape = self.meas_padded_shape if self.meas_pad_idx is not None else self.probe_shape
         if self.meas_scale_factors is not None:
+            import math
+
             sy, sx = self.meas_scale_factors
-            shape = (int(round(shape[0] * sy)), int(round(shape[1] * sx)))
+            # floor, matching torch F.interpolate(scale_factor=..) and the
+            # initializer's meas_resample (round disagrees by one pixel for
+            # fractional parts >= .5, desyncing dp and probe grids)
+            shape = (int(math.floor(shape[0] * sy)), int(math.floor(shape[1] * sx)))
         return shape
 
 

@@ -59,6 +59,19 @@ def cpass(fr, fi, frpi, xr, xi, dt):
     return t1 - t2, t3 - t1 - t2
 
 
+def dft2_dense(xr, xi, mats, dt, scale=None):
+    """2D DFT of (M, N, N) pairs with a dense (fr, fi, fr+fi) triple: two
+    contract-dim--2 cpass applications; orientation is standard after the
+    second pass. The radix-split variant (pallas_chain._dft2) must keep this
+    two-pass / trailing-scale contract — change both together."""
+    fr, fi, frpi = mats
+    xr, xi = cpass(fr, fi, frpi, xr, xi, dt)
+    xr, xi = cpass(fr, fi, frpi, xr, xi, dt)
+    if scale is not None:
+        xr, xi = xr * scale, xi * scale
+    return xr, xi
+
+
 def load_h(hr_ref, hi_ref, h_shared):
     """Propagator block load: (N, N) when shared, (blk, N, N) per-position."""
     if h_shared:

