@@ -28,14 +28,17 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
     solver = PtyRADSolver(params, mesh=mesh, logger=logger, verbose=verbose)
     solver.prepare()
 
+    import jax as _jax
+
     output_dir = recon_params.get("output_dir", "output/")
+    # non-zero ranks compose the name but never mkdir: with prefix_time a
+    # clock tick between ranks could yield a second (empty) directory
     output_path = make_output_folder(
         output_dir, solver.indices, params, solver.params, solver.geom,
         recon_dir_affixes=recon_params.get("recon_dir_affixes"),
+        make_dir=_jax.process_index() == 0,
     )
     vprint(f"Output folder: {output_path}", verbose=verbose)
-    import jax as _jax
-
     if recon_params.get("copy_params", True) and _jax.process_index() == 0:
         copy_params_to_dir(params.get("params_path"), output_path)
     if logger is not None:
@@ -43,7 +46,7 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
 
     # position-grouping figure at preparation time (reference
     # prepare_recon -> plot_pos_grouping, reconstruction.py:430-437)
-    if "group" in (recon_params.get("selected_figs") or []):
+    if "group" in (recon_params.get("selected_figs") or []) and _jax.process_index() == 0:
         try:
             import matplotlib.pyplot as plt
 

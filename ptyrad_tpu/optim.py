@@ -240,15 +240,16 @@ def save_opt_state(opt_state, path: str) -> None:
     import numpy as np
     import orbax.checkpoint as ocp
 
-    # host-convert on EVERY process (np.asarray of replicated global arrays
-    # is process-local), then only rank 0 runs the checkpointer — a rank-0
-    # orbax save over process-spanning device arrays would deadlock
+    # host-convert on EVERY process (np.asarray of REPLICATED global arrays
+    # is process-local; opt_state is replicated by design), then EVERY
+    # process calls the checkpointer with the same path: orbax's save is
+    # itself a multi-process collective (sync_global_processes barriers), so
+    # a rank-0-only call would desync the barrier — orbax writes from the
+    # primary host and coordinates the rest internally
     opt_state = jax.tree_util.tree_map(
         lambda x: np.asarray(x) if hasattr(x, "shape") and hasattr(x, "dtype") else x,
         opt_state,
     )
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        return
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, opt_state, force=True)

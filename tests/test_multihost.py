@@ -94,6 +94,19 @@ total = float(solver.history.loss_iters[-1][1])
 objp_sum = float(jnp.sum(jnp.abs(solver.params.objp)))
 print(f"MHOK rank={rank} loss={total:.9f} objp={objp_sum:.9f}", flush=True)
 
+# the production save path, called on EVERY rank (workflow.py contract):
+# device math incl. the probe_prop jit dispatch is collective over the
+# process-spanning arrays; file writes must come out rank-0-only
+from ptyrad_tpu.save import save_results
+from ptyrad_tpu.optim import save_opt_state
+
+cfg["recon_params"]["save_result"] = ["model", "obj", "probe", "probe_prop"]
+save_dir = os.path.join(outdir, "save_test")
+save_results(save_dir, solver.params, solver.buffers, solver.geom, cfg,
+             solver.opt_state, solver.history, 2, solver.indices)
+# SAME path from every rank — orbax's save is a cross-process collective
+save_opt_state(solver.opt_state, os.path.join(save_dir, "optim_state"))
+
 # rank-0-only side effect (the saving contract): exactly one rank writes
 if jax.process_index() == 0:
     with open(os.path.join(outdir, f"rank0_save.txt"), "w") as f:
@@ -151,3 +164,9 @@ def test_two_process_multihost_epoch(tmp_path):
     # rank-0-only saving: the file exists and was written exactly once
     saved = (tmp_path / "rank0_save.txt").read_text()
     assert float(saved) == pytest.approx(vals[0][0], rel=1e-6)
+
+    # production save path on the mesh: checkpoint written (by rank 0),
+    # and the all-ranks save_opt_state gated its write to rank 0 only
+    save_dir = tmp_path / "save_test"
+    assert (save_dir / "model_iter0002.hdf5").exists(), os.listdir(save_dir)
+    assert (save_dir / "optim_state").exists()
