@@ -219,15 +219,25 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
     # (reference reuses its production step the same way,
     # reconstruction.py:1057-1081)
     train_epoch = solver.train_epoch
-    idx_dev = jnp.asarray(solver.batch_idx)
-    mask_dev = jnp.asarray(solver.batch_mask)
-    if solver._put_batch is not None:
-        idx_dev, mask_dev = solver._put_batch(idx_dev, mask_dev)
+    from ptyrad_tpu.engine.solver import iter_batch_perm
+
+    batch_idx_np = np.asarray(solver.batch_idx)
+    batch_mask_np = np.asarray(solver.batch_mask)
+
+    def put_iter(niter):
+        # same per-iteration batch-order shuffle as recon_loop — trials must
+        # see the training dynamics of the production run they predict
+        perm = iter_batch_perm(niter, batch_idx_np.shape[0])
+        idx, msk = batch_idx_np[perm], batch_mask_np[perm]
+        if solver._put_batch is not None:
+            return solver._put_batch(idx, msk)
+        return jnp.asarray(idx), jnp.asarray(msk)
 
     error = None
     pruned = False
     for niter in range(1, n_iter + 1):
         t0 = _time.perf_counter()
+        idx_dev, mask_dev = put_iter(niter)
         if train_epoch is not None:
             solver.params, solver.opt_state, _total_dev, terms_dev = train_epoch(
                 solver.params, solver.opt_state, idx_dev, mask_dev,

@@ -284,6 +284,15 @@ def recon_step(
     return params, opt_state, term_avgs
 
 
+def iter_batch_perm(niter: int, n_batches: int) -> np.ndarray:
+    """Per-iteration batch-order permutation (the reference shuffles the
+    batch ORDER every iteration, reconstruction.py:1059 shuffle(batches)).
+    Seeded by the iteration so every rank of a multi-process mesh builds the
+    same order, runs reproduce, and hypertune trials see the same dynamics
+    as production (engine/hypertune uses this too)."""
+    return np.random.default_rng(1000003 * niter + 7).permutation(n_batches)
+
+
 def recon_loop(
     train_step,
     params: PtychoParams,
@@ -320,16 +329,13 @@ def recon_loop(
     batch_mask = np.asarray(batch_mask)
 
     def put_iter_batches(niter):
-        # the reference shuffles the batch ORDER every iteration
-        # (reconstruction.py:1059 shuffle(batches)); here the permutation is
-        # seeded by the iteration so every rank of a multi-process mesh
-        # builds the same order (and runs reproduce)
-        perm = np.random.default_rng(1000003 * niter + 7).permutation(batch_idx.shape[0])
-        idx_dev = jnp.asarray(batch_idx[perm])
-        mask_dev = jnp.asarray(batch_mask[perm])
+        perm = iter_batch_perm(niter, batch_idx.shape[0])
+        idx, msk = batch_idx[perm], batch_mask[perm]
         if put_batch is not None:
-            idx_dev, mask_dev = put_batch(idx_dev, mask_dev)
-        return idx_dev, mask_dev
+            # numpy straight into put_batch/put_global — jnp.asarray first
+            # would be a wasted host->device->host roundtrip per iteration
+            return put_batch(idx, msk)
+        return jnp.asarray(idx), jnp.asarray(msk)
 
     for niter in range(start_niter, start_niter + n_iter):
         t0 = time.perf_counter()
@@ -344,7 +350,7 @@ def recon_loop(
             if constraint_fn is not None:
                 params = constraint_fn(params, buffers, niter)
         else:
-            perm = np.random.default_rng(1000003 * niter + 7).permutation(batch_idx.shape[0])
+            perm = iter_batch_perm(niter, batch_idx.shape[0])
             params, opt_state, term_avgs = recon_step(
                 train_step, params, opt_state, batch_idx[perm], batch_mask[perm], niter,
                 constraint_fn, buffers, put_batch,

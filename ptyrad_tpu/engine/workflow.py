@@ -38,6 +38,13 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
         recon_dir_affixes=recon_params.get("recon_dir_affixes"),
         make_dir=_jax.process_index() == 0,
     )
+    if _jax.process_count() > 1:
+        # with prefix_time the ranks can compose names a clock-tick apart;
+        # everyone must adopt rank 0's (orbax saves take the path from every
+        # rank and it must match)
+        from ptyrad_tpu.parallel.mesh import broadcast_str
+
+        output_path = broadcast_str(output_path)
     vprint(f"Output folder: {output_path}", verbose=verbose)
     if recon_params.get("copy_params", True) and _jax.process_index() == 0:
         copy_params_to_dir(params.get("params_path"), output_path)

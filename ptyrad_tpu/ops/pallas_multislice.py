@@ -56,7 +56,6 @@ from jax.sharding import PartitionSpec as P
 from ptyrad_tpu.ops.fourier import _dft_consts
 from ptyrad_tpu.ops.kernel_util import (
     compiler_params as _compiler_params,
-    cpass as _cpass,
     dft2_dense as _dft2,
     gemm_dtype as _gemm_dtype,
     hmul as _hmul,

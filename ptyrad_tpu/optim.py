@@ -90,7 +90,7 @@ def parse_update_params(update_params: Optional[dict]):
     return lr, start
 
 
-def _translate_configs(name: str, configs: dict, ctor) -> dict:
+def _translate_configs(name: str, configs: dict, ctor):
     """Map torch-named optimizer kwargs (the reference's configs contract —
     'see pytorch docs for configs', reference yml) onto the optax
     constructor, dropping unsupported keys with a warning instead of a
@@ -109,12 +109,25 @@ def _translate_configs(name: str, configs: dict, ctor) -> dict:
     if "history_size" in out:  # torch LBFGS
         out.setdefault("memory_size", int(out.pop("history_size")))
     sig = inspect.signature(ctor).parameters
+    if "weight_decay" in out and "weight_decay" not in sig:
+        # torch couples L2 into the gradient BEFORE moment estimation
+        # (grad += wd*param) for Adam/SGD/RMSprop/...; optax expresses that
+        # as add_decayed_weights chained ahead of the inner transform —
+        # dropping it would silently un-regularize reference configs
+        wd = float(out.pop("weight_decay"))
+        if wd:
+            inner = ctor
+
+            def ctor(**kw):  # noqa: A001 — deliberate shadow, see above
+                return optax.chain(optax.add_decayed_weights(wd), inner(**kw))
+
+            sig = inspect.signature(inner).parameters
     dropped = [k for k in out if k not in sig]
     for k in dropped:
         vprint(f"WARNING: optimizer '{name}' does not support config '{k}' "
                f"(torch-only or renamed); ignoring it.")
         out.pop(k)
-    return out
+    return ctor, out
 
 
 def create_optimizer(
@@ -143,7 +156,7 @@ def create_optimizer(
         # (reconstruction.py:348-352 overrides configs['lr'])
         nonzero = [v for v in lr_dict.values() if v != 0]
         global_lr = min(nonzero) if nonzero else 1.0
-        configs = _translate_configs(name, configs, ctor)
+        ctor, configs = _translate_configs(name, configs, ctor)
         configs["learning_rate"] = global_lr
         tx = ctor(**configs)
         zero_mask = _label_tree(params)
@@ -153,7 +166,7 @@ def create_optimizer(
             tx,
         )
     else:
-        configs = _translate_configs(name, configs, ctor)
+        ctor, configs = _translate_configs(name, configs, ctor)
         configs.pop("learning_rate", None)  # per-tensor lrs own this
         transforms: Dict[str, Any] = {}
         for pname in PARAM_NAMES:

@@ -68,6 +68,24 @@ def put_global(x, sharding: NamedSharding):
     return jax.tree_util.tree_map(leaf, x)
 
 
+def broadcast_str(s: str, max_len: int = 512) -> str:
+    """Rank-0's string to every process (identity single-process).
+
+    Multi-process runs must agree on host-side names that are NOT
+    deterministic across ranks — e.g. a prefix_time output folder composed
+    a clock-tick apart — before using them in collective file contracts
+    (orbax saves require every rank to pass the same path)."""
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.uint8)
+    raw = s.encode()[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out).rstrip(b"\x00").decode()
+
+
 def shard_model(
     params: PtychoParams,
     buffers: Buffers,

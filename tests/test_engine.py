@@ -228,6 +228,25 @@ class TestOptim:
         assert lr_dict["objp"] == 1e-2
         assert state is not None
 
+    def test_adam_weight_decay_couples_like_torch(self, rng):
+        """torch Adam's weight_decay is COUPLED L2 (grad += wd*param before
+        moment estimation); optax.adam has no such kwarg, so the translation
+        must chain add_decayed_weights instead of silently dropping the
+        regularization a reference config asks for (review r4)."""
+        init, _ = make_synthetic(rng)
+        params, _, _ = make_model(init)
+        upd = {"obja": {"lr": 1e-2, "start_iter": 1}}  # obja starts at 1.0
+        tx_wd, st_wd, _, _ = create_optimizer(
+            {"name": "Adam", "configs": {"weight_decay": 0.5}}, upd, params)
+        tx0, st0, _, _ = create_optimizer({"name": "Adam"}, upd, params)
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        u_wd, _ = tx_wd.update(grads, st_wd, params)
+        u0, _ = tx0.update(grads, st0, params)
+        # zero grads: decay-coupled Adam normalizes wd*param to a full step,
+        # plain Adam moves nothing
+        assert float(jnp.abs(u0.obja).max()) == 0.0
+        assert float(jnp.abs(u_wd.obja).max()) > 0.0
+
     def test_adamw_decay_respects_start_iter(self, rng):
         """Decoupled weight decay (AdamW) emits -lr*wd*param even for zero
         grads; the train step must mask UPDATES (not just grads) so tensors

@@ -107,6 +107,11 @@ save_results(save_dir, solver.params, solver.buffers, solver.geom, cfg,
 # SAME path from every rank — orbax's save is a cross-process collective
 save_opt_state(solver.opt_state, os.path.join(save_dir, "optim_state"))
 
+# rank-divergent host strings (e.g. prefix_time folder names) adopt rank 0's
+from ptyrad_tpu.parallel.mesh import broadcast_str
+agreed = broadcast_str(f"folder_rank{rank}")
+assert agreed == "folder_rank0", agreed
+
 # rank-0-only side effect (the saving contract): exactly one rank writes
 if jax.process_index() == 0:
     with open(os.path.join(outdir, f"rank0_save.txt"), "w") as f:
