@@ -309,6 +309,10 @@ def get_measurements(buffers: Buffers, geom: Geometry, indices: jnp.ndarray) -> 
     materializes in HBM.
     """
     meas = buffers.measurements[indices]
+    if meas.dtype != jnp.float32:
+        # reduced-precision storage (meas_dtype): upcast the BATCH only —
+        # XLA fuses the convert into the gather's consumers
+        meas = meas.astype(jnp.float32)
     if geom.meas_pad_idx is not None:
         h1, h2, w1, w2 = geom.meas_pad_idx
         canvas = jnp.broadcast_to(

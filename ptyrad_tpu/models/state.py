@@ -69,7 +69,9 @@ class Buffers:
     """
 
     H: Cplx                    # (Ny, Nx) Cplx base ASM propagator (corner-centered)
-    measurements: jax.Array    # (N, Ky, Kx) float32 diffraction data
+    measurements: jax.Array    # (N, Ky, Kx) diffraction data (f32, or
+    #                            bf16/f16 storage via meas_dtype — upcast at
+    #                            the per-batch gather)
     crop_pos: jax.Array        # (N, 2) int32 top-left patch corners
     omode_occu: jax.Array      # (omode,) float32, sums to 1
     Ky: jax.Array              # (Ny, Nx) float32 angular k-grid (corner layout)
@@ -160,14 +162,28 @@ def make_model(init_variables: dict, model_params: Optional[dict] = None):
     shifts = np.asarray(init_variables["probe_pos_shifts"], dtype=np.float32)
     dz = float(np.asarray(init_variables["slice_thickness"]))
     meas_in = init_variables["measurements"]
-    if isinstance(meas_in, jax.Array) and meas_in.dtype == jnp.float32:
-        # already on device (e.g. simulated there): keep it — np.asarray
-        # would round-trip the whole store through the host, which on
-        # tunneled backends costs minutes per GB. Only shapes are read
-        # below; jnp.asarray(meas) is then a no-op.
+    # Storage dtype of the measurement store (schema meas_dtype): the
+    # dataset dominates HBM at production scale; bf16/f16 storage halves it
+    # (patterns upcast to f32 at the per-batch gather, forward.py)
+    meas_dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+               "float16": jnp.float16}[model_params.get("meas_dtype", "float32")]
+    if isinstance(meas_in, jax.Array) and meas_in.dtype == meas_dt:
+        # already on device at the target dtype (e.g. simulated there): keep
+        # it — np.asarray would round-trip the whole store through the host,
+        # which on tunneled backends costs minutes per GB. Only shapes are
+        # read below; jnp.asarray(meas) is then a no-op.
         meas = meas_in
+    elif isinstance(meas_in, jax.Array):
+        # on-device dtype conversion under jit (one tiny program; an eager
+        # astype would also remote-compile but this keeps it explicit)
+        meas = jax.jit(lambda x: x.astype(meas_dt))(meas_in)
     else:
-        meas = np.asarray(meas_in, dtype=np.float32)
+        if meas_dt == jnp.bfloat16:
+            import ml_dtypes  # ships with jax
+
+            meas = np.asarray(meas_in).astype(ml_dtypes.bfloat16)
+        else:
+            meas = np.asarray(meas_in, dtype=meas_dt)  # f32 / f16 are numpy dtypes
     crop_pos = np.asarray(init_variables["crop_pos"], dtype=np.int32)
     omode_occu = np.asarray(init_variables["omode_occu"], dtype=np.float32)
     dx = float(np.asarray(init_variables["dx"]))

@@ -296,6 +296,13 @@ class ModelParams(BaseModel):
     # per-transform error end-to-end — so the default stays f32; the knob
     # exists for bandwidth-bound XLA-path workloads.
     matmul_dtype: Literal["float32", "bfloat16"] = "float32"
+    # Storage dtype of the device-resident measurement store (beyond the
+    # reference, which keeps the whole dataset float32 on one GPU,
+    # models.py:109). The dataset is the dominant HBM resident at production
+    # scale (a 256x256 scan of 128^2 patterns is 4 GB in f32); bfloat16 or
+    # float16 storage halves it. Patterns upcast to f32 at the per-batch
+    # gather (models/forward.get_measurements) so all loss math stays f32.
+    meas_dtype: Literal["float32", "bfloat16", "float16"] = "float32"
 
 
 # ---------------------------------------------------------------------------

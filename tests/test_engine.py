@@ -451,6 +451,43 @@ class TestMixedPrecisionWiring:
         assert params["model_params"]["matmul_dtype"] == "bfloat16"
 
 
+class TestMeasDtype:
+    """Reduced-precision measurement storage (schema meas_dtype): the
+    dataset dominates HBM at production scale; bf16/f16 storage halves it
+    with the loss math still f32 (upcast at the per-batch gather)."""
+
+    def test_bf16_storage_halves_bytes_and_matches_loss(self, rng):
+        init, _ = make_synthetic(rng)
+        p32, b32, g32 = make_model(init)
+        p16, b16, g16 = make_model(init, {"meas_dtype": "bfloat16"})
+        assert b16.measurements.dtype == jnp.bfloat16
+        assert b16.measurements.nbytes * 2 == b32.measurements.nbytes
+        lp = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}}
+        tx, st, _, start = create_optimizer(
+            {"name": "Adam"}, {"objp": {"lr": 1e-2, "start_iter": 1}}, p32)
+        _, ev32 = build_train_step(b32, g32, lp, tx, start)
+        _, ev16 = build_train_step(b16, g16, lp, tx, start)
+        idx, mask = jnp.arange(12), jnp.ones(12, jnp.float32)
+        (t32, _), (t16, _) = ev32(p32, idx, mask), ev16(p16, idx, mask)
+        assert float(t16) == pytest.approx(float(t32), rel=2e-2)
+
+    def test_f16_solver_still_converges(self, rng):
+        init, true_phase = make_synthetic(rng)
+        cfg = solver_params(niter=40)
+        cfg["model_params"]["meas_dtype"] = "float16"
+        solver = PtyRADSolver(cfg, init_variables=init, mesh=None, verbose=False)
+        params, _ = solver.run()
+        assert solver.buffers.measurements.dtype == jnp.float16
+        assert phase_corr(params, true_phase) > 0.8
+
+    def test_schema_accepts_meas_dtype(self):
+        from ptyrad_tpu.params.schema import ModelParams
+
+        assert ModelParams(meas_dtype="bfloat16").meas_dtype == "bfloat16"
+        with pytest.raises(Exception):
+            ModelParams(meas_dtype="int8")
+
+
 class TestSolverEndToEnd:
     def test_reconstruction_converges(self, rng):
         init, true_phase = make_synthetic(rng)
