@@ -219,19 +219,17 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
     # (reference reuses its production step the same way,
     # reconstruction.py:1057-1081)
     train_epoch = solver.train_epoch
-    from ptyrad_tpu.engine.solver import iter_batch_perm
+    from ptyrad_tpu.engine.solver import put_iter_batches
 
     batch_idx_np = np.asarray(solver.batch_idx)
     batch_mask_np = np.asarray(solver.batch_mask)
 
     def put_iter(niter):
-        # same per-iteration batch-order shuffle as recon_loop — trials must
-        # see the training dynamics of the production run they predict
-        perm = iter_batch_perm(niter, batch_idx_np.shape[0])
-        idx, msk = batch_idx_np[perm], batch_mask_np[perm]
-        if solver._put_batch is not None:
-            return solver._put_batch(idx, msk)
-        return jnp.asarray(idx), jnp.asarray(msk)
+        # same per-iteration batch-order shuffle AND transfer path as
+        # recon_loop — trials must see the training dynamics of the
+        # production run they predict
+        return put_iter_batches(niter, batch_idx_np, batch_mask_np,
+                                solver._put_batch)
 
     error = None
     pruned = False

@@ -293,6 +293,21 @@ def iter_batch_perm(niter: int, n_batches: int) -> np.ndarray:
     return np.random.default_rng(1000003 * niter + 7).permutation(n_batches)
 
 
+def put_iter_batches(niter: int, batch_idx: np.ndarray, batch_mask: np.ndarray,
+                     put_batch=None):
+    """Shuffle the batch order for iteration `niter` (iter_batch_perm) and
+    transfer the permuted index/mask arrays to device. Shared by recon_loop
+    and the hypertune trial loop so trials see exactly the production
+    transfer path (sharding spec, dtype handling)."""
+    perm = iter_batch_perm(niter, batch_idx.shape[0])
+    idx, msk = batch_idx[perm], batch_mask[perm]
+    if put_batch is not None:
+        # numpy straight into put_batch/put_global — jnp.asarray first
+        # would be a wasted host->device->host roundtrip per iteration
+        return put_batch(idx, msk)
+    return jnp.asarray(idx), jnp.asarray(msk)
+
+
 def recon_loop(
     train_step,
     params: PtychoParams,
@@ -328,19 +343,11 @@ def recon_loop(
     batch_idx = np.asarray(batch_idx)
     batch_mask = np.asarray(batch_mask)
 
-    def put_iter_batches(niter):
-        perm = iter_batch_perm(niter, batch_idx.shape[0])
-        idx, msk = batch_idx[perm], batch_mask[perm]
-        if put_batch is not None:
-            # numpy straight into put_batch/put_global — jnp.asarray first
-            # would be a wasted host->device->host roundtrip per iteration
-            return put_batch(idx, msk)
-        return jnp.asarray(idx), jnp.asarray(msk)
 
     for niter in range(start_niter, start_niter + n_iter):
         t0 = time.perf_counter()
         if train_epoch is not None:
-            idx_dev, mask_dev = put_iter_batches(niter)
+            idx_dev, mask_dev = put_iter_batches(niter, batch_idx, batch_mask, put_batch)
             params, opt_state, total_dev, terms_dev = train_epoch(
                 params, opt_state, idx_dev, mask_dev, jnp.asarray(niter, jnp.int32)
             )

@@ -15,6 +15,7 @@ view_as_real workaround for NCCL (models.py:103) is subsumed by design.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -140,6 +141,18 @@ class Geometry:
         return shape
 
 
+@functools.partial(jax.jit, static_argnums=1)
+def _convert_meas(x, dtype_name):
+    """Device-side measurement dtype conversion — one cached program per
+    target dtype per process. f16 saturates at its finite max instead of
+    overflowing to inf (which would surface as a NaN loss with no pointer
+    back to meas_dtype); bf16/f32 keep the full f32 exponent range."""
+    dt = jnp.dtype(dtype_name)
+    if dt == jnp.float16:
+        x = jnp.minimum(x, jnp.float32(65504.0))
+    return x.astype(dt)
+
+
 def make_model(init_variables: dict, model_params: Optional[dict] = None):
     """Build (params, buffers, geometry) from an init_variables dict.
 
@@ -174,16 +187,33 @@ def make_model(init_variables: dict, model_params: Optional[dict] = None):
         # read below; jnp.asarray(meas) is then a no-op.
         meas = meas_in
     elif isinstance(meas_in, jax.Array):
-        # on-device dtype conversion under jit (one tiny program; an eager
-        # astype would also remote-compile but this keeps it explicit)
-        meas = jax.jit(lambda x: x.astype(meas_dt))(meas_in)
+        # on-device dtype conversion via a module-level cached jit (one
+        # program per dtype per process — a fresh lambda here would defeat
+        # jit's identity cache and re-pay the remote compile on every
+        # make_model call, e.g. the Mosaic-VMEM fallback's second build)
+        meas = _convert_meas(meas_in, jnp.dtype(meas_dt).name)
     else:
+        meas_np = np.asarray(meas_in)
+        if meas_dt == jnp.float16 and meas_np.size and float(meas_np.max()) > 65504.0:
+            # f16 overflows to inf above 65504 (bf16 keeps f32's exponent
+            # range) — inf poisons the loss as NaN with no pointer back to
+            # meas_dtype, so clip and say so
+            import warnings
+
+            warnings.warn(
+                "meas_dtype='float16': measurement max "
+                f"{float(meas_np.max()):.3g} exceeds float16 range; clipping "
+                "to 65504. Use 'bfloat16' (full f32 exponent range) or "
+                "normalize the measurements.",
+                stacklevel=2,
+            )
+            meas_np = np.minimum(meas_np, np.float32(65504.0))
         if meas_dt == jnp.bfloat16:
             import ml_dtypes  # ships with jax
 
-            meas = np.asarray(meas_in).astype(ml_dtypes.bfloat16)
+            meas = meas_np.astype(ml_dtypes.bfloat16)
         else:
-            meas = np.asarray(meas_in, dtype=meas_dt)  # f32 / f16 are numpy dtypes
+            meas = meas_np.astype(meas_dt)  # f32 / f16 are numpy dtypes
     crop_pos = np.asarray(init_variables["crop_pos"], dtype=np.int32)
     omode_occu = np.asarray(init_variables["omode_occu"], dtype=np.float32)
     dx = float(np.asarray(init_variables["dx"]))

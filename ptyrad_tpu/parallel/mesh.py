@@ -80,7 +80,15 @@ def broadcast_str(s: str, max_len: int = 512) -> str:
     from jax.experimental import multihost_utils
 
     buf = np.zeros(max_len, np.uint8)
-    raw = s.encode()[:max_len]
+    raw = s.encode()
+    if len(raw) > max_len:
+        # silent truncation would make ranks mkdir/save into a path that
+        # differs from the one rank 0 actually created (and could cut a
+        # multibyte char mid-sequence, crashing decode below)
+        raise ValueError(
+            f"broadcast_str: {len(raw)}-byte string exceeds max_len={max_len}; "
+            f"shorten the output folder name (recon_dir_affixes) or raise max_len"
+        )
     buf[: len(raw)] = np.frombuffer(raw, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
     return bytes(out).rstrip(b"\x00").decode()

@@ -487,6 +487,28 @@ class TestMeasDtype:
         with pytest.raises(Exception):
             ModelParams(meas_dtype="int8")
 
+    def test_f16_overflow_clips_with_warning(self, rng):
+        # f16 overflows to inf above 65504 — the store must saturate (and
+        # say so) instead of silently poisoning the loss with inf -> NaN
+        init, _ = make_synthetic(rng)
+        init = dict(init)
+        meas = np.asarray(init["measurements"], np.float32).copy()
+        meas[0, 0, 0] = 1.0e6
+        init["measurements"] = meas
+        with pytest.warns(UserWarning, match="float16 range"):
+            _, b16, _ = make_model(init, {"meas_dtype": "float16"})
+        stored = np.asarray(b16.measurements, np.float32)
+        assert np.isfinite(stored).all()
+        assert stored.max() == pytest.approx(65504.0, rel=1e-3)
+
+    def test_broadcast_str_rejects_overlong(self, monkeypatch):
+        # silent truncation would desynchronize the collective save path
+        from ptyrad_tpu.parallel import mesh as pmesh
+
+        monkeypatch.setattr(pmesh.jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="exceeds max_len"):
+            pmesh.broadcast_str("x" * 600)
+
 
 class TestSolverEndToEnd:
     def test_reconstruction_converges(self, rng):
