@@ -16,10 +16,27 @@ over the 16,384-DP dataset after the loss_simlar optimization (unspecified
 GPU) = 364 DPs/s. vs_baseline uses that number; treat it as indicative, not
 an A100 measurement.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Robustness contract (the tunneled TPU backend is load-noisy and sometimes
+refuses to initialize — see VERDICT r4 item 1):
+  - backend init and the first device transfer retry with bounded backoff;
+  - a COMPLETE JSON result line is printed and flushed as soon as the primary
+    (tBL) leg finishes; later legs append fields and re-print, so the LAST
+    stdout line is always a complete, parseable record even if a later leg
+    hangs or the process is killed;
+  - `device_ms_per_step` is measured from a jax.profiler trace (device-lane
+    time), immune to host/tunnel load noise;
+  - a global watchdog (BENCH_BUDGET_S, default 2100 s) guarantees the process
+    exits 0 with whatever it has.
+
+Prints ONE-or-more JSON lines; the final line is the full record:
+{"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
+import glob
+import gzip
 import json
+import os
+import signal
 import sys
 import time
 
@@ -37,6 +54,9 @@ STEP_PX = 3
 TIMED_ITERS = 8  # best-of; the tunneled chip's dispatch varies +-30% with load
 QUALITY_ITERS = 10  # total iterations before the phase-correlation readout
 PSO_QUALITY_ITERS = 12  # PSO leg: iterations before its phase-corr readout
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+_T_START = time.perf_counter()
 
 LOSS_PARAMS = {
     "loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5},
@@ -61,8 +81,101 @@ UPDATE_PARAMS = {
 }
 
 
+class BenchTimeout(Exception):
+    pass
+
+
+def _alarm_handler(signum, frame):  # noqa: ARG001
+    raise BenchTimeout(f"global watchdog fired at {elapsed():.0f}s")
+
+
+def elapsed():
+    return time.perf_counter() - _T_START
+
+
+def remaining():
+    return BUDGET_S - elapsed()
+
+
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{elapsed():6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def emit(result):
+    """Print a complete JSON record and flush — callable repeatedly; the
+    driver parses the LAST line of stdout."""
+    print(json.dumps(result), flush=True)
+
+
+def init_backend_with_retry(max_wait=600.0):
+    """jax.devices() with bounded exponential backoff. The axon backend
+    sometimes refuses to initialize under load (BENCH_r04: UNAVAILABLE at
+    init); a failed attempt leaves jax's backend table empty so a retry
+    re-runs platform init."""
+    import jax
+
+    delay = 15.0
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            devs = jax.devices()
+            log(f"backend up on attempt {attempt}: {devs[0]}")
+            return devs
+        except Exception as e:  # noqa: BLE001
+            waited = time.perf_counter() - t0
+            if waited + delay > max_wait or remaining() < delay + 60:
+                raise RuntimeError(
+                    f"backend unavailable after {attempt} attempts / {waited:.0f}s: {e!r}"
+                ) from e
+            log(f"backend init attempt {attempt} failed ({e!r:.120}); retry in {delay:.0f}s")
+            try:  # best-effort: drop any cached half-initialized backend state
+                jax.extend.backend.clear_backends()
+            except Exception:  # noqa: BLE001
+                pass
+            time.sleep(delay)
+            delay = min(delay * 2, 120.0)
+
+
+def device_ms_from_trace(logdir):
+    """Sum device-lane op time from the newest trace.json.gz under logdir.
+
+    Device lanes are identified via process_name/thread_name metadata (TPU
+    device pids, 'XLA Ops'-style tids). Within one lane events are leaf-level
+    and non-overlapping, so a plain duration sum is the device busy time.
+    Returns total device ms, or None if no device lane was found.
+    """
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
+    if not paths:
+        return None
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    procs, threads = {}, {}
+    for e in events:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                procs[e["pid"]] = (e.get("args") or {}).get("name", "")
+            elif e.get("name") == "thread_name":
+                threads[(e["pid"], e.get("tid"))] = (e.get("args") or {}).get("name", "")
+    dev_pids = {
+        pid for pid, name in procs.items()
+        if ("TPU" in name or "/device:" in name) and "Host" not in name
+    }
+    per_lane = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        tname = threads.get((e["pid"], e.get("tid")), "")
+        if "step" in tname.lower():  # 'Steps' lanes span the window; skip
+            continue
+        key = (e["pid"], e.get("tid"))
+        per_lane[key] = per_lane.get(key, 0.0) + e.get("dur", 0) / 1e3
+    if not per_lane:
+        return None
+    # one lane per compute stream; take the busiest (the XLA Ops lane)
+    return max(per_lane.values())
 
 
 def build_workload():
@@ -137,7 +250,7 @@ def build_workload():
     return init, phase, canvas
 
 
-def bench_pso():
+def bench_pso(deadline_s):
     """Second reference demo workload (PSO / PrScO3, demo/params/
     PSO_reconstruct.yml:17-34): 4,096 DPs at 256x256 (on-the-fly padded from
     120^2 crops in the reference; simulated natively at 256^2 here), 4 probe
@@ -152,7 +265,9 @@ def bench_pso():
     continues to PSO_QUALITY_ITERS iterations and reports the phase
     correlation with ground truth over the scanned window, so the 21-slice
     chain-kernel regime has a recorded reconstruction-quality gate, not just
-    throughput. Returns (patterns/s, ms/step, losses, phase_corr)."""
+    throughput. Stops early (keeping partial results) once `deadline_s` of
+    global elapsed time is reached. Returns (patterns/s, ms/step, losses,
+    phase_corr, iters_done)."""
     import jax
     import jax.numpy as jnp
 
@@ -196,6 +311,7 @@ def bench_pso():
         "dx": dx, "lambd": lam, "N_scan_slow": grid, "N_scan_fast": grid,
     }
     params, buffers, geom = make_model(init)
+
     @jax.jit
     def sim_all(p):
         idx = jnp.arange(n_scans, dtype=jnp.int32).reshape(-1, 256)
@@ -244,16 +360,21 @@ def bench_pso():
     log(f"PSO: compile+first iteration in {time.perf_counter()-t0:.1f}s (loss={total:.4f})")
     best = float("inf")
     losses = [float(total)]
+    niter = 2
     for niter in range(2, 5):
         t0 = time.perf_counter()
         params, opt_state, total = one_iter(params, opt_state, niter)
         best = min(best, time.perf_counter() - t0)
         losses.append(float(total))
         log(f"PSO iter {niter}: {time.perf_counter()-t0:.2f}s loss={total:.4f}")
-    for niter in range(5, PSO_QUALITY_ITERS + 1):
+        if elapsed() > deadline_s:
+            log("PSO: deadline during timing loop — keeping partial result")
+            break
+    while niter < PSO_QUALITY_ITERS and elapsed() < deadline_s:
+        niter += 1
         params, opt_state, total = one_iter(params, opt_state, niter)
         losses.append(float(total))
-    log(f"PSO loss curve: {' '.join(f'{v:.4f}' for v in losses)}")
+    log(f"PSO loss curve ({niter} iters): {' '.join(f'{v:.4f}' for v in losses)}")
 
     # reconstruction quality over the scanned window (same readout as the
     # tBL leg): z-summed reconstructed phase vs z-summed ground truth
@@ -262,14 +383,15 @@ def bench_pso():
     lo = 4 + npix // 2
     hi = lo + (grid - 1) * step_px
     corr = float(np.corrcoef(rec[lo:hi, lo:hi].ravel(), tru[lo:hi, lo:hi].ravel())[0, 1])
-    log(f"PSO phase corr after {PSO_QUALITY_ITERS} iters: {corr:.3f}")
-    return n_scans / best, best / n_batches * 1e3, losses, corr
+    log(f"PSO phase corr after {niter} iters: {corr:.3f}")
+    return n_scans / best, best / n_batches * 1e3, losses, corr, niter
 
 
-def main():
+def run_tbl(result):
+    """Primary leg. Fills `result` in place so partial progress survives a
+    watchdog abort; returns (params_final, true_phase, one_iter, state) for
+    the trace leg."""
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 
     from ptyrad_tpu.constraints import ConstraintScheduler
@@ -277,8 +399,18 @@ def main():
     from ptyrad_tpu.models import make_model
     from ptyrad_tpu.optim import create_optimizer
 
+    # first device work happens inside build_workload (simulation); retry
+    # once — transient transfer failures under load look like random
+    # RuntimeErrors from the tunnel
     t0 = time.perf_counter()
-    init, true_phase, canvas = build_workload()
+    try:
+        init, true_phase, canvas = build_workload()
+    except BenchTimeout:
+        raise
+    except Exception as e:  # noqa: BLE001
+        log(f"build_workload failed ({e!r:.160}); retrying once in 30s")
+        time.sleep(30)
+        init, true_phase, canvas = build_workload()
     log(f"workload built in {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
@@ -314,16 +446,31 @@ def main():
     params, opt_state, total = one_iter(params, opt_state, 1)
     log(f"compile+first iteration in {time.perf_counter()-t0:.1f}s (loss={total:.4f})")
 
+    # keep >=300 s for quality+PSO; stop the timing loop early if the
+    # backend is crawling — 2 timed iters still give a best-of number
     best = float("inf")
     niter = 2
-    for _ in range(TIMED_ITERS):
+    for k in range(TIMED_ITERS):
         t0 = time.perf_counter()
         params, opt_state, total = one_iter(params, opt_state, niter)
         best = min(best, time.perf_counter() - t0)
         niter += 1
         log(f"iter {niter-1}: {time.perf_counter()-t0:.2f}s loss={total:.4f}")
+        if k >= 1 and remaining() < 300:
+            log("timing loop cut short by budget")
+            break
 
-    while niter <= QUALITY_ITERS:
+    dps = N_SCANS / best
+    result.update({
+        "value": round(dps, 1),
+        "vs_baseline": round(dps / REFERENCE_DPS_PER_SEC, 2),
+        "sec_per_iter_16384dps": round(best, 2),
+        "ms_per_step": round(best / n_batches * 1e3, 2),
+        "final_loss": round(float(total), 4),
+        "loss_finite": bool(np.isfinite(float(total))),
+    })
+
+    while niter <= QUALITY_ITERS and remaining() > 120:
         params, opt_state, total = one_iter(params, opt_state, niter)
         niter += 1
 
@@ -333,48 +480,108 @@ def main():
     lo = 4 + NPIX // 2
     hi = lo + (SCAN_SIDE - 1) * STEP_PX
     corr = float(np.corrcoef(rec[lo:hi, lo:hi].ravel(), tru[lo:hi, lo:hi].ravel())[0, 1])
+    result.update({
+        "phase_corr_after_10_iters": round(corr, 3),
+        "quality_iters_done": niter - 1,
+        "final_loss": round(float(total), 4),
+        "loss_finite": bool(np.isfinite(float(total))),
+    })
+    return params, opt_state, one_iter
 
-    # secondary workload: the reference's PSO demo (21 slices, 256^2) through
-    # the segmented/mega chain kernel; a failure there must not cost the
-    # primary metric
-    pso = {}
-    try:
-        pso_dps, pso_ms, pso_losses, pso_corr = bench_pso()
-        pso = {
-            "pso_patterns_per_sec": round(pso_dps, 1),
-            "pso_ms_per_step": round(pso_ms, 1),
-            # r2 ran PSO on the XLA fallback at ~390 DPs/s (docs/performance.md)
-            "pso_vs_r2_xla_path": round(pso_dps / 390.0, 2),
-            "pso_phase_corr": round(pso_corr, 3),
-            "pso_loss_first_last": [round(pso_losses[0], 4), round(pso_losses[-1], 4)],
-            "pso_loss_monotone_dec": bool(
-                all(b <= a + 1e-4 for a, b in zip(pso_losses, pso_losses[1:]))
-            ),
-        }
-    except Exception as e:  # noqa: BLE001
-        log(f"PSO bench failed: {e!r}")
-        pso = {"pso_error": repr(e)[:200]}
 
-    dps = N_SCANS / best
-    print(json.dumps({
+def run_trace_leg(result, params, opt_state, one_iter):
+    """Trace one full epoch+constraints iteration and record device-lane
+    time per step — the load-noise-immune number (VERDICT r4 item 1c)."""
+    import jax
+
+    logdir = "/tmp/bench_trace"
+    t0 = time.perf_counter()
+    with jax.profiler.trace(logdir):
+        one_iter(params, opt_state, QUALITY_ITERS + 1)
+    dev_ms = device_ms_from_trace(logdir)
+    if dev_ms is None:
+        log("trace leg: no device lane found in trace — skipping field")
+        return
+    n_batches = N_SCANS // BATCH
+    result["device_ms_per_step"] = round(dev_ms / n_batches, 3)
+    result["device_sec_per_iter"] = round(dev_ms / 1e3, 2)
+    result["device_patterns_per_sec"] = round(N_SCANS / (dev_ms / 1e3), 1)
+    log(f"trace leg in {time.perf_counter()-t0:.1f}s: device {dev_ms:.0f} ms/epoch "
+        f"= {dev_ms/n_batches:.3f} ms/step")
+
+
+def main():
+    signal.signal(signal.SIGALRM, _alarm_handler)
+    signal.alarm(max(60, int(BUDGET_S)))
+
+    result = {
         "metric": "tBL_WSe2 training throughput (fwd+bwd+update, full epoch + constraints)",
-        "value": round(dps, 1),
+        "value": 0.0,
         "unit": "patterns/sec/chip",
-        "vs_baseline": round(dps / REFERENCE_DPS_PER_SEC, 2),
+        "vs_baseline": 0.0,
         "baseline_basis": "364 DPs/s = 16384/45s-iter, reference CHANGELOG.md:310 "
                           "(unspecified GPU; the repo publishes no benchmark table "
                           "- see BASELINE.md)",
         "batch_size": BATCH,
-        "sec_per_iter_16384dps": round(best, 2),
-        "ms_per_step": round(best / n_batches * 1e3, 2),
         "config": "16384 DPs 128x128, 6 pmode, 6 slices, Adam, loss_single+loss_sparse, "
                   "7 constraints (demo tBL_WSe2_reconstruct.yml), 512-batch epoch",
-        "phase_corr_after_10_iters": round(corr, 3),
-        "final_loss": round(float(total), 4),
-        "device": str(jax.devices()[0]),
-        "loss_finite": bool(np.isfinite(float(total))),
-        **pso,
-    }))
+    }
+
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        devs = init_backend_with_retry(max_wait=min(600.0, BUDGET_S * 0.4))
+        result["device"] = str(devs[0])
+
+        state = run_tbl(result)
+        emit(result)  # primary leg is now on the record whatever happens next
+
+        if remaining() > 150:
+            try:
+                run_trace_leg(result, *state)
+                emit(result)
+            except BenchTimeout:
+                raise
+            except Exception as e:  # noqa: BLE001
+                log(f"trace leg failed: {e!r:.200}")
+
+        # secondary workload: the reference's PSO demo (21 slices, 256^2)
+        # through the segmented/mega chain kernel; a failure there must not
+        # cost the primary metric
+        if remaining() > 420:
+            try:
+                pso_dps, pso_ms, pso_losses, pso_corr, pso_iters = bench_pso(
+                    deadline_s=BUDGET_S - 60)
+                result.update({
+                    "pso_patterns_per_sec": round(pso_dps, 1),
+                    "pso_ms_per_step": round(pso_ms, 1),
+                    # r2 ran PSO on the XLA fallback at ~390 DPs/s (docs/performance.md)
+                    "pso_vs_r2_xla_path": round(pso_dps / 390.0, 2),
+                    "pso_phase_corr": round(pso_corr, 3),
+                    "pso_quality_iters_done": pso_iters,
+                    "pso_loss_first_last": [round(pso_losses[0], 4), round(pso_losses[-1], 4)],
+                    "pso_loss_monotone_dec": bool(
+                        all(b <= a + 1e-4 for a, b in zip(pso_losses, pso_losses[1:]))
+                    ),
+                })
+            except BenchTimeout:
+                raise
+            except Exception as e:  # noqa: BLE001
+                log(f"PSO bench failed: {e!r}")
+                result["pso_error"] = repr(e)[:200]
+        else:
+            result["pso_skipped"] = f"budget: {remaining():.0f}s left"
+    except BenchTimeout as e:
+        result["error"] = str(e)
+        log(f"WATCHDOG: {e}")
+    except Exception as e:  # noqa: BLE001
+        result["error"] = repr(e)[:400]
+        log(f"FATAL (still emitting record): {e!r}")
+
+    signal.alarm(0)
+    emit(result)
+    sys.exit(0)
 
 
 if __name__ == "__main__":
