@@ -55,23 +55,47 @@ class Storage:
         self.study_name = study_name
         if path:
             self._conn = sqlite3.connect(path, timeout=60)
-            self._conn.execute(
+            # Concurrent-worker hardening (the reference's Slurm pattern runs
+            # N processes on ONE sqlite study, LoopSubmit.sh): WAL lets
+            # readers proceed under a writer; busy_timeout makes writer-vs-
+            # writer contention block instead of raising 'database is locked'.
+            try:
+                self._conn.execute("PRAGMA journal_mode=WAL")
+            except sqlite3.OperationalError:
+                pass  # e.g. network filesystems; rollback journal still works
+            self._conn.execute("PRAGMA busy_timeout=60000")
+            self._execute_retry(
                 """CREATE TABLE IF NOT EXISTS trials (
                     id INTEGER PRIMARY KEY AUTOINCREMENT,
                     study TEXT, state TEXT, value REAL,
                     params TEXT, reports TEXT, created REAL)"""
             )
-            self._conn.commit()
         else:
             self._trials: List[dict] = []
 
+    def _execute_retry(self, sql, args=(), tries: int = 6):
+        """execute+commit with bounded retry on transient lock errors (a
+        writer holding the lock past busy_timeout, or WAL checkpoint races)."""
+        delay = 0.05
+        for attempt in range(tries):
+            try:
+                cur = self._conn.execute(sql, args)
+                self._conn.commit()
+                return cur
+            except sqlite3.OperationalError as e:
+                if "locked" not in str(e) and "busy" not in str(e):
+                    raise
+                if attempt == tries - 1:
+                    raise
+                time.sleep(delay)
+                delay *= 2
+
     def create_trial(self) -> int:
         if self.path:
-            cur = self._conn.execute(
+            cur = self._execute_retry(
                 "INSERT INTO trials (study, state, value, params, reports, created) VALUES (?,?,?,?,?,?)",
                 (self.study_name, RUNNING, None, "{}", "{}", time.time()),
             )
-            self._conn.commit()
             return cur.lastrowid - 1
         self._trials.append({"state": RUNNING, "value": None, "params": {}, "reports": {}})
         return len(self._trials) - 1
@@ -90,8 +114,8 @@ class Storage:
             if reports is not None:
                 sets.append("reports=?"); vals.append(json.dumps(reports))
             vals.extend([self.study_name, number + 1])
-            self._conn.execute(f"UPDATE trials SET {', '.join(sets)} WHERE study=? AND id=?", vals)
-            self._conn.commit()
+            self._execute_retry(
+                f"UPDATE trials SET {', '.join(sets)} WHERE study=? AND id=?", vals)
         else:
             t = self._trials[number]
             if state is not None:
@@ -105,7 +129,7 @@ class Storage:
 
     def all_trials(self) -> List[dict]:
         if self.path:
-            rows = self._conn.execute(
+            rows = self._execute_retry(
                 "SELECT id, state, value, params, reports FROM trials WHERE study=? ORDER BY id",
                 (self.study_name,),
             ).fetchall()
@@ -470,8 +494,7 @@ def create_study(study_name: str, storage_path: Optional[str] = None,
     if storage_path and not load_if_exists and study.storage.path:
         # clear only THIS study's rows: deleting the file would destroy
         # co-hosted studies and split-brain workers holding the old inode
-        study.storage._conn.execute(
+        study.storage._execute_retry(
             "DELETE FROM trials WHERE study=?", (study.storage.study_name,)
         )
-        study.storage._conn.commit()
     return study

@@ -95,6 +95,66 @@ class TestTunerCore:
         s2.optimize(lambda t: t.suggest_float("x", 0, 1) ** 2, n_trials=3)
         assert len(s1.trials) == 8
 
+    @pytest.mark.slow
+    def test_concurrent_workers_share_study(self, tmp_path):
+        """TWO LIVE OS PROCESSES racing on one sqlite study — the reference's
+        actual multi-worker pattern (N Slurm jobs, load_if_exists=True;
+        demo/scripts/LoopSubmit.sh:1-35). Asserts no lost or duplicated trial
+        numbers, every trial lands in a terminal state with params+reports,
+        and the merged study is readable (VERDICT r4 item 4)."""
+        import subprocess
+        import sys
+
+        db = str(tmp_path / "study.db")
+        n_per_worker = 6
+        child_src = r"""
+import random
+import sys
+import time
+
+sys.path.insert(0, sys.argv[3])
+from ptyrad_tpu.engine.tuner import RandomSampler, Study
+
+db, seed = sys.argv[1], int(sys.argv[2])
+study = Study("shared", db, sampler=RandomSampler(seed))
+
+def objective(trial):
+    x = trial.suggest_float("x", -1.0, 1.0)
+    for step in range(1, 4):
+        trial.report(abs(x) + 1.0 / step, step)
+        time.sleep(random.random() * 0.02)  # interleave the two writers
+    return (x - 0.2) ** 2
+
+study.optimize(objective, n_trials=%d)
+print("worker done", len(study.trials))
+""" % n_per_worker
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"  # workers must never touch the TPU tunnel
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", child_src, db, str(seed), repo],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+            )
+            for seed in (0, 1)
+        ]
+        # generous: each child pays a full jax import on a contended 1-CPU host
+        outs = [p.communicate(timeout=600) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+        merged = tuner.create_study("shared", storage_path=db)
+        trials = merged.trials
+        assert len(trials) == 2 * n_per_worker
+        numbers = [t["number"] for t in trials]
+        assert len(set(numbers)) == len(numbers), f"duplicated trial ids: {numbers}"
+        assert all(t["state"] == "COMPLETE" for t in trials)
+        assert all("x" in t["params"] and len(t["reports"]) == 3 for t in trials)
+        assert merged.best_trial is not None
+        assert merged.best_trial["value"] <= min(t["value"] for t in trials) + 1e-12
+
     def test_grid_sampler_covers_cartesian_product(self):
         """Two axes of different lengths must yield every combination, not
         just the lockstep diagonal (review r3)."""
@@ -236,6 +296,7 @@ class TestHypertune:
         one_trial(1.0)  # identity — must RESET, not keep the 1.5 positions
         np.testing.assert_array_equal(init.init_variables["crop_pos"], baseline)
 
+    @pytest.mark.slow
     def test_lbfgs_trials_run(self, rng, tmp_path):
         """LBFGS hypertune trials must drive solver.lbfgs_step (train_step is
         None for LBFGS) instead of crashing in the per-batch path
@@ -263,6 +324,7 @@ class TestHypertune:
 
 
 class TestVisualization:
+    @pytest.mark.slow
     def test_plot_summary_writes_pngs(self, rng, tmp_path):
         from ptyrad_tpu.engine.solver import PtyRADSolver
         from ptyrad_tpu.visualization import plot_summary
@@ -455,6 +517,7 @@ class TestOptunaBranch:
         for t in study.trials:
             assert set(t.intermediate_values) == {1, 2, 3}
 
+    @pytest.mark.slow
     def test_diverging_trial_does_not_kill_optuna_study(self, rng, tmp_path, fake_optuna):
         """One diverging trial (huge SGD lr -> inf loss -> FloatingPointError)
         must be recorded as failed while the study keeps optimizing — the

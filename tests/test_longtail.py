@@ -228,6 +228,7 @@ class TestSourceLoaders:
 
 
 class TestDemoScript:
+    @pytest.mark.slow
     def test_synthetic_demo_converges(self, rng, monkeypatch, tmp_path):
         """The shipped demo must stay runnable (tiny config, CPU)."""
         import importlib.util

@@ -129,6 +129,7 @@ def _free_port():
 
 
 
+@pytest.mark.slow
 def test_two_process_multihost_epoch(tmp_path):
     port = _free_port()
     child_src = _CHILD

@@ -203,6 +203,30 @@ class TestPhysicsParity:
         # mode 0 (the fundamental) is identical up to normalization
         np.testing.assert_allclose(np.abs(ours[0]), np.abs(theirs[0]), atol=1e-6)
 
+    def test_fzp_probe_matches_reference(self):
+        """X-ray FZP probe vs reference utils/physics.py:307-380 at the
+        test_longtail soft-x-ray geometry. Integer beam energy keeps the two
+        wavelength computations identical (the reference int-truncates keV;
+        see the documented deviation in physics/probe.py), so the fields must
+        agree to f64 roundoff."""
+        ref_fzp = ref_import("ptyrad.utils.make_fzp_probe")
+
+        from ptyrad_tpu.physics import make_fzp_probe
+
+        params = {"Npix": 32, "beam_kev": 8.0, "dx": 1e-8, "Ls": 4e-3,
+                  "Rn": 9e-5, "dRn": 5e-8, "D_FZP": 1.8e-4, "D_H": 6e-5}
+        ours = make_fzp_probe(params)
+        theirs = ref_fzp(dict(params), verbose=False)
+        assert np.sum(np.abs(theirs) ** 2) > 0
+        np.testing.assert_allclose(ours, theirs, rtol=1e-10, atol=1e-12)
+        # negative-z branch (sample upstream of focus: Ls < -fl)
+        lam = 1.23984193e-9 / 8.0
+        fl = 2 * params["Rn"] * params["dRn"] / lam
+        params_neg = dict(params, Ls=-fl - 2e-3)
+        ours_neg = make_fzp_probe(params_neg)
+        theirs_neg = ref_fzp(dict(params_neg), verbose=False)
+        np.testing.assert_allclose(ours_neg, theirs_neg, rtol=1e-10, atol=1e-12)
+
     def test_propagator_matches_reference(self):
         ref_nfe = ref_import("ptyrad.utils.near_field_evolution")
 
@@ -371,7 +395,7 @@ class TestEndToEndParity:
         "objp_postiv": {"freq": 1, "relax": 0.0, "mode": "clip_neg"},
     }
 
-    def _run_reference(self, iv, niter=None, return_optimizer=False):
+    def _run_reference(self, iv, niter=None, return_optimizer=False, constraints=None):
         ref_model_cls = ref_import("ptyrad.models.PtychoAD")
         ref_loss_cls = ref_import("ptyrad.losses.CombinedLoss")
         ref_cc_cls = ref_import("ptyrad.constraints.CombinedConstraint")
@@ -389,7 +413,8 @@ class TestEndToEndParity:
         from ptyrad_tpu.constraints import DEFAULT_CONSTRAINT_PARAMS
 
         cparams = {k: dict(v) for k, v in DEFAULT_CONSTRAINT_PARAMS.items()}
-        cparams.update({k: dict(v) for k, v in self.ACTIVE_CONSTRAINTS.items()})
+        cparams.update(
+            {k: dict(v) for k, v in (constraints or self.ACTIVE_CONSTRAINTS).items()})
 
         model = ref_model_cls(dict(iv), model_params, device="cpu", verbose=False)
         loss_fn = ref_loss_cls(dict(self.LOSS_PARAMS), device="cpu")
@@ -407,7 +432,7 @@ class TestEndToEndParity:
             return losses, objp, probe, optimizer
         return losses, objp, probe
 
-    def _run_ours(self, iv):
+    def _run_ours(self, iv, constraints=None):
         from ptyrad_tpu.engine.solver import PtyRADSolver
 
         cfg = {
@@ -416,7 +441,8 @@ class TestEndToEndParity:
                 "optimizer_params": {"name": "Adam"},
             },
             "loss_params": dict(self.LOSS_PARAMS),
-            "constraint_params": {k: dict(v) for k, v in self.ACTIVE_CONSTRAINTS.items()},
+            "constraint_params": {
+                k: dict(v) for k, v in (constraints or self.ACTIVE_CONSTRAINTS).items()},
             "recon_params": {
                 "NITER": self.NITER,
                 # one full batch so batch composition matches the reference
@@ -429,6 +455,49 @@ class TestEndToEndParity:
         from ptyrad_tpu.ops import cplx
 
         return losses, np.asarray(solver.params.objp), cplx.to_numpy(solver.params.probe)
+
+    ORTHO_CONSTRAINTS = {
+        "ortho_pmode": {"freq": 1},
+        "fix_probe_int": {"freq": 1},
+        "obja_thresh": {"freq": 1, "relax": 0.0, "thresh": (0.9, 1.1)},
+        "objp_postiv": {"freq": 1, "relax": 0.0, "mode": "clip_neg"},
+    }
+
+    def test_ortho_pmode_gauge_invariant_parity(self):
+        """Composed multi-iteration parity WITH ortho_pmode active
+        (reference constraints.py:34-41, 255-291). Probe-mode
+        orthogonalization has a per-mode phase-gauge freedom — any eig
+        backend picks arbitrary eigenvector phases — so elementwise probe
+        trajectories legitimately diverge once the probe optimizes. The gate
+        is on gauge-INVARIANT observables over 12 iterations: the data
+        residual both gauges reach, and the reconstructed objects' agreement
+        (pytest port of demo/scripts/run_parity_midscale.py --legs ortho,
+        VERDICT r4 item 6)."""
+        iv, true_phase = _simulate_small_dataset()
+        ref_losses, ref_objp, _ = self._run_reference(
+            iv, constraints=self.ORTHO_CONSTRAINTS)
+        our_losses, our_objp, _ = self._run_ours(
+            iv, constraints=self.ORTHO_CONSTRAINTS)
+
+        assert len(ref_losses) == len(our_losses) == self.NITER
+        # both runs must actually be converging (not comparing two stalls)
+        assert our_losses[-1] < our_losses[0] * 0.9
+        # gauge-invariant metric 1: the final data residual matches
+        ratio = float(our_losses[-1] / ref_losses[-1])
+        assert 0.95 < ratio < 1.05, f"final residual ratio {ratio}"
+        # gauge-invariant metric 2: the reconstructions agree voxelwise.
+        # Calibration: 0.9885 here / 0.9931 at midscale (PARITY_MIDSCALE.json)
+        # — gauge drift compounds through probe updates; a genuine parity
+        # break (wrong constraint order, non-Hermitian Gram) lands far below.
+        corr = float(np.corrcoef(our_objp.ravel(), ref_objp.ravel())[0, 1])
+        assert corr > 0.98, f"objp corr {corr}"
+        # and both reconstruct the ground truth comparably
+        def nmse(phi):
+            w = phi.sum(1)[0, 8:48, 8:48]
+            t = true_phase.sum(0)[8:48, 8:48]
+            return float(np.mean((w - t) ** 2) / np.mean(t**2))
+
+        assert nmse(our_objp) <= nmse(ref_objp) * 1.1 + 1e-4
 
     def test_equal_iteration_convergence(self):
         iv, true_phase = _simulate_small_dataset()
