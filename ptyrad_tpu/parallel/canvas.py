@@ -1,0 +1,216 @@
+"""Object-canvas spatial sharding over the device mesh (prototype).
+
+The one parallel axis genuinely beyond the reference (SURVEY.md §5
+"long-context" row; reference replicates the whole object on every GPU —
+models.py:109 — and psums its full gradient every step, which is the
+multi-chip memory/bandwidth ceiling at large canvases): split the canvas's
+slow (row) axis into per-device slabs, halo-exchange a probe-height boundary
+strip over ICI (`jax.lax.ppermute`), and keep the patch gather — and, through
+AD transposition, its scatter-add adjoint — entirely shard-local. Only the
+scalar loss reduces globally; the canvas gradient never materializes on any
+single device.
+
+How it maps to hardware: scan positions are grouped by the slab containing
+their patch's top row, so every gather reads its own slab plus at most `halo`
+rows of the next one — one nearest-neighbor ppermute per step (plus its
+transpose in the backward pass), both riding ICI. Compare the replicated
+design: a full-canvas psum (omode*Nz*Noy*Nox floats) every step.
+
+Prototype scope (asserted): fixed propagator (no optimizable dz/tilts), no
+probe position shifts, no on-the-fly measurement pad/resample, loss_single
+only, and a scan whose positions distribute evenly over slabs (true for
+raster scans when n_devices divides the scan rows). The memory model and the
+path to lifting each restriction are documented in docs/performance.md.
+
+Gradient correctness is asserted against the replicated path in
+tests/test_engine.py::TestCanvasSharding and __graft_entry__.dryrun_multichip
+(leg 'canvas-sharded').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ptyrad_tpu.models.forward import multislice_dp
+from ptyrad_tpu.models.state import Buffers, Geometry, PtychoParams
+from ptyrad_tpu.ops.cplx import Cplx
+from ptyrad_tpu.ops.patches import extract_patches
+from ptyrad_tpu.parallel.mesh import DATA_AXIS
+
+try:  # moved to jax.shard_map in newer releases
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+CANVAS_SPEC = P(None, None, DATA_AXIS, None)  # (omode, Nz, rows, cols)
+
+
+@dataclasses.dataclass(frozen=True)
+class CanvasPlan:
+    """Host-side sharding plan for one (scan, canvas, mesh) combination."""
+
+    n_dev: int
+    rows_local: int     # canvas rows per device (after padding)
+    noy_pad: int        # rows_local * n_dev >= Noy
+    halo: int           # rows borrowed from the next slab (= probe Ny)
+    b_local: int        # scan positions per device
+    order: np.ndarray   # (N,) permutation grouping positions by slab
+
+
+def plan_canvas_sharding(crop_pos: np.ndarray, noy: int, probe_ny: int, n_dev: int) -> CanvasPlan:
+    """Assign each scan position to the slab containing its patch's top row.
+
+    Raises when a patch would span more than two slabs (halo > slab height)
+    or when slabs get unequal position counts — the prototype requires a
+    balanced raster-like scan (SPMD needs one static per-device batch shape;
+    the production lift is mask-padding each slab's list to the max count,
+    exactly how ragged batches are already handled in engine/batching.py).
+    """
+    crop_pos = np.asarray(crop_pos)
+    rows_local = -(-int(noy) // n_dev)
+    halo = int(probe_ny)
+    if halo > rows_local:
+        raise ValueError(
+            f"canvas sharding: probe height {halo} exceeds the {rows_local}-row "
+            f"slab — patches would span >2 slabs; use fewer devices (<= {noy // probe_ny})"
+        )
+    slab = np.minimum(crop_pos[:, 0] // rows_local, n_dev - 1)
+    counts = np.bincount(slab, minlength=n_dev)
+    if counts.min() != counts.max():
+        raise ValueError(
+            f"canvas sharding prototype needs equal positions per slab; got {counts.tolist()}"
+        )
+    order = np.argsort(slab, kind="stable")
+    return CanvasPlan(
+        n_dev=n_dev,
+        rows_local=rows_local,
+        noy_pad=rows_local * n_dev,
+        halo=halo,
+        b_local=int(counts[0]),
+        order=order,
+    )
+
+
+def shard_canvas_params(params: PtychoParams, plan: CanvasPlan, mesh: Mesh) -> PtychoParams:
+    """Lay the obja/objp canvases out row-sharded on the mesh (padded rows are
+    never read by any patch and receive zero gradient); everything else
+    replicates."""
+    pad = plan.noy_pad - params.obja.shape[2]
+    obja = np.pad(np.asarray(params.obja), ((0, 0), (0, 0), (0, pad), (0, 0)),
+                  constant_values=1.0)
+    objp = np.pad(np.asarray(params.objp), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    canvas_sh = NamedSharding(mesh, CANVAS_SPEC)
+    rep = NamedSharding(mesh, P())
+    return PtychoParams(
+        obja=jax.device_put(obja, canvas_sh),
+        objp=jax.device_put(objp, canvas_sh),
+        probe=Cplx(jax.device_put(params.probe.re, rep),
+                   jax.device_put(params.probe.im, rep)),
+        probe_pos_shifts=jax.device_put(params.probe_pos_shifts, rep),
+        obj_tilts=jax.device_put(params.obj_tilts, rep),
+        slice_thickness=jax.device_put(params.slice_thickness, rep),
+    )
+
+
+def unshard_canvas(arr, noy: int) -> np.ndarray:
+    """Reassemble a row-sharded canvas (gradient or parameter) to host layout,
+    dropping the padding rows."""
+    return np.asarray(arr)[:, :, :noy, :]
+
+
+def build_canvas_sharded_loss(
+    buffers: Buffers,
+    geom: Geometry,
+    mesh: Mesh,
+    plan: CanvasPlan,
+    loss_params: Optional[dict] = None,
+):
+    """Jittable `loss(params) -> scalar` with the canvas spatially sharded.
+
+    `jax.value_and_grad` of the returned function yields canvas gradients in
+    the SAME row-sharded layout (the gather's AD transpose scatter-adds into
+    the local slab; the halo strip's gradient rides the ppermute transpose
+    back to its owner) — the replicated-canvas allreduce disappears.
+    """
+    from ptyrad_tpu.losses import merge_loss_params
+
+    if geom.shift_probes or geom.tilt_obj or geom.change_thickness:
+        raise NotImplementedError(
+            "canvas-sharding prototype: probe shifts / tilts / dz optimization "
+            "not yet supported (they need per-position params grouped by slab)"
+        )
+    if geom.meas_pad_idx is not None or geom.meas_scale_factors is not None:
+        raise NotImplementedError("canvas sharding with on-the-fly pad/resample")
+    cfg = merge_loss_params(loss_params)
+    active = [k for k, v in cfg.items() if v["state"]]
+    if active != ["loss_single"]:
+        raise NotImplementedError(
+            f"canvas-sharding prototype supports loss_single only, got {active}"
+        )
+    sp = cfg["loss_single"]
+    p = float(sp.get("dp_pow", 0.5))
+    weight = float(sp["weight"])
+
+    n_dev, halo = plan.n_dev, plan.halo
+    # host-side grouping: positions/measurements reordered by slab; row
+    # coordinates rebased to each slab's first row
+    order = plan.order
+    pos = np.asarray(buffers.crop_pos)[order].astype(np.int32)
+    slab_first_row = (np.arange(n_dev) * plan.rows_local).repeat(plan.b_local)
+    pos_local = pos.copy()
+    pos_local[:, 0] -= slab_first_row.astype(np.int32)
+    meas = np.asarray(buffers.measurements)[order]
+
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    pos_local = jax.device_put(pos_local, batch_sh)
+    meas = jax.device_put(meas, batch_sh)
+    n_total = pos.shape[0]
+    npix = meas.shape[-2] * meas.shape[-1]
+    # send each slab's TOP `halo` rows to the PREVIOUS device, whose patches
+    # may extend past its slab's last row. The wrap pair (0 -> n-1) carries
+    # rows the last device never reads (patches cannot cross the canvas
+    # bottom), so its cotangent is zero and the exchange stays correct.
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local_loss(obja_sh, objp_sh, probe_re, probe_im, h_re, h_im, occu, pos_l, meas_l):
+        top_a = jax.lax.ppermute(obja_sh[:, :, :halo], DATA_AXIS, perm)
+        top_p = jax.lax.ppermute(objp_sh[:, :, :halo], DATA_AXIS, perm)
+        ext_a = jnp.concatenate([obja_sh, top_a], axis=2)
+        ext_p = jnp.concatenate([objp_sh, top_p], axis=2)
+        pa = extract_patches(ext_a, pos_l, geom.probe_shape)
+        pp = extract_patches(ext_p, pos_l, geom.probe_shape)
+        probes = Cplx(probe_re, probe_im)[None]
+        H = Cplx(h_re, h_im)[None]
+        dp = multislice_dp(
+            pa, pp, probes, H, occu, eps=geom.eps,
+            compute_dtype=(jnp.bfloat16 if geom.compute_dtype == "bfloat16"
+                           else jnp.float32),
+        )
+        mp = meas_l**p
+        s1 = jax.lax.psum(jnp.sum((dp**p - mp) ** 2), DATA_AXIS)
+        s2 = jax.lax.psum(jnp.sum(mp), DATA_AXIS)
+        denom = float(n_total * npix)
+        return weight * jnp.sqrt(s1 / denom) / (s2 / denom)
+
+    sharded = shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(CANVAS_SPEC, CANVAS_SPEC, P(), P(), P(), P(), P(),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,  # ppermute + psum manage replication explicitly
+    )
+
+    def loss_fn(params: PtychoParams):
+        return sharded(
+            params.obja, params.objp, params.probe.re, params.probe.im,
+            buffers.H.re, buffers.H.im, buffers.omode_occu, pos_local, meas,
+        )
+
+    return loss_fn
