@@ -25,8 +25,12 @@ def _apply_common_overrides(params: dict, args) -> None:
     """CLI flags that override params-file fields."""
     if getattr(args, "mixed_precision", False):
         # reference exposes --mixed_precision at launch (docs/launch/
-        # multiGPU.md:41); here it forces bf16 DFT-GEMM operands
-        params.setdefault("model_params", {})["matmul_dtype"] = "bfloat16"
+        # multiGPU.md:41, autocast in reconstruction.py:792-806); here it
+        # enables the full bf16 compute policy (wavefield bf16 on the XLA
+        # path, bf16 GEMM operands in the kernels; f32 params/accumulation)
+        mp = params.setdefault("model_params", {})
+        mp["compute_dtype"] = "bfloat16"
+        mp["matmul_dtype"] = "bfloat16"
 
 
 def _maybe_init_multihost(args) -> None:
@@ -162,7 +166,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_run.add_argument("--skip_validate", action="store_true", help="Skip params validation")
     p_run.add_argument(
         "--mixed_precision", action="store_true",
-        help="bf16 DFT-GEMM operands (f32 accumulation); overrides model_params.matmul_dtype",
+        help="bf16 compute policy: bf16 wavefield + GEMM operands, f32 "
+             "params/accumulation/loss; overrides model_params.compute_dtype",
     )
     p_run.add_argument(
         "--multihost", action="store_true",

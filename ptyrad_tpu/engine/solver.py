@@ -429,7 +429,16 @@ class PtyRADSolver:
         # set before any step is traced — trace-time choice, f32 accumulation
         from ptyrad_tpu.ops.fourier import set_matmul_dtype
 
-        set_matmul_dtype(model_params.get("matmul_dtype", "float32"))
+        # compute_dtype='bfloat16' (reference autocast equivalent) implies
+        # bf16 GEMM operands everywhere — the Pallas kernels read this at
+        # trace time (ops/kernel_util.gemm_dtype), which is how the policy
+        # reaches both kernel families; an explicit matmul_dtype still wins
+        matmul_dtype = model_params.get("matmul_dtype")
+        if matmul_dtype is None:
+            matmul_dtype = ("bfloat16"
+                            if model_params.get("compute_dtype") == "bfloat16"
+                            else "float32")
+        set_matmul_dtype(matmul_dtype)
         # a previous run's Mosaic-OOM fallback may have forced the XLA patch
         # path; every fresh solver starts with the kernels enabled again
         from ptyrad_tpu.ops.patches import set_force_xla

@@ -87,6 +87,7 @@ def multislice_dp(
     omode_occu: jnp.ndarray,
     eps: float = 1e-10,
     remat: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Multislice propagation to far-field intensity.
 
@@ -97,11 +98,20 @@ def multislice_dp(
       omode_occu: (omode,) float32 incoherent object-mode weights
       remat: checkpoint each slice step (backward recomputes instead of
         storing every intermediate wavefield).
+      compute_dtype: jnp.bfloat16 keeps the wavefield (and the slice/
+        propagator factors) half-width between ops — the mixed-precision
+        policy (reference autocast, reconstruction.py:792-806). Intensity
+        accumulation and the returned dp are always f32.
 
     Returns (B, Ny, Nx) float32: incoherent sum over (pmode, omode) of
     |fftshift(fft2(psi, ortho))|^2, weighted by omode_occu, plus eps.
     """
     n_slices = obja_patches.shape[2]
+    if compute_dtype != jnp.float32:
+        obja_patches = obja_patches.astype(compute_dtype)
+        objp_patches = objp_patches.astype(compute_dtype)
+        probes = probes.astype(compute_dtype)
+        H = H.astype(compute_dtype)
     psi = probes[:, :, None, :, :]  # (B|1, pmode, 1, Ny, Nx) -> broadcasts over omode
     Hb = H[:, None, None, :, :]     # (B|1, 1, 1, Ny, Nx)
 
@@ -117,7 +127,11 @@ def multislice_dp(
     obj_last = polar(obja_patches[:, :, n_slices - 1], objp_patches[:, :, n_slices - 1])
     psi = psi * obj_last[:, None]
 
-    psi_k = fftshift2(fft2(psi, norm="ortho"))
+    # the DETECTOR-plane transform feeds the data loss directly, so it runs
+    # f32 even under the bf16 policy (same reasoning as torch.autocast's
+    # fft promote-to-f32 list); the Nz-1 inter-slice transforms — the bulk
+    # of the FLOPs and bandwidth — stay bf16
+    psi_k = fftshift2(fft2(psi.astype(jnp.float32), norm="ortho"))
     intensity = psi_k.abs2()  # (B, pmode, omode, Ny, Nx)
     dp = jnp.sum(intensity * omode_occu[:, None, None], axis=(1, 2)) + eps
     return dp
@@ -193,7 +207,10 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
     else:
         probes = get_probes(params, geom, indices)
         dp = multislice_dp(
-            obja_p, objp_p, probes, H, buffers.omode_occu, eps=geom.eps, remat=geom.fwd_remat
+            obja_p, objp_p, probes, H, buffers.omode_occu, eps=geom.eps,
+            remat=geom.fwd_remat,
+            compute_dtype=(jnp.bfloat16 if geom.compute_dtype == "bfloat16"
+                           else jnp.float32),
         )
     std = geom.detector_blur_std
     if std is not None and std != 0:

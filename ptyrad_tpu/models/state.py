@@ -114,6 +114,13 @@ class Geometry:
     meas_scale_factors: Optional[Tuple[float, float]] = None
     eps: float = 1e-10
     fwd_remat: bool = False  # rematerialize the multislice loop to save HBM
+    # End-to-end mixed-precision policy (reference autocast equivalent,
+    # reconstruction.py:792-806): 'bfloat16' keeps the WAVEFIELD in bf16
+    # between ops on the XLA path (params, gradients, accumulation, and the
+    # loss stay f32; DFT matmuls accumulate f32 via preferred_element_type)
+    # and switches the Pallas kernels' GEMM operands to bf16. Convergence-
+    # gated in tests/test_forward.py::TestComputeDtypePolicy.
+    compute_dtype: str = "float32"
     # Fused Pallas multislice kernel (ops/pallas_multislice.py): 2.4x the XLA
     # path on TPU at bit-equal loss. Default ON; forward() falls back to the
     # jnp path automatically off-TPU or when shapes leave the supported
@@ -279,6 +286,7 @@ def make_model(init_variables: dict, model_params: Optional[dict] = None):
         meas_padded_shape=(tuple(np.asarray(meas_padded).shape[-2:]) if meas_padded is not None else None),
         meas_scale_factors=(tuple(float(s) for s in meas_scale) if meas_scale is not None else None),
         fwd_remat=bool(model_params.get("fwd_remat", False)),
+        compute_dtype=str(model_params.get("compute_dtype", "float32")),
         # None = auto (on; off-regime shapes fall back inside forward())
         fwd_fused=(True if model_params.get("fwd_fused") is None
                    else bool(model_params["fwd_fused"])),

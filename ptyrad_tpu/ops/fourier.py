@@ -71,16 +71,30 @@ def _as_cplx(x) -> Cplx:
     return Cplx(x, jnp.zeros_like(x))
 
 
+def _gemm_and_out_dtype(x: Cplx):
+    """(GEMM operand dtype, output dtype) for a DFT of x.
+
+    bf16 INPUT (the compute_dtype=bfloat16 policy keeps the wavefield in
+    bf16 between ops) stays bf16 on output so downstream elementwise math
+    remains half-width; accumulation inside the matmul is always f32
+    (preferred_element_type in matmul_const). f32 input follows the
+    set_matmul_dtype switch for operands but always returns f32.
+    """
+    if x.dtype == jnp.bfloat16:
+        return jnp.bfloat16, jnp.bfloat16
+    return (jnp.bfloat16 if _MATMUL_DTYPE == "bfloat16" else jnp.float32), jnp.float32
+
+
 def _dft_last_axis(x: Cplx, inverse: bool) -> Cplx:
-    dt = jnp.bfloat16 if _MATMUL_DTYPE == "bfloat16" else jnp.float32
+    dt, out_dt = _gemm_and_out_dtype(x)
     fr, fi, frpi = (jnp.asarray(m, dtype=dt) for m in _dft_consts(x.shape[-1], inverse))
-    return matmul_const(fr, fi, frpi, x.astype(dt), side="right").astype(jnp.float32)
+    return matmul_const(fr, fi, frpi, x.astype(dt), side="right").astype(out_dt)
 
 
 def _dft_row_axis(x: Cplx, inverse: bool) -> Cplx:
-    dt = jnp.bfloat16 if _MATMUL_DTYPE == "bfloat16" else jnp.float32
+    dt, out_dt = _gemm_and_out_dtype(x)
     fr, fi, frpi = (jnp.asarray(m, dtype=dt) for m in _dft_consts(x.shape[-2], inverse))
-    return matmul_const(fr, fi, frpi, x.astype(dt), side="left").astype(jnp.float32)
+    return matmul_const(fr, fi, frpi, x.astype(dt), side="left").astype(out_dt)
 
 
 def fft2(x, norm: str | None = None) -> Cplx:
@@ -88,7 +102,7 @@ def fft2(x, norm: str | None = None) -> Cplx:
     x = _as_cplx(x)
     out = _dft_last_axis(_dft_row_axis(x, False), False)
     if norm == "ortho":
-        out = out * np.float32(1.0 / np.sqrt(x.shape[-2] * x.shape[-1]))
+        out = out * float(1.0 / np.sqrt(x.shape[-2] * x.shape[-1]))  # weak type: keeps bf16 bf16
     return out
 
 
@@ -97,9 +111,9 @@ def ifft2(x, norm: str | None = None) -> Cplx:
     x = _as_cplx(x)
     out = _dft_last_axis(_dft_row_axis(x, True), True)
     if norm == "ortho":
-        out = out * np.float32(1.0 / np.sqrt(x.shape[-2] * x.shape[-1]))
+        out = out * float(1.0 / np.sqrt(x.shape[-2] * x.shape[-1]))  # weak type: keeps bf16 bf16
     else:
-        out = out * np.float32(1.0 / (x.shape[-2] * x.shape[-1]))
+        out = out * float(1.0 / (x.shape[-2] * x.shape[-1]))
     return out
 
 
@@ -109,7 +123,7 @@ def dft_axis(x: Cplx, axis: int, inverse: bool = False) -> Cplx:
     moved = Cplx(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
     out = _dft_last_axis(moved, inverse)
     if inverse:
-        out = out * np.float32(1.0 / x.shape[axis])
+        out = out * float(1.0 / x.shape[axis])
     return Cplx(jnp.moveaxis(out.re, -1, axis), jnp.moveaxis(out.im, -1, axis))
 
 
@@ -120,7 +134,7 @@ def fftn3(x, inverse: bool = False) -> Cplx:
     out = _dft_row_axis(out, inverse)
     out = _dft_last_axis(out, inverse)
     if inverse:
-        out = out * np.float32(1.0 / (x.shape[-2] * x.shape[-1]))
+        out = out * float(1.0 / (x.shape[-2] * x.shape[-1]))
     return out
 
 

@@ -38,6 +38,37 @@ class OptStateMismatchError(ValueError):
     Deliberately loud: silently starting fresh would masquerade as resume."""
 
 
+def _asgd(learning_rate: float, lambd: float = 1e-4, alpha: float = 0.75,
+          t0: float = 1e6):
+    """torch.optim.ASGD's update rule as an optax transform.
+
+    torch (optim/asgd.py) per step t (0-based count, eta_0 = lr):
+        param *= 1 - lambd*eta_t ;  param -= eta_t * grad
+        eta_{t+1} = lr / (1 + lambd*lr*(t+1))**alpha
+    i.e. update = -eta_t * (grad + lambd*param). The polyak-averaged copy
+    torch maintains (`ax`) is retrieval-only — it never feeds the update —
+    so it is deliberately not carried here. `t0` only affects when torch
+    STARTS averaging `ax`; it is accepted for config compatibility.
+    """
+    del t0
+
+    def init(params):
+        del params
+        return {"count": jnp.zeros([], jnp.int32)}
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("ASGD requires params")
+        eta = learning_rate / (
+            1.0 + lambd * learning_rate * state["count"].astype(jnp.float32)
+        ) ** alpha
+        new_updates = jax.tree_util.tree_map(
+            lambda g, p: -eta * (g + lambd * p), updates, params)
+        return new_updates, {"count": state["count"] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
 OPTIMIZER_REGISTRY = {
     "Adam": optax.adam,
     "AdamW": optax.adamw,
@@ -49,6 +80,15 @@ OPTIMIZER_REGISTRY = {
     "RAdam": optax.radam,
     "Adadelta": optax.adadelta,
     "LBFGS": optax.lbfgs,
+    # torch.optim long tail (reference instantiates ANY torch.optim name,
+    # reconstruction.py:285-368 — full torch 2.x coverage):
+    "Rprop": optax.rprop,
+    "ASGD": _asgd,
+    "Adafactor": optax.adafactor,
+    "Muon": None,  # resolved lazily (optax.contrib import)
+    # SparseAdam only differs from Adam on sparse gradient layouts, which
+    # don't exist on TPU/XLA (all grads dense) — dense SparseAdam IS Adam
+    "SparseAdam": optax.adam,
     # optax-native lowercase aliases
     "adam": optax.adam,
     "adamw": optax.adamw,
@@ -108,6 +148,14 @@ def _translate_configs(name: str, configs: dict, ctor):
         out.setdefault("learning_rate", out.pop("lr"))
     if "history_size" in out:  # torch LBFGS
         out.setdefault("memory_size", int(out.pop("history_size")))
+    if "etas" in out:  # torch Rprop: etas=(eta_minus, eta_plus)
+        em, ep = out.pop("etas")
+        out.setdefault("eta_minus", float(em))
+        out.setdefault("eta_plus", float(ep))
+    if "step_sizes" in out:  # torch Rprop: step_sizes=(min, max)
+        smin, smax = out.pop("step_sizes")
+        out.setdefault("min_step_size", float(smin))
+        out.setdefault("max_step_size", float(smax))
     sig = inspect.signature(ctor).parameters
     if "weight_decay" in out and "weight_decay" not in sig:
         # torch couples L2 into the gradient BEFORE moment estimation
@@ -145,8 +193,19 @@ def create_optimizer(
     name = optimizer_params.get("name", "Adam")
     configs = dict(optimizer_params.get("configs") or {})
     if name not in OPTIMIZER_REGISTRY:
-        raise ValueError(f"Optimizer '{name}' not supported; choose from {sorted(set(OPTIMIZER_REGISTRY))}")
+        raise ValueError(
+            f"Optimizer '{name}' not supported; choose from "
+            f"{sorted(k for k in OPTIMIZER_REGISTRY if k[0].isupper())} "
+            "(every torch.optim 2.x name the reference accepts)"
+        )
     ctor = OPTIMIZER_REGISTRY[name]
+    if name == "Muon":  # lazy: optax.contrib pulls in extra deps at import
+        from optax.contrib import muon as ctor  # noqa: F811
+    elif name == "SparseAdam":
+        from ptyrad_tpu.utils.logging import vprint
+
+        vprint("SparseAdam: gradients are dense under XLA, where SparseAdam's "
+               "update coincides with Adam; using Adam.")
 
     lr_dict, start_dict = parse_update_params(update_params)
 

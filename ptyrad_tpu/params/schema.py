@@ -287,15 +287,22 @@ class ModelParams(BaseModel):
     # and mesh alike); True/False forces.
     fwd_fused: Optional[bool] = None
     fwd_remat: bool = False  # rematerialize the multislice loop (HBM saver)
-    # Mixed precision for the DFT GEMMs (reference --mixed_precision,
-    # docs/launch/multiGPU.md:41; reconstruction.py:792-806). 'bfloat16'
-    # casts GEMM operands only — accumulation stays f32
-    # (ops/fourier.set_matmul_dtype, honored by the Pallas kernels).
+    # End-to-end mixed-precision policy (reference autocast,
+    # reconstruction.py:792-806 + --mixed_precision launch flag): 'bfloat16'
+    # runs the wavefield/DP math in bf16 on the XLA path and bf16 GEMM
+    # operands in the Pallas kernels; parameters, gradients, accumulation,
+    # and the loss stay f32. Convergence-gated (phase corr >= 0.98 vs the
+    # f32 run at equal iterations, tests/test_forward.py).
+    compute_dtype: Literal["float32", "bfloat16"] = "float32"
+    # Mixed precision for the DFT GEMMs only (subsumed by compute_dtype;
+    # None follows compute_dtype). 'bfloat16' casts GEMM operands —
+    # accumulation stays f32 (ops/fourier.set_matmul_dtype, honored by the
+    # Pallas kernels at trace time).
     # Measured on TPU: inside the fused kernel bf16 ~ f32 speed (the step is
     # not multiply-bound at production shapes) with up to +7.6% max
     # per-transform error end-to-end — so the default stays f32; the knob
     # exists for bandwidth-bound XLA-path workloads.
-    matmul_dtype: Literal["float32", "bfloat16"] = "float32"
+    matmul_dtype: Optional[Literal["float32", "bfloat16"]] = None
     # Storage dtype of the device-resident measurement store (beyond the
     # reference, which keeps the whole dataset float32 on one GPU,
     # models.py:109). The dataset is the dominant HBM resident at production

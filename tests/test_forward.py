@@ -258,6 +258,7 @@ class TestSubsystems:
 
 
 class TestPallasFusedPath:
+    @pytest.mark.slow
     def test_fused_matches_jnp_path(self, rng):
         """Interpret-mode check of the fused Pallas multislice (value + grads)."""
         import dataclasses
@@ -305,6 +306,7 @@ class TestPallasFusedPath:
         (True, True, 1.0),
         (False, False, 0.8),  # custom init_occu != 1 must weight dp (r3 review)
     ])
+    @pytest.mark.slow
     def test_fused_loss_fold_matches_combined_loss(self, rng, shift_probes,
                                                    with_sparse, occu):
         """The loss-folded kernel path (fused_loss_terms: loss_single partial
@@ -370,6 +372,7 @@ class TestPallasFusedPath:
                 err_msg=f"fused-loss gradient mismatch: {name}",
             )
 
+    @pytest.mark.slow
     def test_fused_loss_fold_with_meas_pad(self, rng):
         """PSO-style on-the-fly measurement pad (stored crops embedded into a
         probe-sized background canvas, reference models.py:384-416) must give
@@ -450,6 +453,7 @@ class TestPallasFusedPath:
         # interpret off on CPU: kernel unavailable -> decline
         assert fused_loss_terms(params, buffers, geom, idx, mask, single_only) is None
 
+    @pytest.mark.slow
     def test_fused_per_position_probes(self, rng):
         """shift_probes gives per-position (B, pmode, N, N) probes; the fused
         kernel's per-sample probe-gradient path must match jnp, including
@@ -496,6 +500,7 @@ class TestPallasFusedPath:
         finally:
             pm.set_interpret(False)
 
+    @pytest.mark.slow
     def test_fused_dh_matches_jnp_elementwise(self, rng):
         """The kernel's propagator cotangent field must equal jnp's AD
         transpose elementwise (the dz/tilt scalars contract this field)."""
@@ -547,6 +552,7 @@ class TestPallasFusedPath:
         dp_fused, _ = forward(params, buffers, geom_fused, idx)
         np.testing.assert_allclose(np.asarray(dp_fused), np.asarray(dp_ref), atol=1e-7)
 
+    @pytest.mark.slow
     def test_fused_omode_loop_matches_jnp(self, rng):
         """omode > 1 runs as an XLA-level loop of per-mode kernel calls with
         the occu-weighted incoherent sum; values and grads must match the jnp
@@ -607,6 +613,7 @@ class TestPallasChainPath:
          (2, 4, 2, True, True),    # mixed-state object + per-position H
          (1, 1, 1, False, False)], # single-slice edge
     )
+    @pytest.mark.slow
     def test_chain_matches_jnp(self, rng, omode, nz, seg, need_dh, h_per_pos):
         from ptyrad_tpu.models.forward import multislice_dp
         from ptyrad_tpu.ops import cplx, pallas_chain as pch
@@ -653,6 +660,7 @@ class TestPallasChainPath:
                 err_msg=f"gradient mismatch: {name}",
             )
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("park", [True, False])
     def test_mega_chain_stack_matches_jnp(self, rng, park, monkeypatch):
         """The mega kernel (chain_stack: ALL uniform segments in one
@@ -715,6 +723,7 @@ class TestPallasChainPath:
                 err_msg=f"mega gradient mismatch (park={park}): {name}",
             )
 
+    @pytest.mark.slow
     def test_chain_auto_segmentation_matches_jnp(self, rng):
         """No seg_override: _best_sg plans the segment length itself. nz=11
         with the sg cap at 8 forces a mega/ragged split chosen by the
@@ -757,6 +766,7 @@ class TestPallasChainPath:
                 err_msg=f"auto-sg gradient mismatch: {name}",
             )
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("n,m", [(16, 8), (32, 8)])  # radix 2 and 4
     def test_chain_radix_matches_jnp(self, rng, n, m):
         """Radix-factored DFT passes (Cooley-Tukey split into M-point GEMMs
@@ -852,6 +862,7 @@ class TestPallasChainPath:
         np.testing.assert_allclose(np.asarray(g_chain.probe.re), np.asarray(g_ref.probe.re),
                                    rtol=1e-3, atol=1e-6)
 
+    @pytest.mark.slow
     def test_chain_on_mesh_matches_single_device(self, rng):
         """chain_segment under a registered kernel mesh (shard_map over
         'data', psum of shared-H cotangents) must match the single-device
@@ -903,6 +914,7 @@ class TestPallasChainPath:
                 err_msg=f"mesh gradient mismatch: {name}",
             )
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("need_dh", [False, True])
     def test_mega_chain_on_mesh_matches_single_device(self, rng, need_dh, monkeypatch):
         """The chain_stack (mega) kernel + ragged-tail segment under a
@@ -1026,3 +1038,127 @@ class TestPallasChainPath:
         np.testing.assert_allclose(
             np.asarray(g_fused.objp), np.asarray(g_ref.objp), rtol=1e-3, atol=1e-6
         )
+
+
+class TestComputeDtypePolicy:
+    """End-to-end bf16 compute policy (model_params.compute_dtype): the
+    reference's autocast equivalent (reconstruction.py:792-806). Parameters,
+    gradients, and the loss must stay f32; the wavefield runs bf16; and the
+    reconstruction must converge like f32 (VERDICT r4 item 2)."""
+
+    def test_bf16_dft_follows_input_dtype(self, rng):
+        """fft2 of a bf16 Cplx stays bf16 (f32 accumulation inside) and
+        matches the f32 transform to bf16 tolerance; f32 inputs still
+        return f32."""
+        from ptyrad_tpu.ops.fourier import fft2
+
+        x = rng.standard_normal((4, 32, 32)).astype(np.float32)
+        z32 = cplx.Cplx(jnp.asarray(x), jnp.asarray(x[::-1]))
+        z16 = z32.astype(jnp.bfloat16)
+        out32 = fft2(z32, norm="ortho")
+        out16 = fft2(z16, norm="ortho")
+        assert out32.dtype == jnp.float32
+        assert out16.dtype == jnp.bfloat16
+        scale = float(jnp.abs(out32.re).max())
+        np.testing.assert_allclose(
+            np.asarray(out16.re, np.float32), np.asarray(out32.re),
+            atol=0.02 * scale,
+        )
+
+    def test_bf16_forward_returns_f32_dp(self, rng):
+        from test_engine import make_synthetic
+
+        init, _ = make_synthetic(rng)
+        mp = {"compute_dtype": "bfloat16", "fwd_fused": False}
+        params, buffers, geom = make_model(init, mp)
+        assert geom.compute_dtype == "bfloat16"
+        assert params.obja.dtype == jnp.float32  # params stay f32
+        dp, _ = jax.jit(lambda p, i: forward(p, buffers, geom, i))(
+            params, jnp.arange(4)
+        )
+        assert dp.dtype == jnp.float32  # f32 intensity accumulation
+        g = jax.grad(
+            lambda p: jnp.sum(forward(p, buffers, geom, jnp.arange(4))[0])
+        )(params)
+        assert g.obja.dtype == jnp.float32  # f32 gradients
+        assert bool(jnp.all(jnp.isfinite(g.obja)))
+
+    @pytest.mark.slow
+    def test_bf16_policy_converges_like_f32(self, rng):
+        """Convergence gate (VERDICT r4 item 2): at equal iterations on a
+        Poisson-noised synthetic demo (1e5 counts/pattern — a realistic
+        dose; on NOISELESS data f32 converges below bf16's ~1% NRMSE
+        rounding floor, so a loss-delta gate is only physically meaningful
+        when the dose noise floor dominates, which is exactly the regime
+        where one would enable mixed precision), the bf16 policy must
+        (a) reconstruct the ground truth with phase corr >= 0.98 and within
+        0.005 of the f32 run's corr, and (b) land within 2% of the f32
+        run's loss when BOTH final states are evaluated with the same f32
+        forward (removing bf16 loss-measurement noise from the comparison).
+        Measured at these settings: delta 1.4%, corr 0.9891 vs f32 0.9917."""
+        from test_engine import make_synthetic
+
+        from ptyrad_tpu.engine.solver import build_train_epoch
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.optim import create_optimizer
+
+        init, true_phase = make_synthetic(rng)
+        counts = 1e5  # total electron counts per diffraction pattern
+        m = np.asarray(init["measurements"], np.float64)
+        init["measurements"] = (
+            np.random.default_rng(7).poisson(m * counts) / counts
+        ).astype(np.float32)
+
+        upd = {"obja": {"lr": 5e-3, "start_iter": 1},
+               "objp": {"lr": 5e-3, "start_iter": 1},
+               "probe": {"lr": 1e-4, "start_iter": 1}}
+        loss_params = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}}
+        n = init["measurements"].shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32).reshape(1, n)
+        mask = jnp.ones((1, n), jnp.float32)
+
+        from ptyrad_tpu.ops.fourier import set_matmul_dtype
+
+        results = {}
+        for cd in ("float32", "bfloat16"):
+            # full policy: compute_dtype implies bf16 GEMM operands too
+            # (solver does this wiring; replicated here for the raw loop)
+            set_matmul_dtype(cd)
+            try:
+                mp = {"update_params": upd, "compute_dtype": cd, "fwd_fused": False}
+                params, buffers, geom = make_model(init, mp)
+                optimizer, opt_state, _, start = create_optimizer(
+                    {"name": "Adam"}, upd, params)
+                train_epoch = build_train_epoch(
+                    buffers, geom, loss_params, optimizer, start)
+                for it in range(1, 61):
+                    params, opt_state, total, _ = train_epoch(
+                        params, opt_state, idx, mask, jnp.asarray(it, jnp.int32))
+            finally:
+                set_matmul_dtype("float32")
+            results[cd] = params
+
+        # evaluate BOTH final states with the same f32 forward+loss
+        _, bufs, geom32 = make_model(init, {"update_params": upd, "fwd_fused": False})
+
+        def eval_f32(params):
+            dp, patches = jax.jit(lambda p, i: forward(p, bufs, geom32, i))(
+                params, jnp.arange(n))
+            total, _ = combined_loss(
+                dp, bufs.measurements, patches, bufs.omode_occu, loss_params, None)
+            return float(total)
+
+        e32, e16 = eval_f32(results["float32"]), eval_f32(results["bfloat16"])
+        assert np.isfinite(e16)
+        assert abs(e16 - e32) / e32 < 0.02, (e16, e32)
+
+        w = slice(16, 16 + 5 * 3)
+        t = true_phase[w, w].ravel()
+
+        def corr_truth(params):
+            o = np.asarray(params.objp).sum(1)[0][w, w].ravel()
+            return float(np.corrcoef(o, t)[0, 1])
+
+        c32, c16 = corr_truth(results["float32"]), corr_truth(results["bfloat16"])
+        assert c16 >= 0.98, c16
+        assert c16 >= c32 - 0.005, (c16, c32)
