@@ -486,7 +486,58 @@ def run_tbl(result):
         "final_loss": round(float(total), 4),
         "loss_finite": bool(np.isfinite(float(total))),
     })
-    return params, opt_state, one_iter
+    return params, opt_state, one_iter, init
+
+
+def run_bf16_leg(result, init):
+    """Time a few epochs under the bf16 compute policy
+    (model_params.compute_dtype, the reference's autocast equivalent) —
+    records the policy's measured speedup field (VERDICT r4 item 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptyrad_tpu.constraints import ConstraintScheduler
+    from ptyrad_tpu.engine.solver import build_train_epoch
+    from ptyrad_tpu.models import make_model
+    from ptyrad_tpu.optim import create_optimizer
+    from ptyrad_tpu.ops.fourier import set_matmul_dtype
+
+    set_matmul_dtype("bfloat16")
+    try:
+        mp = {"update_params": UPDATE_PARAMS, "compute_dtype": "bfloat16"}
+        params, buffers, geom = make_model(init, mp)
+        optimizer, opt_state, _, start = create_optimizer(
+            {"name": "Adam"}, UPDATE_PARAMS, params)
+        train_epoch = build_train_epoch(buffers, geom, LOSS_PARAMS, optimizer, start)
+        constraint_fn = ConstraintScheduler(CONSTRAINT_PARAMS, geom)
+        n_batches = N_SCANS // BATCH
+        idx_all = jnp.asarray(
+            np.random.default_rng(0).permutation(N_SCANS).reshape(n_batches, BATCH),
+            jnp.int32)
+        mask_all = jnp.ones(idx_all.shape, jnp.float32)
+
+        best = float("inf")
+        total = None
+        for niter in range(1, 5):
+            t0 = time.perf_counter()
+            params, opt_state, total, _ = train_epoch(
+                params, opt_state, idx_all, mask_all, jnp.asarray(niter, jnp.int32))
+            params = constraint_fn(params, buffers, niter)
+            np.asarray(params.slice_thickness)  # execution barrier
+            dt = time.perf_counter() - t0
+            if niter > 1:  # skip the compile iteration
+                best = min(best, dt)
+            log(f"bf16 iter {niter}: {dt:.2f}s loss={float(total):.4f}")
+            if remaining() < 120:
+                break
+        if np.isfinite(best):
+            result["bf16_patterns_per_sec"] = round(N_SCANS / best, 1)
+            if result.get("value"):
+                result["bf16_speedup_vs_f32"] = round(
+                    (N_SCANS / best) / result["value"], 3)
+        result["bf16_loss_finite"] = bool(total is not None and np.isfinite(float(total)))
+    finally:
+        set_matmul_dtype("float32")
 
 
 def run_trace_leg(result, params, opt_state, one_iter):
@@ -534,12 +585,12 @@ def main():
         devs = init_backend_with_retry(max_wait=min(600.0, BUDGET_S * 0.4))
         result["device"] = str(devs[0])
 
-        state = run_tbl(result)
+        tbl_params, tbl_opt, tbl_iter, tbl_init = run_tbl(result)
         emit(result)  # primary leg is now on the record whatever happens next
 
         if remaining() > 150:
             try:
-                run_trace_leg(result, *state)
+                run_trace_leg(result, tbl_params, tbl_opt, tbl_iter)
                 emit(result)
             except BenchTimeout:
                 raise
@@ -572,6 +623,16 @@ def main():
                 result["pso_error"] = repr(e)[:200]
         else:
             result["pso_skipped"] = f"budget: {remaining():.0f}s left"
+
+        if remaining() > 300:
+            emit(result)
+            try:
+                run_bf16_leg(result, tbl_init)
+            except BenchTimeout:
+                raise
+            except Exception as e:  # noqa: BLE001
+                log(f"bf16 leg failed: {e!r:.200}")
+                result["bf16_error"] = repr(e)[:200]
     except BenchTimeout as e:
         result["error"] = str(e)
         log(f"WATCHDOG: {e}")
