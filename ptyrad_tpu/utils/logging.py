@@ -20,9 +20,19 @@ _LOGGER_NAME = "ptyrad_tpu"
 
 
 def _is_main_process() -> bool:
+    """True on JAX process 0 — WITHOUT triggering backend initialization.
+
+    jax.process_index() initializes the platform on first call; a pure log
+    statement must never block on (or crash with) an unreachable TPU
+    tunnel. Until some real computation has brought a backend up, every
+    process is by definition single-process, so printing is correct.
+    """
     try:
         import jax
+        from jax._src import xla_bridge
 
+        if not xla_bridge._backends:  # no backend yet -> don't create one
+            return True
         return jax.process_index() == 0
     except Exception:
         return True

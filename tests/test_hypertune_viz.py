@@ -112,6 +112,14 @@ import random
 import sys
 import time
 
+import jax
+
+# env vars alone are overridden by the axon sitecustomize (CLAUDE.md); the
+# config update — BEFORE any backend use — is what actually pins CPU. The
+# tuner itself is host-only, but vprint's rank gating calls
+# jax.process_index(), which would otherwise initialize the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, sys.argv[3])
 from ptyrad_tpu.engine.tuner import RandomSampler, Study
 
