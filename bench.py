@@ -131,6 +131,8 @@ def init_backend_with_retry(max_wait=600.0):
                 ) from e
             log(f"backend init attempt {attempt} failed ({e!r:.120}); retry in {delay:.0f}s")
             try:  # best-effort: drop any cached half-initialized backend state
+                import jax.extend.backend  # subpackage: not reachable via bare `import jax`
+
                 jax.extend.backend.clear_backends()
             except Exception:  # noqa: BLE001
                 pass
@@ -481,11 +483,15 @@ def run_tbl(result):
     hi = lo + (SCAN_SIDE - 1) * STEP_PX
     corr = float(np.corrcoef(rec[lo:hi, lo:hi].ravel(), tru[lo:hi, lo:hi].ravel())[0, 1])
     result.update({
-        "phase_corr_after_10_iters": round(corr, 3),
+        "phase_corr": round(corr, 3),
         "quality_iters_done": niter - 1,
         "final_loss": round(float(total), 4),
         "loss_finite": bool(np.isfinite(float(total))),
     })
+    if niter - 1 >= QUALITY_ITERS:
+        # historical key (BENCH_r01..r04 comparisons) — only when the
+        # quality loop actually reached 10 iterations
+        result["phase_corr_after_10_iters"] = round(corr, 3)
     return params, opt_state, one_iter, init
 
 
@@ -543,9 +549,13 @@ def run_bf16_leg(result, init):
 def run_trace_leg(result, params, opt_state, one_iter):
     """Trace one full epoch+constraints iteration and record device-lane
     time per step — the load-noise-immune number (VERDICT r4 item 1c)."""
+    import tempfile
+
     import jax
 
-    logdir = "/tmp/bench_trace"
+    # unique per run: a fixed dir could hold a stale trace from a previous
+    # run, and the glob-newest parse would report that run's device time
+    logdir = tempfile.mkdtemp(prefix="bench_trace_")
     t0 = time.perf_counter()
     with jax.profiler.trace(logdir):
         one_iter(params, opt_state, QUALITY_ITERS + 1)

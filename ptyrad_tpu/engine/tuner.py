@@ -83,6 +83,15 @@ class Storage:
                 self._conn.commit()
                 return cur
             except sqlite3.OperationalError as e:
+                # roll back BEFORE retrying: under the rollback-journal
+                # fallback a lock error can hit the COMMIT after the
+                # statement already ran inside the open transaction, and
+                # re-executing an INSERT there would persist BOTH rows once
+                # the commit finally succeeds (phantom RUNNING trials)
+                try:
+                    self._conn.rollback()
+                except sqlite3.OperationalError:
+                    pass
                 if "locked" not in str(e) and "busy" not in str(e):
                     raise
                 if attempt == tries - 1:

@@ -127,11 +127,13 @@ def multislice_dp(
     obj_last = polar(obja_patches[:, :, n_slices - 1], objp_patches[:, :, n_slices - 1])
     psi = psi * obj_last[:, None]
 
-    # the DETECTOR-plane transform feeds the data loss directly, so it runs
-    # f32 even under the bf16 policy (same reasoning as torch.autocast's
-    # fft promote-to-f32 list); the Nz-1 inter-slice transforms — the bulk
-    # of the FLOPs and bandwidth — stay bf16
-    psi_k = fftshift2(fft2(psi.astype(jnp.float32), norm="ortho"))
+    # the DETECTOR-plane transform feeds the data loss directly, so under
+    # the bf16 policy it runs truly f32 — operands pinned via exact=True,
+    # since the policy also flips the global matmul dtype to bf16 (same
+    # reasoning as torch.autocast's fft promote-to-f32 list); the Nz-1
+    # inter-slice transforms — the bulk of the FLOPs/bandwidth — stay bf16
+    psi_k = fftshift2(fft2(psi.astype(jnp.float32), norm="ortho",
+                           exact=compute_dtype != jnp.float32))
     intensity = psi_k.abs2()  # (B, pmode, omode, Ny, Nx)
     dp = jnp.sum(intensity * omode_occu[:, None, None], axis=(1, 2)) + eps
     return dp

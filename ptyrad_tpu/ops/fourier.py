@@ -71,36 +71,44 @@ def _as_cplx(x) -> Cplx:
     return Cplx(x, jnp.zeros_like(x))
 
 
-def _gemm_and_out_dtype(x: Cplx):
+def _gemm_and_out_dtype(x: Cplx, exact: bool = False):
     """(GEMM operand dtype, output dtype) for a DFT of x.
 
     bf16 INPUT (the compute_dtype=bfloat16 policy keeps the wavefield in
     bf16 between ops) stays bf16 on output so downstream elementwise math
     remains half-width; accumulation inside the matmul is always f32
     (preferred_element_type in matmul_const). f32 input follows the
-    set_matmul_dtype switch for operands but always returns f32.
+    set_matmul_dtype switch for operands but always returns f32; exact=True
+    pins f32 operands regardless of the global switch (used for the
+    detector-plane transform under the bf16 policy, which feeds the data
+    loss directly).
     """
     if x.dtype == jnp.bfloat16:
         return jnp.bfloat16, jnp.bfloat16
+    if exact:
+        return jnp.float32, jnp.float32
     return (jnp.bfloat16 if _MATMUL_DTYPE == "bfloat16" else jnp.float32), jnp.float32
 
 
-def _dft_last_axis(x: Cplx, inverse: bool) -> Cplx:
-    dt, out_dt = _gemm_and_out_dtype(x)
+def _dft_last_axis(x: Cplx, inverse: bool, exact: bool = False) -> Cplx:
+    dt, out_dt = _gemm_and_out_dtype(x, exact)
     fr, fi, frpi = (jnp.asarray(m, dtype=dt) for m in _dft_consts(x.shape[-1], inverse))
     return matmul_const(fr, fi, frpi, x.astype(dt), side="right").astype(out_dt)
 
 
-def _dft_row_axis(x: Cplx, inverse: bool) -> Cplx:
-    dt, out_dt = _gemm_and_out_dtype(x)
+def _dft_row_axis(x: Cplx, inverse: bool, exact: bool = False) -> Cplx:
+    dt, out_dt = _gemm_and_out_dtype(x, exact)
     fr, fi, frpi = (jnp.asarray(m, dtype=dt) for m in _dft_consts(x.shape[-2], inverse))
     return matmul_const(fr, fi, frpi, x.astype(dt), side="left").astype(out_dt)
 
 
-def fft2(x, norm: str | None = None) -> Cplx:
-    """2D DFT over the last two axes. Accepts Cplx or a real array."""
+def fft2(x, norm: str | None = None, exact: bool = False) -> Cplx:
+    """2D DFT over the last two axes. Accepts Cplx or a real array.
+
+    exact=True forces f32 GEMM operands for f32 inputs even when the
+    global matmul dtype is bf16 (no effect on bf16 inputs)."""
     x = _as_cplx(x)
-    out = _dft_last_axis(_dft_row_axis(x, False), False)
+    out = _dft_last_axis(_dft_row_axis(x, False, exact), False, exact)
     if norm == "ortho":
         out = out * float(1.0 / np.sqrt(x.shape[-2] * x.shape[-1]))  # weak type: keeps bf16 bf16
     return out

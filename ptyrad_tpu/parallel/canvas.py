@@ -131,12 +131,17 @@ def build_canvas_sharded_loss(
     plan: CanvasPlan,
     loss_params: Optional[dict] = None,
 ):
-    """Jittable `loss(params) -> scalar` with the canvas spatially sharded.
+    """Build the canvas-sharded loss: returns (loss_fn, (pos_local, meas)).
 
-    `jax.value_and_grad` of the returned function yields canvas gradients in
-    the SAME row-sharded layout (the gather's AD transpose scatter-adds into
-    the local slab; the halo strip's gradient rides the ppermute transpose
-    back to its owner) — the replicated-canvas allreduce disappears.
+    `loss_fn(params, pos_local, meas) -> scalar`; the returned pos_local /
+    meas are the slab-grouped, mesh-sharded device arrays to pass in. They
+    are jit ARGUMENTS, never closed over — a closed-over measurement store
+    would serialize into the remotely-compiled program (CLAUDE.md
+    architecture invariant); only the small constants (H, omode_occu) close
+    over. `jax.value_and_grad(loss_fn)` yields canvas gradients in the SAME
+    row-sharded layout (the gather's AD transpose scatter-adds into the
+    local slab; the halo strip's gradient rides the ppermute transpose back
+    to its owner) — the replicated-canvas allreduce disappears.
     """
     from ptyrad_tpu.losses import merge_loss_params
 
@@ -207,10 +212,10 @@ def build_canvas_sharded_loss(
         check_vma=False,  # ppermute + psum manage replication explicitly
     )
 
-    def loss_fn(params: PtychoParams):
+    def loss_fn(params: PtychoParams, pos_l, meas_l):
         return sharded(
             params.obja, params.objp, params.probe.re, params.probe.im,
-            buffers.H.re, buffers.H.im, buffers.omode_occu, pos_local, meas,
+            buffers.H.re, buffers.H.im, buffers.omode_occu, pos_l, meas_l,
         )
 
-    return loss_fn
+    return loss_fn, (pos_local, meas)

@@ -31,9 +31,16 @@ def _is_main_process() -> bool:
         import jax
         from jax._src import xla_bridge
 
-        if not xla_bridge._backends:  # no backend yet -> don't create one
-            return True
-        return jax.process_index() == 0
+        if xla_bridge._backends:  # backend already up: authoritative
+            return jax.process_index() == 0
+        # No backend yet: don't create one. Multi-host launches initialize
+        # jax.distributed BEFORE any backend exists (cli --multihost), and
+        # its process_id is readable without platform init — so startup
+        # logs stay rank-0-gated instead of printing on every host.
+        from jax._src import distributed
+
+        pid = distributed.global_state.process_id
+        return pid is None or pid == 0
     except Exception:
         return True
 

@@ -1140,9 +1140,10 @@ class TestCanvasSharding:
         plan = plan_canvas_sharding(
             np.asarray(buffers.crop_pos), noy, geom.probe_shape[0], 8)
         assert plan.b_local * 8 == geom.n_scans
-        loss_fn = build_canvas_sharded_loss(buffers, geom, mesh, plan, loss_params)
+        loss_fn, (pos_l, meas_l) = build_canvas_sharded_loss(
+            buffers, geom, mesh, plan, loss_params)
         params_sh = shard_canvas_params(params, plan, mesh)
-        val, grad = jax.jit(jax.value_and_grad(loss_fn))(params_sh)
+        val, grad = jax.jit(jax.value_and_grad(loss_fn))(params_sh, pos_l, meas_l)
 
         np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
         for name in ("obja", "objp"):

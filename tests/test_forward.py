@@ -1142,10 +1142,10 @@ class TestComputeDtypePolicy:
         _, bufs, geom32 = make_model(init, {"update_params": upd, "fwd_fused": False})
 
         def eval_f32(params):
-            dp, patches = jax.jit(lambda p, i: forward(p, bufs, geom32, i))(
+            dp, (oa, op_) = jax.jit(lambda p, i: forward(p, bufs, geom32, i))(
                 params, jnp.arange(n))
             total, _ = combined_loss(
-                dp, bufs.measurements, patches, bufs.omode_occu, loss_params, None)
+                dp, bufs.measurements, oa, op_, bufs.omode_occu, loss_params, None)
             return float(total)
 
         e32, e16 = eval_f32(results["float32"]), eval_f32(results["bfloat16"])
