@@ -58,6 +58,14 @@ PSO_QUALITY_ITERS = 12  # PSO leg: iterations before its phase-corr readout
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
 _T_START = time.perf_counter()
 
+# BENCH_SMOKE=1: tiny shapes on CPU — proves the harness machinery (staged
+# JSON, retry, watchdog, trace parse, all four legs) end-to-end without the
+# TPU. Never a performance record; the JSON carries "smoke": true.
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+if SMOKE:
+    N_SCANS, NPIX, PMODE, NZ, BATCH, SCAN_SIDE = 64, 32, 2, 2, 8, 8
+    TIMED_ITERS, QUALITY_ITERS, PSO_QUALITY_ITERS = 2, 3, 3
+
 LOSS_PARAMS = {
     "loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5},
     "loss_sparse": {"state": True, "weight": 0.1, "ln_order": 1},
@@ -233,7 +241,7 @@ def build_workload():
     # lax.map over chunk rows = one program, no eager ops, no concat.
     # chunk 512: b=2048 pushes the patch-gather kernel's scalar prefetch
     # past the 1 MB SMEM space (measured: exceeded by 144 B)
-    chunk = 512
+    chunk = min(512, N_SCANS)
 
     @jax.jit
     def sim_all(p):
@@ -280,7 +288,8 @@ def bench_pso(deadline_s):
     from ptyrad_tpu.physics import make_mixed_probe, make_stem_probe, near_field_evolution
     from ptyrad_tpu.physics.constants import electron_wavelength
 
-    n_scans, npix, pmode, nz, batch, grid, step_px = 4096, 256, 4, 21, 32, 64, 3
+    n_scans, npix, pmode, nz, batch, grid, step_px = (
+        (64, 64, 2, 3, 8, 8, 3) if SMOKE else (4096, 256, 4, 21, 32, 64, 3))
     kv, conv, dx, dz = 300.0, 25.0, 0.4, 10.0
     lam = electron_wavelength(kv)
     rng = np.random.default_rng(1)
@@ -316,7 +325,7 @@ def bench_pso(deadline_s):
 
     @jax.jit
     def sim_all(p):
-        idx = jnp.arange(n_scans, dtype=jnp.int32).reshape(-1, 256)
+        idx = jnp.arange(n_scans, dtype=jnp.int32).reshape(-1, min(256, n_scans))
         dps = jax.lax.map(lambda i: forward(p, buffers, geom, i)[0], idx)
         dps = dps.reshape(n_scans, npix, npix)
         return dps, jnp.sum(dps[-1])
@@ -592,6 +601,9 @@ def main():
         import jax
 
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        if SMOKE:
+            jax.config.update("jax_platforms", "cpu")
+            result["smoke"] = True
         devs = init_backend_with_retry(max_wait=min(600.0, BUDGET_S * 0.4))
         result["device"] = str(devs[0])
 

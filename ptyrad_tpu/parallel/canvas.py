@@ -16,11 +16,13 @@ rows of the next one — one nearest-neighbor ppermute per step (plus its
 transpose in the backward pass), both riding ICI. Compare the replicated
 design: a full-canvas psum (omode*Nz*Noy*Nox floats) every step.
 
-Prototype scope (asserted): fixed propagator (no optimizable dz/tilts), no
-probe position shifts, no on-the-fly measurement pad/resample, loss_single
-only, and a scan whose positions distribute evenly over slabs (true for
-raster scans when n_devices divides the scan rows). The memory model and the
-path to lifting each restriction are documented in docs/performance.md.
+Supported: arbitrary (unbalanced) position-to-slab distributions via
+mask-padded per-slab batches, and per-position sub-pixel probe shifts (the
+shifts gather rides the slab permutation; its transpose scatters gradients
+back to the replicated layout). Prototype scope (asserted): fixed propagator
+(no optimizable dz/tilts), no on-the-fly measurement pad/resample,
+loss_single only. The memory model and the path to lifting each remaining
+restriction are documented in docs/performance.md.
 
 Gradient correctness is asserted against the replicated path in
 tests/test_engine.py::TestCanvasSharding and __graft_entry__.dryrun_multichip
@@ -56,21 +58,22 @@ class CanvasPlan:
     """Host-side sharding plan for one (scan, canvas, mesh) combination."""
 
     n_dev: int
-    rows_local: int     # canvas rows per device (after padding)
-    noy_pad: int        # rows_local * n_dev >= Noy
-    halo: int           # rows borrowed from the next slab (= probe Ny)
-    b_local: int        # scan positions per device
-    order: np.ndarray   # (N,) permutation grouping positions by slab
+    rows_local: int       # canvas rows per device (after padding)
+    noy_pad: int          # rows_local * n_dev >= Noy
+    halo: int             # rows borrowed from the next slab (= probe Ny)
+    b_local: int          # scan positions per device (max over slabs)
+    pos_index: np.ndarray  # (n_dev*b_local,) global position index per slot
+    mask: np.ndarray       # (n_dev*b_local,) f32: 1 real slot, 0 padding
 
 
 def plan_canvas_sharding(crop_pos: np.ndarray, noy: int, probe_ny: int, n_dev: int) -> CanvasPlan:
     """Assign each scan position to the slab containing its patch's top row.
 
-    Raises when a patch would span more than two slabs (halo > slab height)
-    or when slabs get unequal position counts — the prototype requires a
-    balanced raster-like scan (SPMD needs one static per-device batch shape;
-    the production lift is mask-padding each slab's list to the max count,
-    exactly how ragged batches are already handled in engine/batching.py).
+    Slabs with fewer positions than the busiest one are mask-padded to a
+    common per-device batch shape (SPMD needs one static shape; padding
+    slots gather position 0 and contribute zero through the mask — the same
+    mechanism engine/batching.pad_batches uses for ragged batches). Raises
+    when a patch would span more than two slabs (halo > slab height).
     """
     crop_pos = np.asarray(crop_pos)
     rows_local = -(-int(noy) // n_dev)
@@ -82,18 +85,26 @@ def plan_canvas_sharding(crop_pos: np.ndarray, noy: int, probe_ny: int, n_dev: i
         )
     slab = np.minimum(crop_pos[:, 0] // rows_local, n_dev - 1)
     counts = np.bincount(slab, minlength=n_dev)
-    if counts.min() != counts.max():
-        raise ValueError(
-            f"canvas sharding prototype needs equal positions per slab; got {counts.tolist()}"
-        )
-    order = np.argsort(slab, kind="stable")
+    b_local = int(counts.max())
+    if b_local == 0:
+        raise ValueError("canvas sharding: no scan positions")
+    pos_index = np.zeros((n_dev, b_local), np.int64)
+    mask = np.zeros((n_dev, b_local), np.float32)
+    for d in range(n_dev):
+        mine = np.nonzero(slab == d)[0]
+        pos_index[d, : len(mine)] = mine
+        mask[d, : len(mine)] = 1.0
+        # padding slots keep index 0: a valid gather target whose patch may
+        # live on another slab — its LOCAL row is clamped into range by
+        # dynamic_slice semantics and its contribution is masked to zero
     return CanvasPlan(
         n_dev=n_dev,
         rows_local=rows_local,
         noy_pad=rows_local * n_dev,
         halo=halo,
-        b_local=int(counts[0]),
-        order=order,
+        b_local=b_local,
+        pos_index=pos_index.ravel(),
+        mask=mask.ravel(),
     )
 
 
@@ -144,11 +155,12 @@ def build_canvas_sharded_loss(
     to its owner) — the replicated-canvas allreduce disappears.
     """
     from ptyrad_tpu.losses import merge_loss_params
+    from ptyrad_tpu.ops.shift import fourier_shift
 
-    if geom.shift_probes or geom.tilt_obj or geom.change_thickness:
+    if geom.tilt_obj or geom.change_thickness:
         raise NotImplementedError(
-            "canvas-sharding prototype: probe shifts / tilts / dz optimization "
-            "not yet supported (they need per-position params grouped by slab)"
+            "canvas-sharding prototype: tilt / dz optimization not yet "
+            "supported (per-position propagators grouped by slab)"
         )
     if geom.meas_pad_idx is not None or geom.meas_scale_factors is not None:
         raise NotImplementedError("canvas sharding with on-the-fly pad/resample")
@@ -163,19 +175,21 @@ def build_canvas_sharded_loss(
     weight = float(sp["weight"])
 
     n_dev, halo = plan.n_dev, plan.halo
-    # host-side grouping: positions/measurements reordered by slab; row
+    # host-side grouping: positions/measurements gathered into slab order
+    # (mask-padded slots re-gather position 0 and contribute zero); row
     # coordinates rebased to each slab's first row
-    order = plan.order
-    pos = np.asarray(buffers.crop_pos)[order].astype(np.int32)
+    pos = np.asarray(buffers.crop_pos)[plan.pos_index].astype(np.int32)
     slab_first_row = (np.arange(n_dev) * plan.rows_local).repeat(plan.b_local)
     pos_local = pos.copy()
     pos_local[:, 0] -= slab_first_row.astype(np.int32)
-    meas = np.asarray(buffers.measurements)[order]
+    meas = np.asarray(buffers.measurements)[plan.pos_index]
 
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
     pos_local = jax.device_put(pos_local, batch_sh)
     meas = jax.device_put(meas, batch_sh)
-    n_total = pos.shape[0]
+    mask = jax.device_put(plan.mask, batch_sh)
+    pos_index = jnp.asarray(plan.pos_index)  # tiny constant: gathers shifts
+    n_valid = float(plan.mask.sum())
     npix = meas.shape[-2] * meas.shape[-1]
     # send each slab's TOP `halo` rows to the PREVIOUS device, whose patches
     # may extend past its slab's last row. The wrap pair (0 -> n-1) carries
@@ -183,39 +197,50 @@ def build_canvas_sharded_loss(
     # bottom), so its cotangent is zero and the exchange stays correct.
     perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
-    def local_loss(obja_sh, objp_sh, probe_re, probe_im, h_re, h_im, occu, pos_l, meas_l):
+    def local_loss(obja_sh, objp_sh, probe_re, probe_im, h_re, h_im, occu,
+                   pos_l, meas_l, shifts_l, mask_l):
         top_a = jax.lax.ppermute(obja_sh[:, :, :halo], DATA_AXIS, perm)
         top_p = jax.lax.ppermute(objp_sh[:, :, :halo], DATA_AXIS, perm)
         ext_a = jnp.concatenate([obja_sh, top_a], axis=2)
         ext_p = jnp.concatenate([objp_sh, top_p], axis=2)
         pa = extract_patches(ext_a, pos_l, geom.probe_shape)
         pp = extract_patches(ext_p, pos_l, geom.probe_shape)
-        probes = Cplx(probe_re, probe_im)[None]
+        probe = Cplx(probe_re, probe_im)
+        if geom.shift_probes:
+            probes = fourier_shift(probe, shifts_l)  # (b_local, pmode, Ny, Nx)
+        else:
+            probes = probe[None]
         H = Cplx(h_re, h_im)[None]
         dp = multislice_dp(
             pa, pp, probes, H, occu, eps=geom.eps,
             compute_dtype=(jnp.bfloat16 if geom.compute_dtype == "bfloat16"
                            else jnp.float32),
         )
+        w = mask_l[:, None, None]
         mp = meas_l**p
-        s1 = jax.lax.psum(jnp.sum((dp**p - mp) ** 2), DATA_AXIS)
-        s2 = jax.lax.psum(jnp.sum(mp), DATA_AXIS)
-        denom = float(n_total * npix)
+        s1 = jax.lax.psum(jnp.sum(w * (dp**p - mp) ** 2), DATA_AXIS)
+        s2 = jax.lax.psum(jnp.sum(w * mp), DATA_AXIS)
+        denom = n_valid * npix
         return weight * jnp.sqrt(s1 / denom) / (s2 / denom)
 
     sharded = shard_map(
         local_loss,
         mesh=mesh,
         in_specs=(CANVAS_SPEC, CANVAS_SPEC, P(), P(), P(), P(), P(),
-                  P(DATA_AXIS), P(DATA_AXIS)),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(),
         check_vma=False,  # ppermute + psum manage replication explicitly
     )
 
     def loss_fn(params: PtychoParams, pos_l, meas_l):
+        # per-slot sub-pixel shifts: gathered from the (N, 2) param in slab
+        # order; the gather's transpose scatter-adds slot gradients back to
+        # the replicated layout (padding slots carry zero via the mask)
+        shifts = params.probe_pos_shifts[pos_index]
         return sharded(
             params.obja, params.objp, params.probe.re, params.probe.im,
-            buffers.H.re, buffers.H.im, buffers.omode_occu, pos_l, meas_l,
+            buffers.H.re, buffers.H.im, buffers.omode_occu,
+            pos_l, meas_l, shifts, mask,
         )
 
     return loss_fn, (pos_local, meas)

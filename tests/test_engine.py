@@ -1158,11 +1158,75 @@ class TestCanvasSharding:
             np.asarray(grad.probe.re), np.asarray(ref_grad.probe.re),
             atol=1e-5 * max(float(np.abs(np.asarray(ref_grad.probe.re)).max()), 1e-3))
 
-    def test_plan_rejects_unbalanced_and_oversized(self, rng):
+    def test_plan_mask_pads_unbalanced_and_rejects_oversized(self, rng):
         from ptyrad_tpu.parallel.canvas import plan_canvas_sharding
 
         pos = np.array([[0, 0], [1, 0], [2, 0], [300, 0]], np.int32)
-        with pytest.raises(ValueError, match="equal positions"):
-            plan_canvas_sharding(pos, 320, 32, 4)
+        # 3 positions in slab 0, 1 in slab 3, none in slabs 1/2 -> b_local 3,
+        # padding slots masked out and pointing at position 0
+        plan = plan_canvas_sharding(pos, 320, 32, 4)
+        assert plan.b_local == 3
+        assert plan.mask.sum() == 4
+        m = plan.mask.reshape(4, 3)
+        np.testing.assert_array_equal(m[0], [1, 1, 1])
+        np.testing.assert_array_equal(m[1], [0, 0, 0])
+        np.testing.assert_array_equal(m[3], [1, 0, 0])
+        assert plan.pos_index.reshape(4, 3)[3, 0] == 3
         with pytest.raises(ValueError, match="probe height"):
             plan_canvas_sharding(pos, 320, 200, 4)
+
+    def test_unbalanced_slabs_and_probe_shifts_match_replicated(self, rng):
+        """The two lifted restrictions together: an UNBALANCED position
+        distribution (mask-padded slabs) with per-position sub-pixel probe
+        shifts optimizable — loss and gradients (canvas, probe, AND the
+        probe_pos_shifts rows, which ride the slab gather's transpose) must
+        equal the replicated path's."""
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import forward as fwd_fn
+        from ptyrad_tpu.parallel.canvas import (
+            build_canvas_sharded_loss,
+            plan_canvas_sharding,
+            shard_canvas_params,
+            unshard_canvas,
+        )
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)  # 36 positions over 8 slabs: ragged
+        init["probe_pos_shifts"] = (0.3 * rng.standard_normal(
+            init["probe_pos_shifts"].shape)).astype(np.float32)
+        mp = {"fwd_fused": False,
+              "update_params": {"probe_pos_shifts": {"lr": 1e-3, "start_iter": 1}}}
+        params, buffers, geom = make_model(init, mp)
+        assert geom.shift_probes
+        noy = geom.obj_shape[2]
+        loss_params = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}}
+
+        def ref_loss(p):
+            dp, (oa, op_) = fwd_fn(p, buffers, geom, jnp.arange(geom.n_scans))
+            total, _ = combined_loss(
+                dp, buffers.measurements, oa, op_, buffers.omode_occu,
+                loss_params, None)
+            return total
+
+        ref_val, ref_grad = jax.jit(jax.value_and_grad(ref_loss))(params)
+
+        mesh = make_mesh(8)
+        plan = plan_canvas_sharding(
+            np.asarray(buffers.crop_pos), noy, geom.probe_shape[0], 8)
+        counts = plan.mask.reshape(8, -1).sum(1)
+        assert counts.min() != counts.max()  # genuinely unbalanced
+        loss_fn, (pos_l, meas_l) = build_canvas_sharded_loss(
+            buffers, geom, mesh, plan, loss_params)
+        params_sh = shard_canvas_params(params, plan, mesh)
+        val, grad = jax.jit(jax.value_and_grad(loss_fn))(params_sh, pos_l, meas_l)
+
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+        for name in ("obja", "objp"):
+            a = np.asarray(getattr(ref_grad, name))
+            b = unshard_canvas(getattr(grad, name), noy)
+            tol = 1e-5 * max(float(np.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(b, a, atol=tol, err_msg=name)
+        a = np.asarray(ref_grad.probe_pos_shifts)
+        b = np.asarray(grad.probe_pos_shifts)
+        np.testing.assert_allclose(
+            b, a, atol=1e-5 * max(float(np.abs(a).max()), 1e-3))
