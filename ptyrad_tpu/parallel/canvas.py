@@ -244,3 +244,33 @@ def build_canvas_sharded_loss(
         )
 
     return loss_fn, (pos_local, meas)
+
+
+def build_canvas_train_step(
+    buffers: Buffers,
+    geom: Geometry,
+    mesh: Mesh,
+    plan: CanvasPlan,
+    loss_params: Optional[dict],
+    optimizer,
+):
+    """Jittable full-batch training step over the canvas-sharded loss:
+    `step(params, opt_state, pos_l, meas_l) -> (params', opt_state', loss)`.
+
+    The optimizer update runs on the row-sharded canvas leaves directly —
+    Adam moments shard with them, so per-device optimizer memory also drops
+    by the mesh size. Multi-iteration equality with the replicated training
+    loop is asserted in tests/test_engine.py::TestCanvasSharding.
+    """
+    loss_fn, inputs = build_canvas_sharded_loss(buffers, geom, mesh, plan, loss_params)
+
+    import optax
+
+    @jax.jit
+    def step(params: PtychoParams, opt_state, pos_l, meas_l):
+        loss, grads = jax.value_and_grad(loss_fn)(params, pos_l, meas_l)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, inputs

@@ -1158,6 +1158,66 @@ class TestCanvasSharding:
             np.asarray(grad.probe.re), np.asarray(ref_grad.probe.re),
             atol=1e-5 * max(float(np.abs(np.asarray(ref_grad.probe.re)).max()), 1e-3))
 
+    def test_canvas_sharded_training_matches_replicated(self, rng):
+        """FIVE Adam iterations through build_canvas_train_step (optimizer
+        moments row-sharded with the canvas) equal the replicated full-batch
+        loop's trajectory — the prototype trains, not just differentiates."""
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import forward as fwd_fn
+        from ptyrad_tpu.parallel.canvas import (
+            build_canvas_train_step,
+            plan_canvas_sharding,
+            shard_canvas_params,
+            unshard_canvas,
+        )
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng)
+        upd = {"obja": {"lr": 1e-3, "start_iter": 1},
+               "objp": {"lr": 1e-3, "start_iter": 1}}
+        params, buffers, geom = make_model(init, {"fwd_fused": False,
+                                                  "update_params": upd})
+        noy = geom.obj_shape[2]
+        loss_params = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}}
+
+        # replicated reference trajectory
+        def ref_loss(p):
+            dp, (oa, op_) = fwd_fn(p, buffers, geom, jnp.arange(geom.n_scans))
+            total, _ = combined_loss(
+                dp, buffers.measurements, oa, op_, buffers.omode_occu,
+                loss_params, None)
+            return total
+
+        tx_r, st_r, _, _ = create_optimizer({"name": "Adam"}, upd, params)
+        vg = jax.jit(jax.value_and_grad(ref_loss))
+        p_r, losses_r = params, []
+        import optax as _optax
+        for _ in range(5):
+            val, g = vg(p_r)
+            up, st_r = tx_r.update(g, st_r, p_r)
+            p_r = _optax.apply_updates(p_r, up)
+            losses_r.append(float(val))
+
+        mesh = make_mesh(8)
+        plan = plan_canvas_sharding(
+            np.asarray(buffers.crop_pos), noy, geom.probe_shape[0], 8)
+        params_sh = shard_canvas_params(params, plan, mesh)
+        tx_s, st_s, _, _ = create_optimizer({"name": "Adam"}, upd, params_sh)
+        step, (pos_l, meas_l) = build_canvas_train_step(
+            buffers, geom, mesh, plan, loss_params, tx_s)
+        p_s, losses_s = params_sh, []
+        for _ in range(5):
+            p_s, st_s, val = step(p_s, st_s, pos_l, meas_l)
+            losses_s.append(float(val))
+
+        np.testing.assert_allclose(losses_s, losses_r, rtol=1e-5)
+        # post-Adam tolerance: f32 reduction-order noise across shards can
+        # nudge near-zero gradients through Adam's eps normalization
+        # (observed max 3.3e-5 at lr 1e-3 over 5 steps; the raw-gradient
+        # equality is the sharp check, test_sharded_canvas_matches_replicated)
+        np.testing.assert_allclose(
+            unshard_canvas(p_s.objp, noy), np.asarray(p_r.objp), atol=1e-4)
+
     def test_plan_mask_pads_unbalanced_and_rejects_oversized(self, rng):
         from ptyrad_tpu.parallel.canvas import plan_canvas_sharding
 
