@@ -80,7 +80,7 @@ def cmd_run(args):
 def cmd_check_tpu(args):
     from ptyrad_tpu.utils.system import print_device_info
 
-    print_device_info()
+    print_device_info(timeout_s=float(getattr(args, "timeout", 60.0)))
 
 
 def cmd_print_system_info(args):
@@ -181,6 +181,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_run.set_defaults(func=cmd_run)
 
     p_check = sub.add_parser("check-tpu", help="Report detected accelerator devices")
+    p_check.add_argument(
+        "--timeout", type=float, default=60.0,
+        help="Seconds to wait for backend init before diagnosing an "
+             "unreachable/saturated TPU tunnel (init HANGS, not errors)",
+    )
     p_check.set_defaults(func=cmd_check_tpu)
 
     p_info = sub.add_parser("print-system-info", help="Print system/package/device info")

@@ -32,18 +32,44 @@ def print_system_info() -> None:
     vprint(" ")
 
 
-def print_device_info() -> None:
-    try:
-        import jax
+def print_device_info(timeout_s: float = 60.0) -> None:
+    """Device report, bounded: backend init on tunneled TPU backends can
+    HANG indefinitely (not error) when the chip is unreachable, so detection
+    runs in a daemon thread and `check-tpu` always returns with a diagnosis
+    instead of freezing the terminal."""
+    import threading
 
-        devices = jax.devices()
-        vprint(f"  jax backend     : {jax.default_backend()}")
-        vprint(f"  device count    : {len(devices)}")
-        for d in devices:
-            vprint(f"    {d}")
-        vprint(f"  process index   : {jax.process_index()} / {jax.process_count()}")
-    except Exception as e:  # noqa: BLE001 - report rather than crash the CLI
-        vprint(f"  device detection failed: {e}")
+    result: dict = {}
+
+    def probe():
+        try:
+            import jax
+
+            devices = jax.devices()
+            result["lines"] = [
+                f"  jax backend     : {jax.default_backend()}",
+                f"  device count    : {len(devices)}",
+                *[f"    {d}" for d in devices],
+                f"  process index   : {jax.process_index()} / {jax.process_count()}",
+            ]
+        except Exception as e:  # noqa: BLE001 - report rather than crash the CLI
+            result["error"] = str(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        vprint(
+            f"  device detection TIMED OUT after {timeout_s:.0f}s: backend "
+            "initialization is hanging, which on tunneled TPU backends means "
+            "the chip is unreachable or saturated. Retry later; host-side "
+            "commands (validate-params, export-meas-init) still work."
+        )
+    elif "error" in result:
+        vprint(f"  device detection failed: {result['error']}")
+    else:
+        for line in result["lines"]:
+            vprint(line)
 
 
 def resolve_devices(n_devices: Optional[int]):

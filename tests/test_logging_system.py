@@ -69,6 +69,19 @@ class TestSystemUtils:
         out = capsys.readouterr().out
         assert "cpu" in out  # tests force the CPU backend
 
+    def test_device_info_times_out_on_hanging_backend(self, capsys, monkeypatch):
+        """Tunneled TPU backends HANG (not error) at init when the chip is
+        unreachable; check-tpu must diagnose that instead of freezing."""
+        import time
+
+        import jax
+
+        monkeypatch.setattr(jax, "devices", lambda *a, **k: time.sleep(30))
+        print_device_info(timeout_s=0.3)
+        out = capsys.readouterr().out
+        assert "TIMED OUT" in out
+        assert "unreachable or saturated" in out
+
     def test_resolve_devices(self):
         assert resolve_devices(None) is None
         assert resolve_devices(1) is None
