@@ -655,6 +655,8 @@ def main():
             except Exception as e:  # noqa: BLE001
                 log(f"bf16 leg failed: {e!r:.200}")
                 result["bf16_error"] = repr(e)[:200]
+        else:
+            result["bf16_skipped"] = f"budget: {remaining():.0f}s left"
     except BenchTimeout as e:
         result["error"] = str(e)
         log(f"WATCHDOG: {e}")

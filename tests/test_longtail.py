@@ -249,3 +249,41 @@ class TestDemoScript:
             sys, "argv", ["demo", "--out", str(tmp_path), "--niter", "40"]
         )
         assert demo.main() == 0
+
+
+class TestBenchHarness:
+    @pytest.mark.slow
+    def test_bench_smoke_emits_staged_parseable_json(self):
+        """The driver parses bench.py's LAST stdout line; BENCH_SMOKE=1 must
+        run every leg on CPU, exit 0, and leave a complete JSON record on
+        each staged line (VERDICT r4 item 1's machinery, provable without
+        the TPU)."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["BENCH_SMOKE"] = "1"
+        env["BENCH_BUDGET_S"] = "400"
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            capture_output=True, text=True, env=env, cwd=repo, timeout=500,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+        assert len(lines) >= 2  # staged: tBL leg first, full record last
+        for ln in lines:
+            rec = json.loads(ln)  # every staged line is complete
+            assert rec["unit"] == "patterns/sec/chip"
+            assert rec["smoke"] is True
+        final = json.loads(lines[-1])
+        assert final["value"] > 0
+        assert final["loss_finite"] is True
+        # secondary legs may be budget-skipped on a contended host, but the
+        # record must always say WHAT happened to them
+        assert any(k in final for k in
+                   ("pso_patterns_per_sec", "pso_error", "pso_skipped"))
+        assert any(k in final for k in
+                   ("bf16_patterns_per_sec", "bf16_error", "bf16_skipped"))
