@@ -165,14 +165,16 @@ def build_canvas_sharded_loss(
     if geom.meas_pad_idx is not None or geom.meas_scale_factors is not None:
         raise NotImplementedError("canvas sharding with on-the-fly pad/resample")
     cfg = merge_loss_params(loss_params)
-    active = [k for k, v in cfg.items() if v["state"]]
-    if active != ["loss_single"]:
+    active = set(k for k, v in cfg.items() if v["state"])
+    if not active <= {"loss_single", "loss_sparse"} or "loss_single" not in active:
         raise NotImplementedError(
-            f"canvas-sharding prototype supports loss_single only, got {active}"
+            "canvas-sharding prototype supports loss_single (+ loss_sparse), "
+            f"got {sorted(active)}"
         )
     sp = cfg["loss_single"]
     p = float(sp.get("dp_pow", 0.5))
     weight = float(sp["weight"])
+    sparse_cfg = cfg["loss_sparse"] if "loss_sparse" in active else None
 
     n_dev, halo = plan.n_dev, plan.halo
     # host-side grouping: positions/measurements gathered into slab order
@@ -221,7 +223,17 @@ def build_canvas_sharded_loss(
         s1 = jax.lax.psum(jnp.sum(w * (dp**p - mp) ** 2), DATA_AXIS)
         s2 = jax.lax.psum(jnp.sum(w * mp), DATA_AXIS)
         denom = n_valid * npix
-        return weight * jnp.sqrt(s1 / denom) / (s2 / denom)
+        total = weight * jnp.sqrt(s1 / denom) / (s2 / denom)
+        if sparse_cfg is not None:
+            # losses.loss_sparse with mask, as global psum'd partial sums:
+            # per-mode masked voxel mean of |phi|^n, ^(1/n), occu-weighted
+            n_ord = sparse_cfg["ln_order"]
+            absn = jnp.abs(pp) ** n_ord * mask_l[:, None, None, None, None]
+            s3 = jax.lax.psum(jnp.sum(absn, axis=(0, 2, 3, 4)), DATA_AXIS)
+            vox = n_valid * pp.shape[2] * pp.shape[3] * pp.shape[4]
+            per_mode = (s3 / vox) ** (1.0 / n_ord)
+            total = total + sparse_cfg["weight"] * jnp.sum(per_mode * occu)
+        return total
 
     sharded = shard_map(
         local_loss,

@@ -1218,6 +1218,50 @@ class TestCanvasSharding:
         np.testing.assert_allclose(
             unshard_canvas(p_s.objp, noy), np.asarray(p_r.objp), atol=1e-4)
 
+    def test_sparse_loss_term_matches_replicated(self, rng):
+        """loss_single + loss_sparse (the tBL demo's actual loss config)
+        through the sharded path: the sparse term's per-mode voxel means
+        psum across slabs and must match combined_loss exactly."""
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import forward as fwd_fn
+        from ptyrad_tpu.parallel.canvas import (
+            build_canvas_sharded_loss,
+            plan_canvas_sharding,
+            shard_canvas_params,
+            unshard_canvas,
+        )
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)
+        # a nonuniform phase so the sparse term has structure
+        params, buffers, geom = make_model(init, {"fwd_fused": False})
+        noy = geom.obj_shape[2]
+        loss_params = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5},
+                       "loss_sparse": {"state": True, "weight": 0.2, "ln_order": 1}}
+
+        def ref_loss(p):
+            dp, (oa, op_) = fwd_fn(p, buffers, geom, jnp.arange(geom.n_scans))
+            total, _ = combined_loss(
+                dp, buffers.measurements, oa, op_, buffers.omode_occu,
+                loss_params, None)
+            return total
+
+        ref_val, ref_grad = jax.jit(jax.value_and_grad(ref_loss))(params)
+
+        mesh = make_mesh(8)
+        plan = plan_canvas_sharding(
+            np.asarray(buffers.crop_pos), noy, geom.probe_shape[0], 8)
+        loss_fn, (pos_l, meas_l) = build_canvas_sharded_loss(
+            buffers, geom, mesh, plan, loss_params)
+        params_sh = shard_canvas_params(params, plan, mesh)
+        val, grad = jax.jit(jax.value_and_grad(loss_fn))(params_sh, pos_l, meas_l)
+
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+        a = np.asarray(ref_grad.objp)
+        b = unshard_canvas(grad.objp, noy)
+        np.testing.assert_allclose(
+            b, a, atol=1e-5 * max(float(np.abs(a).max()), 1e-3))
+
     def test_plan_mask_pads_unbalanced_and_rejects_oversized(self, rng):
         from ptyrad_tpu.parallel.canvas import plan_canvas_sharding
 
