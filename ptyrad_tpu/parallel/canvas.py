@@ -17,12 +17,14 @@ transpose in the backward pass), both riding ICI. Compare the replicated
 design: a full-canvas psum (omode*Nz*Noy*Nox floats) every step.
 
 Supported: arbitrary (unbalanced) position-to-slab distributions via
-mask-padded per-slab batches, and per-position sub-pixel probe shifts (the
-shifts gather rides the slab permutation; its transpose scatters gradients
-back to the replicated layout). Prototype scope (asserted): fixed propagator
-(no optimizable dz/tilts), no on-the-fly measurement pad/resample,
-loss_single only. The memory model and the path to lifting each remaining
-restriction are documented in docs/performance.md.
+mask-padded per-slab batches; per-position sub-pixel probe shifts and
+crystal tilts (their gathers ride the slab permutation; the transposes
+scatter gradients back to the replicated layout); optimizable slice
+thickness (per-position propagators built inside the shard, dz/tilt
+gradients psum through shard_map's replicated-input transpose); and
+loss_single + loss_sparse. Remaining scope (asserted): no on-the-fly
+measurement pad/resample, no poissn/pacbed/simlar terms. The memory model
+is documented in docs/performance.md.
 
 Gradient correctness is asserted against the replicated path in
 tests/test_engine.py::TestCanvasSharding and __graft_entry__.dryrun_multichip
@@ -157,11 +159,6 @@ def build_canvas_sharded_loss(
     from ptyrad_tpu.losses import merge_loss_params
     from ptyrad_tpu.ops.shift import fourier_shift
 
-    if geom.tilt_obj or geom.change_thickness:
-        raise NotImplementedError(
-            "canvas-sharding prototype: tilt / dz optimization not yet "
-            "supported (per-position propagators grouped by slab)"
-        )
     if geom.meas_pad_idx is not None or geom.meas_scale_factors is not None:
         raise NotImplementedError("canvas sharding with on-the-fly pad/resample")
     cfg = merge_loss_params(loss_params)
@@ -200,7 +197,7 @@ def build_canvas_sharded_loss(
     perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
     def local_loss(obja_sh, objp_sh, probe_re, probe_im, h_re, h_im, occu,
-                   pos_l, meas_l, shifts_l, mask_l):
+                   pos_l, meas_l, shifts_l, tilts_l, dz, mask_l):
         top_a = jax.lax.ppermute(obja_sh[:, :, :halo], DATA_AXIS, perm)
         top_p = jax.lax.ppermute(objp_sh[:, :, :halo], DATA_AXIS, perm)
         ext_a = jnp.concatenate([obja_sh, top_a], axis=2)
@@ -212,7 +209,26 @@ def build_canvas_sharded_loss(
             probes = fourier_shift(probe, shifts_l)  # (b_local, pmode, Ny, Nx)
         else:
             probes = probe[None]
-        H = Cplx(h_re, h_im)[None]
+        # per-position propagators, mirroring models.forward.
+        # compute_propagators: base from optimizable dz (or the fixed H),
+        # times per-position tilt ramps gathered in slab order. Gradients of
+        # the replicated dz/tilt inputs psum back through shard_map's
+        # transpose of the replicated-in spec.
+        from ptyrad_tpu.ops.cplx import expi
+
+        if geom.change_thickness:
+            base = expi(dz * jnp.asarray(buffers.Kz))
+        else:
+            base = Cplx(h_re, h_im)
+        if geom.tilt_obj:
+            ty = jnp.tan(tilts_l[:, 0, None, None] / 1e3)
+            tx = jnp.tan(tilts_l[:, 1, None, None] / 1e3)
+            tilt_factor = expi(
+                dz * (jnp.asarray(buffers.Ky)[None] * ty
+                      + jnp.asarray(buffers.Kx)[None] * tx))
+            H = base[None] * tilt_factor
+        else:
+            H = base[None]
         dp = multislice_dp(
             pa, pp, probes, H, occu, eps=geom.eps,
             compute_dtype=(jnp.bfloat16 if geom.compute_dtype == "bfloat16"
@@ -239,20 +255,28 @@ def build_canvas_sharded_loss(
         local_loss,
         mesh=mesh,
         in_specs=(CANVAS_SPEC, CANVAS_SPEC, P(), P(), P(), P(), P(),
-                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P(DATA_AXIS)),
         out_specs=P(),
         check_vma=False,  # ppermute + psum manage replication explicitly
     )
 
+    n_slots = int(plan.pos_index.shape[0])
+
     def loss_fn(params: PtychoParams, pos_l, meas_l):
-        # per-slot sub-pixel shifts: gathered from the (N, 2) param in slab
-        # order; the gather's transpose scatter-adds slot gradients back to
-        # the replicated layout (padding slots carry zero via the mask)
+        # per-slot sub-pixel shifts / tilts: gathered from the (N, 2) params
+        # in slab order; the gather's transpose scatter-adds slot gradients
+        # back to the replicated layout (padding slots carry zero via the
+        # mask). A global tilt broadcasts — its gradient sums over slots.
         shifts = params.probe_pos_shifts[pos_index]
+        if geom.global_tilt:
+            tilts = jnp.broadcast_to(params.obj_tilts, (n_slots, 2))
+        else:
+            tilts = params.obj_tilts[pos_index]
         return sharded(
             params.obja, params.objp, params.probe.re, params.probe.im,
             buffers.H.re, buffers.H.im, buffers.omode_occu,
-            pos_l, meas_l, shifts, mask,
+            pos_l, meas_l, shifts, tilts, params.slice_thickness, mask,
         )
 
     return loss_fn, (pos_local, meas)

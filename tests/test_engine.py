@@ -1262,6 +1262,67 @@ class TestCanvasSharding:
         np.testing.assert_allclose(
             b, a, atol=1e-5 * max(float(np.abs(a).max()), 1e-3))
 
+    def test_tilts_and_dz_optimization_match_replicated(self, rng):
+        """Per-position crystal tilts + optimizable slice thickness through
+        the sharded path: propagators are built inside each shard from slab-
+        gathered tilt rows, and the dz / tilt gradients psum back through
+        shard_map's replicated-input transpose — all must equal the
+        replicated path's."""
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import forward as fwd_fn
+        from ptyrad_tpu.parallel.canvas import (
+            build_canvas_sharded_loss,
+            plan_canvas_sharding,
+            shard_canvas_params,
+            unshard_canvas,
+        )
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng)
+        n = init["measurements"].shape[0]
+        init["obj_tilts"] = (0.5 * rng.standard_normal((n, 2))).astype(np.float32)
+        mp = {"fwd_fused": False,
+              "update_params": {"obj_tilts": {"lr": 1e-3, "start_iter": 1},
+                                "slice_thickness": {"lr": 1e-3, "start_iter": 1}}}
+        params, buffers, geom = make_model(init, mp)
+        assert geom.tilt_obj and geom.change_thickness and not geom.global_tilt
+        noy = geom.obj_shape[2]
+        loss_params = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}}
+
+        def ref_loss(p):
+            dp, (oa, op_) = fwd_fn(p, buffers, geom, jnp.arange(geom.n_scans))
+            total, _ = combined_loss(
+                dp, buffers.measurements, oa, op_, buffers.omode_occu,
+                loss_params, None)
+            return total
+
+        ref_val, ref_grad = jax.jit(jax.value_and_grad(ref_loss))(params)
+        assert float(jnp.abs(ref_grad.slice_thickness)) > 0
+
+        mesh = make_mesh(8)
+        plan = plan_canvas_sharding(
+            np.asarray(buffers.crop_pos), noy, geom.probe_shape[0], 8)
+        loss_fn, (pos_l, meas_l) = build_canvas_sharded_loss(
+            buffers, geom, mesh, plan, loss_params)
+        params_sh = shard_canvas_params(params, plan, mesh)
+        val, grad = jax.jit(jax.value_and_grad(loss_fn))(params_sh, pos_l, meas_l)
+
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+        for name in ("objp", "obja"):
+            a = np.asarray(getattr(ref_grad, name))
+            b = unshard_canvas(getattr(grad, name), noy)
+            np.testing.assert_allclose(
+                b, a, atol=1e-5 * max(float(np.abs(a).max()), 1e-3), err_msg=name)
+        a = np.asarray(ref_grad.obj_tilts)
+        np.testing.assert_allclose(
+            np.asarray(grad.obj_tilts), a,
+            atol=1e-5 * max(float(np.abs(a).max()), 1e-3))
+        # dz gradient: an O(100)-field contraction to one scalar is
+        # cancellation-dominated, so reduction-order noise is %-level
+        np.testing.assert_allclose(
+            float(grad.slice_thickness), float(ref_grad.slice_thickness),
+            rtol=1e-2)
+
     def test_plan_mask_pads_unbalanced_and_rejects_oversized(self, rng):
         from ptyrad_tpu.parallel.canvas import plan_canvas_sharding
 
