@@ -21,10 +21,15 @@ mask-padded per-slab batches; per-position sub-pixel probe shifts and
 crystal tilts (their gathers ride the slab permutation; the transposes
 scatter gradients back to the replicated layout); optimizable slice
 thickness (per-position propagators built inside the shard, dz/tilt
-gradients psum through shard_map's replicated-input transpose); and
-loss_single + loss_sparse. Remaining scope (asserted): no on-the-fly
-measurement pad/resample, no poissn/pacbed/simlar terms. The memory model
-is documented in docs/performance.md.
+gradients psum through shard_map's replicated-input transpose); object
+pre-blur and detector blur; on-the-fly measurement pad/resample (applied
+to the slab-local batch exactly as forward.get_measurements does); and
+ALL FIVE loss terms — every term reduces to masked partial sums over the
+local batch (pacbed's global batch-averaged patterns included), combined
+in one fused psum and recomposed to combined_loss's exact masked algebra.
+The one structural restriction left: a patch may span at most two slabs
+(devices <= Noy / probe_ny). The memory model is documented in
+docs/performance.md.
 
 Gradient correctness is asserted against the replicated path in
 tests/test_engine.py::TestCanvasSharding and __graft_entry__.dryrun_multichip
@@ -157,21 +162,12 @@ def build_canvas_sharded_loss(
     to its owner) — the replicated-canvas allreduce disappears.
     """
     from ptyrad_tpu.losses import merge_loss_params
+    from ptyrad_tpu.ops.blur import gaussian_blur_2d
+    from ptyrad_tpu.ops.resize import area_downsample, bilinear_resize_conserve
     from ptyrad_tpu.ops.shift import fourier_shift
 
-    if geom.meas_pad_idx is not None or geom.meas_scale_factors is not None:
-        raise NotImplementedError("canvas sharding with on-the-fly pad/resample")
     cfg = merge_loss_params(loss_params)
     active = set(k for k, v in cfg.items() if v["state"])
-    if not active <= {"loss_single", "loss_sparse"} or "loss_single" not in active:
-        raise NotImplementedError(
-            "canvas-sharding prototype supports loss_single (+ loss_sparse), "
-            f"got {sorted(active)}"
-        )
-    sp = cfg["loss_single"]
-    p = float(sp.get("dp_pow", 0.5))
-    weight = float(sp["weight"])
-    sparse_cfg = cfg["loss_sparse"] if "loss_sparse" in active else None
 
     n_dev, halo = plan.n_dev, plan.halo
     # host-side grouping: positions/measurements gathered into slab order
@@ -189,7 +185,10 @@ def build_canvas_sharded_loss(
     mask = jax.device_put(plan.mask, batch_sh)
     pos_index = jnp.asarray(plan.pos_index)  # tiny constant: gathers shifts
     n_valid = float(plan.mask.sum())
-    npix = meas.shape[-2] * meas.shape[-1]
+    # pad background: one (H, W) constant, small enough to close over (the
+    # same budget class as the Kz/Ky/Kx grids below)
+    meas_bg = (jnp.asarray(buffers.meas_padded)
+               if geom.meas_pad_idx is not None else None)
     # send each slab's TOP `halo` rows to the PREVIOUS device, whose patches
     # may extend past its slab's last row. The wrap pair (0 -> n-1) carries
     # rows the last device never reads (patches cannot cross the canvas
@@ -204,6 +203,10 @@ def build_canvas_sharded_loss(
         ext_p = jnp.concatenate([objp_sh, top_p], axis=2)
         pa = extract_patches(ext_a, pos_l, geom.probe_shape)
         pp = extract_patches(ext_p, pos_l, geom.probe_shape)
+        pre_std = geom.obj_preblur_std
+        if pre_std is not None and pre_std != 0:
+            pa = gaussian_blur_2d(pa, kernel_size=5, sigma=pre_std)
+            pp = gaussian_blur_2d(pp, kernel_size=5, sigma=pre_std)
         probe = Cplx(probe_re, probe_im)
         if geom.shift_probes:
             probes = fourier_shift(probe, shifts_l)  # (b_local, pmode, Ny, Nx)
@@ -234,21 +237,102 @@ def build_canvas_sharded_loss(
             compute_dtype=(jnp.bfloat16 if geom.compute_dtype == "bfloat16"
                            else jnp.float32),
         )
+        det_std = geom.detector_blur_std
+        if det_std is not None and det_std != 0:
+            dp = gaussian_blur_2d(dp, kernel_size=5, sigma=det_std)
+        # measurements: upcast reduced-precision storage, then the on-the-fly
+        # pad/resample — forward.get_measurements applied to the slab-local
+        # batch (per-sample ops, so they stay shard-local)
+        meas = meas_l.astype(jnp.float32)
+        if geom.meas_pad_idx is not None:
+            h1, h2, w1, w2 = geom.meas_pad_idx
+            canvas = jnp.broadcast_to(
+                meas_bg, (meas.shape[0], *geom.meas_padded_shape))
+            meas = canvas.at[..., h1:h2, w1:w2].set(meas)
+        if geom.meas_scale_factors is not None and any(
+                s != 1 for s in geom.meas_scale_factors):
+            meas = bilinear_resize_conserve(meas, geom.meas_scale_factors)
+
+        # every active term reduces to masked PARTIAL SUMS over the local
+        # batch; one fused psum of the dict, then each term recomposes to
+        # losses.combined_loss's exact masked algebra (_bmean(x, mask) ==
+        # sum(x*w) / (n_valid * prod(non-batch dims)))
         w = mask_l[:, None, None]
-        mp = meas_l**p
-        s1 = jax.lax.psum(jnp.sum(w * (dp**p - mp) ** 2), DATA_AXIS)
-        s2 = jax.lax.psum(jnp.sum(w * mp), DATA_AXIS)
+        npix = dp.shape[-2] * dp.shape[-1]
         denom = n_valid * npix
-        total = weight * jnp.sqrt(s1 / denom) / (s2 / denom)
-        if sparse_cfg is not None:
-            # losses.loss_sparse with mask, as global psum'd partial sums:
-            # per-mode masked voxel mean of |phi|^n, ^(1/n), occu-weighted
-            n_ord = sparse_cfg["ln_order"]
+        part = {}
+        if "loss_single" in active:
+            p = float(cfg["loss_single"].get("dp_pow", 0.5))
+            mp = meas**p
+            part["single_mse"] = jnp.sum(w * (dp**p - mp) ** 2)
+            part["single_dat"] = jnp.sum(w * mp)
+        if "loss_poissn" in active:
+            p = float(cfg["loss_poissn"].get("dp_pow", 1.0))
+            epsv = float(cfg["loss_poissn"].get("eps", 1e-6))
+            mp, dpp = meas**p, dp**p
+            part["poissn_ll"] = jnp.sum(w * (mp * jnp.log(dpp + epsv) - dpp))
+            part["poissn_dat"] = jnp.sum(w * mp)
+        if "loss_pacbed" in active:
+            p = float(cfg["loss_pacbed"].get("dp_pow", 0.2))
+            part["pacbed_dp"] = jnp.sum(dp * w, axis=0)    # (Ny, Nx)
+            part["pacbed_ms"] = jnp.sum(meas * w, axis=0)  # (Ny, Nx)
+            part["pacbed_dat"] = jnp.sum(w * meas**p)
+        if "loss_sparse" in active:
+            n_ord = cfg["loss_sparse"]["ln_order"]
             absn = jnp.abs(pp) ** n_ord * mask_l[:, None, None, None, None]
-            s3 = jax.lax.psum(jnp.sum(absn, axis=(0, 2, 3, 4)), DATA_AXIS)
+            part["sparse"] = jnp.sum(absn, axis=(0, 2, 3, 4))  # (omode,)
+        simlar_on = "loss_simlar" in active and pa.shape[1] > 1
+        if simlar_on:
+            # per-sample std over the omode axis after optional blur /
+            # downsample — all shard-local; the masked batch mean psums.
+            # Normalize by the (static) per-map voxel count locally so the
+            # psum'd scalar only needs the global 1/n_valid.
+            sl = cfg["loss_simlar"]
+            scale = sl.get("scale_factor")
+
+            def simlar_partial(patches):
+                bstd = sl.get("blur_std")
+                if bstd is not None and bstd != 0:
+                    patches = gaussian_blur_2d(patches, kernel_size=5, sigma=bstd)
+                if scale is not None and any(s != 1 for s in scale):
+                    patches = area_downsample(patches, tuple(scale))
+                weighted = patches * occu[:, None, None, None]
+                std_map = jnp.std(weighted, axis=1, ddof=1)  # (b, Nz, Ny', Nx')
+                vox = std_map.shape[1] * std_map.shape[2] * std_map.shape[3]
+                return jnp.sum(std_map * mask_l[:, None, None, None]) / vox
+
+            obj_type = sl.get("obj_type", "both")
+            sim = jnp.float32(0.0)
+            if obj_type in ("amplitude", "both"):
+                sim = sim + simlar_partial(pa)
+            if obj_type in ("phase", "both"):
+                sim = sim + simlar_partial(pp)
+            part["simlar"] = sim
+
+        g = jax.lax.psum(part, DATA_AXIS) if part else part
+        total = jnp.float32(0.0)
+        if "loss_single" in active:
+            sc = cfg["loss_single"]
+            total = total + sc["weight"] * (
+                jnp.sqrt(g["single_mse"] / denom) / (g["single_dat"] / denom))
+        if "loss_poissn" in active:
+            sc = cfg["loss_poissn"]
+            nll = -g["poissn_ll"] / denom
+            total = total + sc["weight"] * nll / (g["poissn_dat"] / denom)
+        if "loss_pacbed" in active:
+            sc = cfg["loss_pacbed"]
+            p = float(sc.get("dp_pow", 0.2))
+            avg_dp = g["pacbed_dp"] / n_valid
+            avg_ms = g["pacbed_ms"] / n_valid
+            mse = jnp.mean((avg_dp**p - avg_ms**p) ** 2)
+            total = total + sc["weight"] * jnp.sqrt(mse) / (g["pacbed_dat"] / denom)
+        if "loss_sparse" in active:
+            sc = cfg["loss_sparse"]
             vox = n_valid * pp.shape[2] * pp.shape[3] * pp.shape[4]
-            per_mode = (s3 / vox) ** (1.0 / n_ord)
-            total = total + sparse_cfg["weight"] * jnp.sum(per_mode * occu)
+            per_mode = (g["sparse"] / vox) ** (1.0 / sc["ln_order"])
+            total = total + sc["weight"] * jnp.sum(per_mode * occu)
+        if simlar_on:
+            total = total + cfg["loss_simlar"]["weight"] * g["simlar"] / n_valid
         return total
 
     sharded = shard_map(

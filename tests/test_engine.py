@@ -1262,6 +1262,126 @@ class TestCanvasSharding:
         np.testing.assert_allclose(
             b, a, atol=1e-5 * max(float(np.abs(a).max()), 1e-3))
 
+    def test_all_loss_terms_and_pad_match_replicated(self, rng):
+        """All five loss terms at once (omode 2 so simlar has cross-mode
+        variance) PLUS the on-the-fly measurement pad through the sharded
+        path: every term recomposes from one fused psum of masked partial
+        sums — pacbed's global batch-averaged patterns included — and the
+        pad runs on the slab-local batch. Loss and gradients must equal the
+        replicated combined_loss path's."""
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import forward as fwd_fn
+        from ptyrad_tpu.models.forward import get_measurements
+        from ptyrad_tpu.parallel.canvas import (
+            build_canvas_sharded_loss,
+            plan_canvas_sharding,
+            shard_canvas_params,
+            unshard_canvas,
+        )
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)
+        # two incoherent object modes: simlar's cross-mode std is nonzero
+        obj = np.asarray(init["obj"])
+        ripple = np.exp(
+            1j * 0.1 * rng.standard_normal(obj.shape[-2:])).astype(np.complex64)
+        init["obj"] = np.concatenate([obj, obj * ripple], axis=0)
+        init["omode_occu"] = np.array([0.6, 0.4], np.float32)
+        # raw 24^2 measurements embedded on the fly in a fitted background
+        init["measurements"] = init["measurements"][:, 4:28, 4:28].copy()
+        init["on_the_fly_meas_padded"] = (
+            0.05 * np.abs(rng.standard_normal((32, 32)))).astype(np.float32)
+        init["on_the_fly_meas_padded_idx"] = [4, 28, 4, 28]
+        params, buffers, geom = make_model(init, {"fwd_fused": False})
+        assert geom.meas_pad_idx == (4, 28, 4, 28)
+        noy = geom.obj_shape[2]
+        loss_params = {
+            "loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5},
+            "loss_poissn": {"state": True, "weight": 0.5, "dp_pow": 1.0},
+            "loss_pacbed": {"state": True, "weight": 0.3, "dp_pow": 0.2},
+            "loss_sparse": {"state": True, "weight": 0.1, "ln_order": 1},
+            "loss_simlar": {"state": True, "weight": 0.2, "obj_type": "both",
+                            "blur_std": 1.0, "scale_factor": [1.0, 1.0]},
+        }
+
+        def ref_loss(p):
+            idx = jnp.arange(geom.n_scans)
+            dp, (oa, op_) = fwd_fn(p, buffers, geom, idx)
+            meas = get_measurements(buffers, geom, idx)
+            total, _ = combined_loss(
+                dp, meas, oa, op_, buffers.omode_occu, loss_params, None)
+            return total
+
+        ref_val, ref_grad = jax.jit(jax.value_and_grad(ref_loss))(params)
+
+        mesh = make_mesh(8)
+        plan = plan_canvas_sharding(
+            np.asarray(buffers.crop_pos), noy, geom.probe_shape[0], 8)
+        loss_fn, (pos_l, meas_l) = build_canvas_sharded_loss(
+            buffers, geom, mesh, plan, loss_params)
+        params_sh = shard_canvas_params(params, plan, mesh)
+        val, grad = jax.jit(jax.value_and_grad(loss_fn))(params_sh, pos_l, meas_l)
+
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+        for name in ("objp", "obja"):
+            a = np.asarray(getattr(ref_grad, name))
+            b = unshard_canvas(getattr(grad, name), noy)
+            np.testing.assert_allclose(
+                b, a, atol=2e-5 * max(float(np.abs(a).max()), 1e-3), err_msg=name)
+        a = np.asarray(ref_grad.probe.re)
+        np.testing.assert_allclose(
+            np.asarray(grad.probe.re), a,
+            atol=2e-5 * max(float(np.abs(a).max()), 1e-3))
+
+    def test_on_the_fly_resample_matches_replicated(self, rng):
+        """The other on-the-fly measurement leg: intensity-conserving
+        bilinear resample (raw 64^2 -> detector 32^2) applied to the
+        slab-local batch inside the shard."""
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import forward as fwd_fn
+        from ptyrad_tpu.models.forward import get_measurements
+        from ptyrad_tpu.parallel.canvas import (
+            build_canvas_sharded_loss,
+            plan_canvas_sharding,
+            shard_canvas_params,
+            unshard_canvas,
+        )
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)
+        n = init["measurements"].shape[0]
+        init["measurements"] = np.abs(
+            rng.standard_normal((n, 64, 64))).astype(np.float32)
+        init["on_the_fly_meas_scale_factors"] = [0.5, 0.5]
+        params, buffers, geom = make_model(init, {"fwd_fused": False})
+        assert geom.meas_scale_factors == (0.5, 0.5)
+        noy = geom.obj_shape[2]
+        loss_params = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}}
+
+        def ref_loss(p):
+            idx = jnp.arange(geom.n_scans)
+            dp, (oa, op_) = fwd_fn(p, buffers, geom, idx)
+            meas = get_measurements(buffers, geom, idx)
+            total, _ = combined_loss(
+                dp, meas, oa, op_, buffers.omode_occu, loss_params, None)
+            return total
+
+        ref_val, ref_grad = jax.jit(jax.value_and_grad(ref_loss))(params)
+
+        mesh = make_mesh(8)
+        plan = plan_canvas_sharding(
+            np.asarray(buffers.crop_pos), noy, geom.probe_shape[0], 8)
+        loss_fn, (pos_l, meas_l) = build_canvas_sharded_loss(
+            buffers, geom, mesh, plan, loss_params)
+        params_sh = shard_canvas_params(params, plan, mesh)
+        val, grad = jax.jit(jax.value_and_grad(loss_fn))(params_sh, pos_l, meas_l)
+
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+        a = np.asarray(ref_grad.objp)
+        np.testing.assert_allclose(
+            unshard_canvas(grad.objp, noy), a,
+            atol=1e-5 * max(float(np.abs(a).max()), 1e-3))
+
     def test_tilts_and_dz_optimization_match_replicated(self, rng):
         """Per-position crystal tilts + optimizable slice thickness through
         the sharded path: propagators are built inside each shard from slab-
