@@ -162,9 +162,6 @@ def build_canvas_sharded_loss(
     to its owner) — the replicated-canvas allreduce disappears.
     """
     from ptyrad_tpu.losses import merge_loss_params
-    from ptyrad_tpu.ops.blur import gaussian_blur_2d
-    from ptyrad_tpu.ops.resize import area_downsample, bilinear_resize_conserve
-    from ptyrad_tpu.ops.shift import fourier_shift
 
     cfg = merge_loss_params(loss_params)
     active = set(k for k, v in cfg.items() if v["state"])
@@ -184,7 +181,44 @@ def build_canvas_sharded_loss(
     meas = jax.device_put(meas, batch_sh)
     mask = jax.device_put(plan.mask, batch_sh)
     pos_index = jnp.asarray(plan.pos_index)  # tiny constant: gathers shifts
-    n_valid = float(plan.mask.sum())
+    n_valid = jnp.float32(plan.mask.sum())
+
+    sharded = _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active)
+
+    n_slots = int(plan.pos_index.shape[0])
+
+    def loss_fn(params: PtychoParams, pos_l, meas_l):
+        # per-slot sub-pixel shifts / tilts: gathered from the (N, 2) params
+        # in slab order; the gather's transpose scatter-adds slot gradients
+        # back to the replicated layout (padding slots carry zero via the
+        # mask). A global tilt broadcasts — its gradient sums over slots.
+        shifts = params.probe_pos_shifts[pos_index]
+        if geom.global_tilt:
+            tilts = jnp.broadcast_to(params.obj_tilts, (n_slots, 2))
+        else:
+            tilts = params.obj_tilts[pos_index]
+        return sharded(
+            params.obja, params.objp, params.probe.re, params.probe.im,
+            buffers.H.re, buffers.H.im, buffers.omode_occu,
+            pos_l, meas_l, shifts, tilts, params.slice_thickness, mask,
+            n_valid,
+        )
+
+    return loss_fn, (pos_local, meas)
+
+
+def _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active):
+    """shard_map'd local loss shared by the full-batch and scanned-epoch
+    builders — mask and n_valid are traced ARGUMENTS so one compiled program
+    serves every (mask-padded) minibatch of the same static shape:
+
+      sharded(obja, objp, probe_re, probe_im, h_re, h_im, occu,
+              pos_l, meas_l, shifts_l, tilts_l, dz, mask_l, n_valid) -> scalar
+    """
+    from ptyrad_tpu.ops.blur import gaussian_blur_2d
+    from ptyrad_tpu.ops.resize import area_downsample, bilinear_resize_conserve
+    from ptyrad_tpu.ops.shift import fourier_shift
+
     # pad background: one (H, W) constant, small enough to close over (the
     # same budget class as the Kz/Ky/Kx grids below)
     meas_bg = (jnp.asarray(buffers.meas_padded)
@@ -196,7 +230,7 @@ def build_canvas_sharded_loss(
     perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
     def local_loss(obja_sh, objp_sh, probe_re, probe_im, h_re, h_im, occu,
-                   pos_l, meas_l, shifts_l, tilts_l, dz, mask_l):
+                   pos_l, meas_l, shifts_l, tilts_l, dz, mask_l, n_valid):
         top_a = jax.lax.ppermute(obja_sh[:, :, :halo], DATA_AXIS, perm)
         top_p = jax.lax.ppermute(objp_sh[:, :, :halo], DATA_AXIS, perm)
         ext_a = jnp.concatenate([obja_sh, top_a], axis=2)
@@ -335,35 +369,15 @@ def build_canvas_sharded_loss(
             total = total + cfg["loss_simlar"]["weight"] * g["simlar"] / n_valid
         return total
 
-    sharded = shard_map(
+    return shard_map(
         local_loss,
         mesh=mesh,
         in_specs=(CANVAS_SPEC, CANVAS_SPEC, P(), P(), P(), P(), P(),
                   P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P(), P(DATA_AXIS)),
+                  P(), P(DATA_AXIS), P()),
         out_specs=P(),
         check_vma=False,  # ppermute + psum manage replication explicitly
     )
-
-    n_slots = int(plan.pos_index.shape[0])
-
-    def loss_fn(params: PtychoParams, pos_l, meas_l):
-        # per-slot sub-pixel shifts / tilts: gathered from the (N, 2) params
-        # in slab order; the gather's transpose scatter-adds slot gradients
-        # back to the replicated layout (padding slots carry zero via the
-        # mask). A global tilt broadcasts — its gradient sums over slots.
-        shifts = params.probe_pos_shifts[pos_index]
-        if geom.global_tilt:
-            tilts = jnp.broadcast_to(params.obj_tilts, (n_slots, 2))
-        else:
-            tilts = params.obj_tilts[pos_index]
-        return sharded(
-            params.obja, params.objp, params.probe.re, params.probe.im,
-            buffers.H.re, buffers.H.im, buffers.omode_occu,
-            pos_l, meas_l, shifts, tilts, params.slice_thickness, mask,
-        )
-
-    return loss_fn, (pos_local, meas)
 
 
 def build_canvas_train_step(
@@ -394,3 +408,125 @@ def build_canvas_train_step(
         return params, opt_state, loss
 
     return step, inputs
+
+
+@dataclasses.dataclass(frozen=True)
+class CanvasEpochPlan:
+    """Minibatched extension of CanvasPlan: each slab's positions split into
+    n_batches groups, every (slab, batch) cell mask-padded to one global
+    slot count so a single compiled program scans the whole epoch."""
+
+    base: CanvasPlan
+    n_batches: int
+    b_local: int             # per-device per-batch slot count
+    pos_index: np.ndarray    # (n_batches, n_dev*b_local)
+    mask: np.ndarray         # (n_batches, n_dev*b_local) f32
+
+
+def plan_canvas_epoch(crop_pos: np.ndarray, noy: int, probe_ny: int,
+                      n_dev: int, n_batches: int, seed: int = 0) -> CanvasEpochPlan:
+    """Split each slab's positions into n_batches minibatches (seeded shuffle
+    within the slab — the canvas-sharded analog of engine/batching's
+    per-iteration random grouping; positions cannot leave their slab, so the
+    shuffle is per-slab by construction)."""
+    base = plan_canvas_sharding(crop_pos, noy, probe_ny, n_dev)
+    crop_pos = np.asarray(crop_pos)
+    slab = np.minimum(crop_pos[:, 0] // base.rows_local, n_dev - 1)
+    rng = np.random.default_rng(seed)
+    groups = {}
+    b_local = 1
+    for d in range(n_dev):
+        mine = np.nonzero(slab == d)[0]
+        mine = rng.permutation(mine)
+        for b, part in enumerate(np.array_split(mine, n_batches)):
+            groups[(b, d)] = part
+            b_local = max(b_local, len(part))
+    pos_index = np.zeros((n_batches, n_dev, b_local), np.int64)
+    mask = np.zeros((n_batches, n_dev, b_local), np.float32)
+    for (b, d), part in groups.items():
+        pos_index[b, d, : len(part)] = part
+        mask[b, d, : len(part)] = 1.0
+    per_batch = mask.reshape(n_batches, -1).sum(axis=1)
+    if per_batch.min() == 0:
+        raise ValueError(
+            f"canvas epoch: batch {int(per_batch.argmin())} has no scan "
+            f"positions — use n_batches <= {int(np.bincount(slab).max())}")
+    return CanvasEpochPlan(
+        base=base, n_batches=n_batches, b_local=b_local,
+        pos_index=pos_index.reshape(n_batches, -1),
+        mask=mask.reshape(n_batches, -1),
+    )
+
+
+def build_canvas_train_epoch(
+    buffers: Buffers,
+    geom: Geometry,
+    mesh: Mesh,
+    plan: CanvasEpochPlan,
+    loss_params: Optional[dict],
+    optimizer,
+):
+    """One jitted lax.scan over per-slab minibatches — the production shape
+    of engine/solver.build_train_epoch, on the canvas-sharded loss:
+
+      epoch(params, opt_state, pos_b, meas_b, mask_b, nval_b, idx_b)
+        -> (params', opt_state', losses (n_batches,))
+
+    Returns (epoch_fn, inputs) with inputs the mesh-sharded per-batch
+    arrays (jit ARGUMENTS, never closed over). params/opt_state donate, so
+    the row-sharded canvases and Adam moments update in place across
+    epochs; mask and n_valid are traced per-batch values, so ragged slabs
+    recompile nothing."""
+    import optax
+
+    from ptyrad_tpu.losses import merge_loss_params
+
+    cfg = merge_loss_params(loss_params)
+    active = set(k for k, v in cfg.items() if v["state"])
+    base = plan.base
+    n_dev, halo = base.n_dev, base.halo
+    n_slots = plan.pos_index.shape[1]
+
+    pos = np.asarray(buffers.crop_pos)[plan.pos_index].astype(np.int32)
+    slab_first_row = (np.arange(n_dev) * base.rows_local).repeat(plan.b_local)
+    pos_local = pos.copy()
+    pos_local[:, :, 0] -= slab_first_row[None].astype(np.int32)
+    meas = np.asarray(buffers.measurements)[plan.pos_index]
+
+    bsh = NamedSharding(mesh, P(None, DATA_AXIS))
+    pos_b = jax.device_put(pos_local, bsh)
+    meas_b = jax.device_put(meas, bsh)
+    mask_b = jax.device_put(plan.mask, bsh)
+    nval_b = jnp.asarray(plan.mask.sum(axis=1), jnp.float32)
+    idx_b = jnp.asarray(plan.pos_index)
+
+    sharded = _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active)
+
+    def batch_loss(params, pos_l, meas_l, mask_l, nval, idxs):
+        shifts = params.probe_pos_shifts[idxs]
+        if geom.global_tilt:
+            tilts = jnp.broadcast_to(params.obj_tilts, (n_slots, 2))
+        else:
+            tilts = params.obj_tilts[idxs]
+        return sharded(
+            params.obja, params.objp, params.probe.re, params.probe.im,
+            buffers.H.re, buffers.H.im, buffers.omode_occu,
+            pos_l, meas_l, shifts, tilts, params.slice_thickness,
+            mask_l, nval,
+        )
+
+    def epoch(params, opt_state, pos_b, meas_b, mask_b, nval_b, idx_b):
+        def body(carry, xs):
+            params, opt_state = carry
+            pos_l, meas_l, mask_l, nval, idxs = xs
+            loss, grads = jax.value_and_grad(batch_loss)(
+                params, pos_l, meas_l, mask_l, nval, idxs)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (pos_b, meas_b, mask_b, nval_b, idx_b))
+        return params, opt_state, losses
+
+    return jax.jit(epoch, donate_argnums=(0, 1)), (pos_b, meas_b, mask_b, nval_b, idx_b)

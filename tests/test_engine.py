@@ -1262,6 +1262,70 @@ class TestCanvasSharding:
         np.testing.assert_allclose(
             b, a, atol=1e-5 * max(float(np.abs(a).max()), 1e-3))
 
+    def test_canvas_epoch_scan_matches_replicated_minibatches(self, rng):
+        """build_canvas_train_epoch: one jitted lax.scan over per-slab
+        minibatches (the production solver shape — engine/solver's
+        build_train_epoch analog). Two epochs x two minibatches of Adam
+        must reproduce the replicated minibatch trajectory batch for
+        batch, with mask/n_valid as traced per-batch values."""
+        import optax as _optax
+
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import forward as fwd_fn
+        from ptyrad_tpu.parallel.canvas import (
+            build_canvas_train_epoch,
+            plan_canvas_epoch,
+            shard_canvas_params,
+            unshard_canvas,
+        )
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)
+        upd = {"obja": {"lr": 1e-3, "start_iter": 1},
+               "objp": {"lr": 1e-3, "start_iter": 1}}
+        params, buffers, geom = make_model(init, {"fwd_fused": False,
+                                                  "update_params": upd})
+        noy = geom.obj_shape[2]
+        loss_params = {"loss_single": {"state": True, "weight": 1.0, "dp_pow": 0.5}}
+
+        mesh = make_mesh(8)
+        plan = plan_canvas_epoch(
+            np.asarray(buffers.crop_pos), noy, geom.probe_shape[0], 8,
+            n_batches=2, seed=3)
+
+        # replicated trajectory over the SAME minibatch index groups
+        def ref_loss(p, idx):
+            dp, (oa, op_) = fwd_fn(p, buffers, geom, idx)
+            total, _ = combined_loss(
+                dp, buffers.measurements[idx], oa, op_, buffers.omode_occu,
+                loss_params, None)
+            return total
+
+        groups = [plan.pos_index[b][plan.mask[b] == 1] for b in range(2)]
+        assert all(len(g) for g in groups)
+        tx_r, st_r, _, _ = create_optimizer({"name": "Adam"}, upd, params)
+        vg = jax.jit(jax.value_and_grad(ref_loss))
+        p_r, losses_r = params, []
+        for _ in range(2):
+            for g_idx in groups:
+                val, g = vg(p_r, jnp.asarray(g_idx))
+                up, st_r = tx_r.update(g, st_r, p_r)
+                p_r = _optax.apply_updates(p_r, up)
+                losses_r.append(float(val))
+
+        params_sh = shard_canvas_params(params, plan.base, mesh)
+        tx_s, st_s, _, _ = create_optimizer({"name": "Adam"}, upd, params_sh)
+        epoch, inputs = build_canvas_train_epoch(
+            buffers, geom, mesh, plan, loss_params, tx_s)
+        p_s, st, losses_s = params_sh, st_s, []
+        for _ in range(2):
+            p_s, st, losses = epoch(p_s, st, *inputs)
+            losses_s.extend(float(v) for v in np.asarray(losses))
+
+        np.testing.assert_allclose(losses_s, losses_r, rtol=2e-5)
+        np.testing.assert_allclose(
+            unshard_canvas(p_s.objp, noy), np.asarray(p_r.objp), atol=1e-4)
+
     def test_all_loss_terms_and_pad_match_replicated(self, rng):
         """All five loss terms at once (omode 2 so simlar has cross-mode
         variance) PLUS the on-the-fly measurement pad through the sharded
