@@ -351,8 +351,14 @@ class ConstraintScheduler:
             self._jitted = jax.jit(apply_due)
         return self._jitted
 
+    def due(self, niter: int) -> bool:
+        """Is any constraint due at this iteration? (Callers that must pay a
+        layout bridge before applying — e.g. the canvas-sharded solver path —
+        check this first to skip the bridge on idle iterations.)"""
+        return any(niter % freq == 0 for _, freq, _ in self._active)
+
     def __call__(self, params: PtychoParams, buffers: Buffers, niter: int) -> PtychoParams:
-        if not any(niter % freq == 0 for _, freq, _ in self._active):
+        if not self.due(niter):
             return params
         return self._composite()(params, buffers, jnp.asarray(niter, jnp.int32))
 

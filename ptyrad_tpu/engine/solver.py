@@ -457,6 +457,7 @@ class PtyRADSolver:
         self.mesh = mesh
         if self.mesh is None and n_devices is not None and n_devices > 1:
             self.mesh = make_mesh(n_devices)
+        self._canvas = None  # set by _build_canvas (recon_params.shard_canvas)
         self.history = ReconHistory()
 
     # -- preparation --------------------------------------------------------
@@ -499,6 +500,9 @@ class PtyRADSolver:
         set_kernel_mesh(self.mesh)
         optimizer_params = self.model_params.get("optimizer_params", {"name": "Adam"})
         self.optimizer_name = optimizer_params.get("name", "Adam")
+        if self.mesh is not None and self.recon_params.get("shard_canvas"):
+            self._build_canvas(optimizer_params)
+            return
         self.optimizer, self.opt_state, self.lr_dict, self.start_dict = create_optimizer(
             optimizer_params,
             self.model_params.get("update_params"),
@@ -583,6 +587,161 @@ class PtyRADSolver:
                 self.opt_state,
             )
 
+    def _build_canvas(self, optimizer_params):
+        """SHARD_CANVAS build (recon_params.shard_canvas — the
+        beyond-reference large-field axis, parallel/canvas.py): row-shard
+        the object canvases over the mesh, initialize the optimizer directly
+        on the sharded leaves (Adam moments row-shard with the canvas), lay
+        the measurements out ONCE as the slab-major resident store, and
+        train through the scanned store epoch."""
+        from ptyrad_tpu.parallel.canvas import (
+            build_canvas_store,
+            build_canvas_store_epoch,
+            plan_canvas_sharding,
+            shard_canvas_params,
+        )
+
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "shard_canvas on multi-process meshes is not supported yet — "
+                "run it on a single-process mesh (one host's devices)")
+        if self.optimizer_name in ("LBFGS", "lbfgs"):
+            raise NotImplementedError(
+                "shard_canvas with LBFGS is not supported — use a first-order "
+                "optimizer (Adam/AdamW/SGD/...)")
+        if optimizer_params.get("load_state"):
+            raise NotImplementedError(
+                "shard_canvas cannot resume optimizer state (the moments are "
+                "row-sharded and padded); drop optimizer_params.load_state")
+        # the canvas epoch manages its own shard_map; the patch kernels must
+        # take their single-device path INSIDE the shard, not wrap themselves
+        # in a nested data-parallel shard_map (and their Pallas gather assumes
+        # a replicated canvas, which is exactly what this mode removes)
+        from ptyrad_tpu.ops.mesh_env import set_kernel_mesh
+
+        set_kernel_mesh(None)
+
+        import dataclasses as _dc
+
+        noy = self.geom.obj_shape[2]
+        n_dev = int(self.mesh.devices.size)
+        idx = np.asarray(self.indices)
+        pos_all = np.asarray(self.buffers.crop_pos)
+        plan = plan_canvas_sharding(
+            pos_all[idx], noy, self.geom.probe_shape[0], n_dev)
+        # the plan indexed the INDICES_MODE subset; remap its slots to global
+        # position ids so shift/tilt gathers and the store address the full
+        # parameter tables
+        plan = _dc.replace(plan, pos_index=idx[plan.pos_index])
+
+        self.params = shard_canvas_params(self.params, plan, self.mesh)
+        self.optimizer, self.opt_state, self.lr_dict, self.start_dict = create_optimizer(
+            optimizer_params,
+            self.model_params.get("update_params"),
+            self.params,
+            grad_accumulation=getattr(self, "grad_accumulation", 1),
+        )
+        store = build_canvas_store(self.buffers, self.geom, self.mesh, plan)
+        epoch = build_canvas_store_epoch(
+            self.buffers, self.geom, self.mesh, store, self.loss_params,
+            self.optimizer, self.start_dict,
+        )
+        batch_size = int(self.recon_params.get("BATCH_SIZE", {}).get("size", 32))
+        n_batches = max(1, -(-len(idx) // batch_size))
+        # every iteration batch must hold at least one position: the split is
+        # per-slab, so the busiest slab bounds how many batches can be fed
+        max_nb = int(plan.mask.reshape(n_dev, -1).sum(axis=1).max())
+        if n_batches > max_nb:
+            vprint(
+                f"WARNING: shard_canvas caps the batch count at {max_nb} "
+                f"(busiest slab) — BATCH_SIZE.size {batch_size} asked for "
+                f"{n_batches} batches", verbose=self.verbose,
+            )
+            n_batches = max_nb
+        self._canvas = (plan, store, epoch, n_batches)
+        self.train_step = self.eval_loss = self.train_epoch = None
+        self.lbfgs_step = None
+        self._put_batch = None
+
+    def _canvas_loop(self, n_iter: int, callback=None):
+        """SHARD_CANVAS iteration loop: per-iteration slab-local reshuffle
+        (only tiny slot-index arrays travel), one scanned epoch dispatch, and
+        constraints / saves bridged through the replicated layout only on
+        iterations where they fire."""
+        import inspect
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ptyrad_tpu.parallel.canvas import (
+            canvas_iteration_batches,
+            shard_canvas_params,
+            unshard_canvas_params,
+        )
+
+        plan, store, epoch, n_batches = self._canvas
+        params, opt_state = self.params, self.opt_state
+        history = self.history
+        noy = self.geom.obj_shape[2]
+        cb_takes_opt = False
+        if callback is not None:
+            cb_takes_opt = "opt_state" in inspect.signature(callback).parameters
+        save_iters = self.recon_params.get("SAVE_ITERS")
+        bsh = NamedSharding(self.mesh, P(None, "data"))
+
+        for niter in range(1, n_iter + 1):
+            t0 = time.perf_counter()
+            slots, mask, nval = canvas_iteration_batches(store, n_batches, niter)
+            params, opt_state, _total, terms_dev = epoch(
+                params, opt_state, store.meas_store,
+                jax.device_put(slots, bsh), jax.device_put(mask, bsh),
+                jnp.asarray(nval), jnp.asarray(niter, jnp.int32),
+            )
+            batch_terms = {k: np.asarray(v).tolist() for k, v in terms_dev.items()}
+            term_avgs = {k: float(np.mean(v)) for k, v in batch_terms.items()}
+            history.batch_terms = batch_terms
+            if self.constraint_fn.due(niter):
+                # constraint projections see whole canvases: bridge through
+                # the replicated layout (one canvas round-trip), only on
+                # iterations where something is actually due
+                rep = self.constraint_fn(
+                    unshard_canvas_params(params, noy), self.buffers, niter)
+                params = shard_canvas_params(rep, plan, self.mesh)
+            jax.block_until_ready(params.obja)
+            iter_t = time.perf_counter() - t0
+
+            total = float(sum(term_avgs.values()))
+            if not np.isfinite(total):
+                vprint(
+                    f"ERROR: non-finite loss at iter {niter} "
+                    f"(terms: {term_avgs}); stopping early. Check learning "
+                    "rates, normalization, and constraint settings.",
+                )
+                history.loss_iters.append((niter, total))
+                break
+            history.loss_iters.append((niter, total))
+            history.term_iters.append(term_avgs)
+            history.iter_times.append(iter_t)
+            history.dz_iters.append((niter, float(params.slice_thickness)))
+            history.avg_tilt_iters.append((niter, np.asarray(params.obj_tilts).mean(0)))
+            term_str = ", ".join(f"{k}: {v:.4f}" for k, v in term_avgs.items())
+            vprint(
+                f"Iter: {niter}, Total Loss: {total:.4f}, {term_str}, "
+                f"in {iter_t:.3f} sec", verbose=self.verbose,
+            )
+            if callback is not None and (
+                    not save_iters or niter % save_iters == 0 or niter == n_iter):
+                # savers/plotters consume whole canvases — hand them the
+                # replicated view, built only when the save gate can fire
+                rep = unshard_canvas_params(params, noy)
+                if cb_takes_opt:
+                    callback(niter, rep, history, opt_state=opt_state)
+                else:
+                    callback(niter, rep, history)
+
+        # downstream consumers (final save, visualization) read self.params
+        # as whole canvases
+        return unshard_canvas_params(params, noy), opt_state, history
+
     # -- run -----------------------------------------------------------------
 
     def reconstruct(self, callback: Optional[Callable] = None):
@@ -593,7 +752,9 @@ class PtyRADSolver:
             # unseeded prepare would train on DIFFERENT batches than the
             # saved diagnostic; the reference runs prepare_recon once)
             self.prepare()
-        if getattr(self, "train_step", None) is None and getattr(self, "lbfgs_step", None) is None:
+        if (getattr(self, "train_step", None) is None
+                and getattr(self, "lbfgs_step", None) is None
+                and self._canvas is None):
             self._build()
         vprint(
             f"Starting reconstruction: {n_iter} iters, "
@@ -602,7 +763,9 @@ class PtyRADSolver:
             verbose=self.verbose,
         )
         try:
-            if self.optimizer_name in ("LBFGS", "lbfgs"):
+            if self._canvas is not None:
+                self.params, self.opt_state, self.history = self._canvas_loop(n_iter, callback)
+            elif self.optimizer_name in ("LBFGS", "lbfgs"):
                 self.params, self.opt_state, self.history = self._lbfgs_loop(n_iter, callback)
             else:
                 self.params, self.opt_state, self.history = recon_loop(

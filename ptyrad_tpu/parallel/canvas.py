@@ -202,19 +202,26 @@ def build_canvas_sharded_loss(
             buffers.H.re, buffers.H.im, buffers.omode_occu,
             pos_l, meas_l, shifts, tilts, params.slice_thickness, mask,
             n_valid,
-        )
+        )[0]
 
     return loss_fn, (pos_local, meas)
 
 
-def _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active):
+def _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active,
+                       store_cap: Optional[int] = None):
     """shard_map'd local loss shared by the full-batch and scanned-epoch
     builders — mask and n_valid are traced ARGUMENTS so one compiled program
     serves every (mask-padded) minibatch of the same static shape:
 
       sharded(obja, objp, probe_re, probe_im, h_re, h_im, occu,
-              pos_l, meas_l, shifts_l, tilts_l, dz, mask_l, n_valid) -> scalar
-    """
+              pos_l, meas_l, shifts_l, tilts_l, dz, mask_l, n_valid)
+        -> (total, per-term dict)
+
+    With `store_cap` set, `meas_l` is replaced by (meas_store, slots):
+    the sharded slab-major resident store plus per-batch GLOBAL slot ids;
+    each device gathers its local rows as meas_store[slots - axis_index*cap]
+    — the measurements never re-cross the host/device boundary after the
+    one store transfer (see build_canvas_store)."""
     from ptyrad_tpu.ops.blur import gaussian_blur_2d
     from ptyrad_tpu.ops.resize import area_downsample, bilinear_resize_conserve
     from ptyrad_tpu.ops.shift import fourier_shift
@@ -344,38 +351,58 @@ def _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active):
             part["simlar"] = sim
 
         g = jax.lax.psum(part, DATA_AXIS) if part else part
-        total = jnp.float32(0.0)
+        zero = jnp.float32(0.0)
+        terms = {k: zero for k in cfg}
         if "loss_single" in active:
             sc = cfg["loss_single"]
-            total = total + sc["weight"] * (
+            terms["loss_single"] = sc["weight"] * (
                 jnp.sqrt(g["single_mse"] / denom) / (g["single_dat"] / denom))
         if "loss_poissn" in active:
             sc = cfg["loss_poissn"]
             nll = -g["poissn_ll"] / denom
-            total = total + sc["weight"] * nll / (g["poissn_dat"] / denom)
+            terms["loss_poissn"] = sc["weight"] * nll / (g["poissn_dat"] / denom)
         if "loss_pacbed" in active:
             sc = cfg["loss_pacbed"]
             p = float(sc.get("dp_pow", 0.2))
             avg_dp = g["pacbed_dp"] / n_valid
             avg_ms = g["pacbed_ms"] / n_valid
             mse = jnp.mean((avg_dp**p - avg_ms**p) ** 2)
-            total = total + sc["weight"] * jnp.sqrt(mse) / (g["pacbed_dat"] / denom)
+            terms["loss_pacbed"] = (
+                sc["weight"] * jnp.sqrt(mse) / (g["pacbed_dat"] / denom))
         if "loss_sparse" in active:
             sc = cfg["loss_sparse"]
             vox = n_valid * pp.shape[2] * pp.shape[3] * pp.shape[4]
             per_mode = (g["sparse"] / vox) ** (1.0 / sc["ln_order"])
-            total = total + sc["weight"] * jnp.sum(per_mode * occu)
+            terms["loss_sparse"] = sc["weight"] * jnp.sum(per_mode * occu)
         if simlar_on:
-            total = total + cfg["loss_simlar"]["weight"] * g["simlar"] / n_valid
-        return total
+            terms["loss_simlar"] = (
+                cfg["loss_simlar"]["weight"] * g["simlar"] / n_valid)
+        return sum(terms.values()), terms
 
+    term_specs = {k: P() for k in cfg}
+    if store_cap is None:
+        fn = local_loss
+        in_specs = (CANVAS_SPEC, CANVAS_SPEC, P(), P(), P(), P(), P(),
+                    P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                    P(), P(DATA_AXIS), P())
+    else:
+        def fn(obja_sh, objp_sh, probe_re, probe_im, h_re, h_im, occu,
+               pos_l, meas_store_l, slots_l, shifts_l, tilts_l, dz,
+               mask_l, n_valid):
+            off = jax.lax.axis_index(DATA_AXIS) * store_cap
+            meas_l = meas_store_l[slots_l - off]
+            return local_loss(obja_sh, objp_sh, probe_re, probe_im, h_re,
+                              h_im, occu, pos_l, meas_l, shifts_l, tilts_l,
+                              dz, mask_l, n_valid)
+
+        in_specs = (CANVAS_SPEC, CANVAS_SPEC, P(), P(), P(), P(), P(),
+                    P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                    P(DATA_AXIS), P(), P(DATA_AXIS), P())
     return shard_map(
-        local_loss,
+        fn,
         mesh=mesh,
-        in_specs=(CANVAS_SPEC, CANVAS_SPEC, P(), P(), P(), P(), P(),
-                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P(), P(DATA_AXIS), P()),
-        out_specs=P(),
+        in_specs=in_specs,
+        out_specs=(P(), term_specs),
         check_vma=False,  # ppermute + psum manage replication explicitly
     )
 
@@ -513,7 +540,7 @@ def build_canvas_train_epoch(
             buffers.H.re, buffers.H.im, buffers.omode_occu,
             pos_l, meas_l, shifts, tilts, params.slice_thickness,
             mask_l, nval,
-        )
+        )[0]
 
     def epoch(params, opt_state, pos_b, meas_b, mask_b, nval_b, idx_b):
         def body(carry, xs):
@@ -530,3 +557,167 @@ def build_canvas_train_epoch(
         return params, opt_state, losses
 
     return jax.jit(epoch, donate_argnums=(0, 1)), (pos_b, meas_b, mask_b, nval_b, idx_b)
+
+
+@dataclasses.dataclass(frozen=True)
+class CanvasStore:
+    """Device-resident, slab-major measurement store for production canvas
+    training: the measurements transfer ONCE (sharded over the mesh in slab
+    order); afterwards each iteration ships only tiny slot-index arrays and
+    the in-shard gather meas_store[slots - axis_index*cap] assembles every
+    minibatch on device — the canvas-mode analog of the replicated path's
+    device-resident Buffers.measurements."""
+
+    plan: CanvasPlan
+    cap: int                  # store rows per device
+    store_valid: np.ndarray   # (n_dev*cap,) f32: 1 where the slot is real
+    meas_store: jax.Array     # (n_dev*cap, My, Mx) sharded P(DATA_AXIS)
+    pos_store: jax.Array      # (n_dev*cap, 2) int32 slab-local rows, replicated
+    gid_store: jax.Array      # (n_dev*cap,) int32 global position ids, replicated
+
+
+def build_canvas_store(buffers: Buffers, geom: Geometry, mesh: Mesh,
+                       plan: CanvasPlan) -> CanvasStore:
+    """Lay the measurements out slab-major on the mesh (one transfer).
+
+    Reduced-precision (meas_dtype) storage is preserved — the local loss
+    upcasts per batch, exactly like forward.get_measurements."""
+    n_dev, cap = plan.n_dev, plan.b_local
+    pos = np.asarray(buffers.crop_pos)[plan.pos_index].astype(np.int32)
+    slab_first_row = (np.arange(n_dev) * plan.rows_local).repeat(cap)
+    pos_local = pos.copy()
+    pos_local[:, 0] -= slab_first_row.astype(np.int32)
+    meas = np.asarray(buffers.measurements)[plan.pos_index]
+    rep = NamedSharding(mesh, P())
+    return CanvasStore(
+        plan=plan,
+        cap=cap,
+        store_valid=plan.mask.copy(),
+        meas_store=jax.device_put(meas, NamedSharding(mesh, P(DATA_AXIS))),
+        pos_store=jax.device_put(pos_local, rep),
+        gid_store=jax.device_put(plan.pos_index.astype(np.int32), rep),
+    )
+
+
+def canvas_iteration_batches(store: CanvasStore, n_batches: int, niter: int):
+    """Per-iteration minibatching over the resident store: shuffle each
+    slab's valid slots (seeded by the iteration — the canvas analog of
+    engine/solver.iter_batch_perm, so runs reproduce and every rank of a
+    multi-process mesh builds the same order), split into n_batches, pad
+    ragged cells with the device's slot 0 masked to zero.
+
+    Returns (slots (n_batches, n_dev*b_local) int32 GLOBAL store-slot ids,
+    mask, n_valid (n_batches,)) — per-slab counts are iteration-invariant,
+    so the shapes are static and the epoch never recompiles."""
+    n_dev, cap = store.plan.n_dev, store.cap
+    rng = np.random.default_rng(1000003 * niter + 7)
+    valid = store.store_valid.reshape(n_dev, cap)
+    parts = {}
+    b_local = 1
+    for d in range(n_dev):
+        slots = np.nonzero(valid[d])[0] + d * cap
+        slots = rng.permutation(slots)
+        for b, part in enumerate(np.array_split(slots, n_batches)):
+            parts[(b, d)] = part
+            b_local = max(b_local, len(part))
+    slots_arr = np.zeros((n_batches, n_dev, b_local), np.int32)
+    mask = np.zeros((n_batches, n_dev, b_local), np.float32)
+    for d in range(n_dev):
+        slots_arr[:, d, :] = d * cap  # padding points at the device's slot 0
+    for (b, d), part in parts.items():
+        slots_arr[b, d, : len(part)] = part
+        mask[b, d, : len(part)] = 1.0
+    nval = mask.reshape(n_batches, -1).sum(axis=1).astype(np.float32)
+    if nval.min() == 0:
+        raise ValueError(
+            f"canvas batching: iteration batch {int(nval.argmin())} has no "
+            f"scan positions — use n_batches <= "
+            f"{int(store.store_valid.reshape(n_dev, cap).sum(1).max())}")
+    return slots_arr.reshape(n_batches, -1), mask.reshape(n_batches, -1), nval
+
+
+def build_canvas_store_epoch(
+    buffers: Buffers,
+    geom: Geometry,
+    mesh: Mesh,
+    store: CanvasStore,
+    loss_params: Optional[dict],
+    optimizer,
+    start_iters: Optional[dict] = None,
+):
+    """The production canvas iteration (PtyRADSolver's SHARD_CANVAS path):
+
+      epoch(params, opt_state, meas_store, slots_b, mask_b, nval_b, niter)
+        -> (params', opt_state', total_mean, terms (n_batches,) per key)
+
+    One jitted lax.scan over the per-iteration minibatches from
+    canvas_iteration_batches; the measurement store is an explicit ARGUMENT
+    (never closed over — CLAUDE.md invariant) gathered shard-locally; grads
+    and updates of tensors whose start_iter hasn't arrived are zeroed
+    exactly like engine/solver.build_train_epoch."""
+    import optax
+
+    from ptyrad_tpu.losses import merge_loss_params
+    from ptyrad_tpu.optim import mask_unstarted_grads
+
+    cfg = merge_loss_params(loss_params)
+    active = set(k for k, v in cfg.items() if v["state"])
+    plan = store.plan
+    start_iters = start_iters or {}
+    sharded = _make_sharded_loss(
+        buffers, geom, mesh, plan.n_dev, plan.halo, cfg, active,
+        store_cap=store.cap)
+    pos_store, gid_store = store.pos_store, store.gid_store
+
+    def batch_loss(params, meas_store, slots, mask_l, nval):
+        n_slots = slots.shape[0]
+        pos_l = pos_store[slots]   # replicated table, sharded gather indices
+        gid = gid_store[slots]
+        shifts = params.probe_pos_shifts[gid]
+        if geom.global_tilt:
+            tilts = jnp.broadcast_to(params.obj_tilts, (n_slots, 2))
+        else:
+            tilts = params.obj_tilts[gid]
+        return sharded(
+            params.obja, params.objp, params.probe.re, params.probe.im,
+            buffers.H.re, buffers.H.im, buffers.omode_occu,
+            pos_l, meas_store, slots, shifts, tilts, params.slice_thickness,
+            mask_l, nval,
+        )
+
+    def epoch(params, opt_state, meas_store, slots_b, mask_b, nval_b, niter):
+        def body(carry, xs):
+            params, opt_state = carry
+            slots, mask_l, nval = xs
+            (total, terms), grads = jax.value_and_grad(
+                batch_loss, has_aux=True)(params, meas_store, slots, mask_l, nval)
+            grads = mask_unstarted_grads(grads, niter, start_iters)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            # updates masked too: decoupled weight decay on unstarted tensors
+            # (see engine/solver.build_train_step)
+            updates = mask_unstarted_grads(updates, niter, start_iters)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (total, terms)
+
+        (params, opt_state), (totals, terms) = jax.lax.scan(
+            body, (params, opt_state), (slots_b, mask_b, nval_b))
+        return params, opt_state, jnp.mean(totals), terms
+
+    return jax.jit(epoch, donate_argnums=(0, 1))
+
+
+def unshard_canvas_params(params_sh: PtychoParams, noy: int) -> PtychoParams:
+    """Materialize a row-sharded PtychoParams back to the replicated host
+    layout (padding rows dropped) — the bridge to the constraint projections
+    and the checkpoint/visualization savers, which operate on whole
+    canvases. One full-canvas transfer per call; the SHARD_CANVAS solver
+    path only crosses it when a constraint is due or a save fires."""
+    return PtychoParams(
+        obja=jnp.asarray(unshard_canvas(params_sh.obja, noy)),
+        objp=jnp.asarray(unshard_canvas(params_sh.objp, noy)),
+        probe=Cplx(jnp.asarray(np.asarray(params_sh.probe.re)),
+                   jnp.asarray(np.asarray(params_sh.probe.im))),
+        probe_pos_shifts=jnp.asarray(np.asarray(params_sh.probe_pos_shifts)),
+        obj_tilts=jnp.asarray(np.asarray(params_sh.obj_tilts)),
+        slice_thickness=jnp.asarray(np.asarray(params_sh.slice_thickness)),
+    )

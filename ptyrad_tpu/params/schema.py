@@ -523,6 +523,10 @@ class ReconParams(BaseModel):
     GROUP_MODE_SEED: Optional[int] = None
     SAVE_ITERS: Optional[int] = Field(default=10, ge=1)
     shard_measurements: bool = True
+    # beyond-reference: row-shard the object canvases over the device mesh
+    # (parallel/canvas.py) instead of replicating them — the large-field
+    # scaling axis. Requires a mesh (n_devices > 1); see docs/performance.md
+    shard_canvas: bool = False
     output_dir: str = "output/"
     recon_dir_affixes: List[str] = Field(default=["default"])
     prefix_time: Union[bool, str] = "date"

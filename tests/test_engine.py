@@ -1262,6 +1262,50 @@ class TestCanvasSharding:
         np.testing.assert_allclose(
             b, a, atol=1e-5 * max(float(np.abs(a).max()), 1e-3))
 
+    def test_solver_shard_canvas_matches_replicated_fullbatch(self, rng):
+        """The PUBLIC path (recon_params.shard_canvas): PtyRADSolver on an
+        8-device mesh with row-sharded canvases + the resident measurement
+        store must reproduce the replicated solver's full-batch Adam
+        trajectory — constraints included (bridged through the replicated
+        layout on the iterations they fire)."""
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)
+        n = init["measurements"].shape[0]
+        cfg = {
+            "model_params": {
+                "fwd_fused": False,
+                "optimizer_params": {"name": "Adam"},
+                "update_params": {"objp": {"lr": 5e-3, "start_iter": 1},
+                                  "obja": {"lr": 5e-3, "start_iter": 1}},
+            },
+            "loss_params": {"loss_single": {"state": True, "weight": 1.0,
+                                            "dp_pow": 0.5}},
+            "constraint_params": {"objp_postiv": {"freq": 2, "relax": 0.0}},
+            "recon_params": {"NITER": 4, "BATCH_SIZE": {"size": n},
+                             "GROUP_MODE": "random"},
+        }
+        solver_rep = PtyRADSolver(cfg, init_variables=init, mesh=None,
+                                  verbose=False)
+        p_rep, hist_rep = solver_rep.run()
+
+        import copy
+
+        cfg_sh = copy.deepcopy(cfg)
+        cfg_sh["recon_params"]["shard_canvas"] = True
+        solver_sh = PtyRADSolver(cfg_sh, init_variables=init,
+                                 mesh=make_mesh(8), verbose=False)
+        p_sh, hist_sh = solver_sh.run()
+
+        np.testing.assert_allclose(
+            [v for _, v in hist_sh.loss_iters],
+            [v for _, v in hist_rep.loss_iters], rtol=2e-5)
+        # reconstruct() hands back WHOLE canvases (padding rows dropped)
+        assert p_sh.objp.shape == p_rep.objp.shape
+        np.testing.assert_allclose(
+            np.asarray(p_sh.objp), np.asarray(p_rep.objp), atol=1e-4)
+
     def test_canvas_epoch_scan_matches_replicated_minibatches(self, rng):
         """build_canvas_train_epoch: one jitted lax.scan over per-slab
         minibatches (the production solver shape — engine/solver's
