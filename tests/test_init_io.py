@@ -419,6 +419,69 @@ class TestEndToEndWorkflow:
         assert ckpt["optimizable_tensors"]["obja"].ndim == 4
         assert ckpt["model_attributes"]["dx"] == pytest.approx(0.15)
 
+    def test_cli_run_shard_canvas(self, rng, tmp_path):
+        """The golden path on a mesh with recon_params.shard_canvas: params
+        YAML -> CLI run --n_devices 2 -> canvas-sharded solver -> output
+        folder with checkpoint + images. The saved canvases must come back
+        WHOLE (padding rows dropped) — same shapes as a replicated run of
+        the identical params."""
+        import yaml
+
+        from ptyrad_tpu.cli import main
+
+        meas = synth_meas(rng, n_scans=36, npix=32)
+        meas_path = str(tmp_path / "meas.npy")
+        np.save(meas_path, meas)
+
+        def params_for(outdir, shard):
+            return {
+                "init_params": {
+                    "probe_kv": 80.0, "probe_conv_angle": 24.9, "meas_Npix": 32,
+                    "pos_N_scan_slow": 6, "pos_N_scan_fast": 6,
+                    "pos_scan_step_size": 1.0,
+                    "meas_calibration": {"mode": "dx", "value": 0.15},
+                    "probe_pmode_max": 1, "obj_Nlayer": 1,
+                    "obj_slice_thickness": 2.0,
+                    "meas_source": "file", "meas_params": {"path": meas_path},
+                    "pos_scan_rand_std": 0.0,
+                },
+                "model_params": {
+                    "update_params": {
+                        "obja": {"start_iter": 1, "lr": 1e-3},
+                        "objp": {"start_iter": 1, "lr": 1e-3},
+                    },
+                },
+                "recon_params": {
+                    "NITER": 2, "SAVE_ITERS": 2, "BATCH_SIZE": {"size": 18},
+                    "shard_canvas": shard,
+                    "output_dir": str(tmp_path / outdir),
+                    "save_result": ["model", "objp"],
+                    "result_modes": {"obj_dim": [2], "FOV": ["full"], "bit": ["raw"]},
+                    "selected_figs": [],
+                    "prefix_time": False,
+                },
+            }
+
+        def run_and_load(outdir, shard, extra_args):
+            params_path = str(tmp_path / f"recon_{outdir}.yml")
+            with open(params_path, "w") as f:
+                yaml.safe_dump(params_for(outdir, shard), f)
+            assert main(["run", "--params_path", params_path, *extra_args]) == 0
+            out_dirs = os.listdir(tmp_path / outdir)
+            assert len(out_dirs) == 1
+            out = tmp_path / outdir / out_dirs[0]
+            files = os.listdir(out)
+            assert any(f.startswith("objp") for f in files)
+            ckpt_file = sorted(f for f in files if f.startswith("model"))[-1]
+            return load_ptyrad(str(out / ckpt_file))
+
+        ckpt_rep = run_and_load("out_rep", False, [])
+        ckpt_sh = run_and_load("out_sh", True, ["--n_devices", "2"])
+        a_rep = ckpt_rep["optimizable_tensors"]["obja"]
+        a_sh = ckpt_sh["optimizable_tensors"]["obja"]
+        assert a_sh.shape == a_rep.shape  # whole canvas, padding dropped
+        assert np.all(np.isfinite(a_sh))
+
     def test_resume_from_checkpoint(self, rng, tmp_path):
         """Reconstruct, save, then re-initialize obj/probe/pos from the
         checkpoint (reference resume path, SURVEY §5)."""
