@@ -331,24 +331,27 @@ class ConstraintScheduler:
             self._active.append((name, int(freq), bound))
         self._jitted: Callable | None = None
 
+    def apply_traced(self, params: PtychoParams, buffers: Buffers, niter) -> PtychoParams:
+        """The due-constraint application as traceable code, for use INSIDE
+        an enclosing jitted program (e.g. the canvas-sharded bridge, which
+        wraps it in an all-gather/re-shard sandwich). `niter` is a traced
+        int32; mixed-frequency constraints gate via lax.cond exactly as in
+        the standalone composite."""
+        for _name, freq, fn in self._active:
+            if freq == 1:
+                params = fn(params, buffers)
+            else:
+                params = jax.lax.cond(
+                    niter % freq == 0,
+                    lambda p, b, fn=fn: fn(p, b),
+                    lambda p, b: p,
+                    params, buffers,
+                )
+        return params
+
     def _composite(self) -> Callable:
         if self._jitted is None:
-            active = tuple(self._active)
-
-            def apply_due(params, buffers, niter):
-                for _name, freq, fn in active:
-                    if freq == 1:
-                        params = fn(params, buffers)
-                    else:
-                        params = jax.lax.cond(
-                            niter % freq == 0,
-                            lambda p, b, fn=fn: fn(p, b),
-                            lambda p, b: p,
-                            params, buffers,
-                        )
-                return params
-
-            self._jitted = jax.jit(apply_due)
+            self._jitted = jax.jit(self.apply_traced)
         return self._jitted
 
     def due(self, niter: int) -> bool:

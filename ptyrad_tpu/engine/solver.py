@@ -595,16 +595,14 @@ class PtyRADSolver:
         the measurements out ONCE as the slab-major resident store, and
         train through the scanned store epoch."""
         from ptyrad_tpu.parallel.canvas import (
+            build_canvas_gather,
             build_canvas_store,
             build_canvas_store_epoch,
+            build_constraint_bridge,
             plan_canvas_sharding,
             shard_canvas_params,
         )
 
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "shard_canvas on multi-process meshes is not supported yet — "
-                "run it on a single-process mesh (one host's devices)")
         if self.optimizer_name in ("LBFGS", "lbfgs"):
             raise NotImplementedError(
                 "shard_canvas with LBFGS is not supported — use a first-order "
@@ -659,6 +657,21 @@ class PtyRADSolver:
             )
             n_batches = max_nb
         self._canvas = (plan, store, epoch, n_batches)
+        # jitted layout programs: all-gather to whole replicated canvases
+        # (savers/plotters) and the constraint bridge (gather -> due
+        # projections on the TRUE canvas extent -> re-pad -> re-shard) — no
+        # host round-trips, process-spanning-mesh safe
+        self._canvas_gather = build_canvas_gather(self.mesh, noy)
+        self._canvas_bridge = build_constraint_bridge(
+            self.constraint_fn, self.mesh, plan, noy)
+        # constraints only read probe_int_sum; don't ship the measurement
+        # store into the bridge as a replicated jit argument
+        import dataclasses as _dc2
+
+        from ptyrad_tpu.parallel.mesh import put_global, replicate
+
+        slim = _dc2.replace(self.buffers, measurements=None)
+        self._canvas_cbuffers = put_global(slim, replicate(self.mesh))
         self.train_step = self.eval_loss = self.train_epoch = None
         self.lbfgs_step = None
         self._put_batch = None
@@ -672,16 +685,12 @@ class PtyRADSolver:
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ptyrad_tpu.parallel.canvas import (
-            canvas_iteration_batches,
-            shard_canvas_params,
-            unshard_canvas_params,
-        )
+        from ptyrad_tpu.parallel.canvas import canvas_iteration_batches
+        from ptyrad_tpu.parallel.mesh import put_global
 
         plan, store, epoch, n_batches = self._canvas
         params, opt_state = self.params, self.opt_state
         history = self.history
-        noy = self.geom.obj_shape[2]
         cb_takes_opt = False
         if callback is not None:
             cb_takes_opt = "opt_state" in inspect.signature(callback).parameters
@@ -693,19 +702,19 @@ class PtyRADSolver:
             slots, mask, nval = canvas_iteration_batches(store, n_batches, niter)
             params, opt_state, _total, terms_dev = epoch(
                 params, opt_state, store.meas_store,
-                jax.device_put(slots, bsh), jax.device_put(mask, bsh),
+                put_global(slots, bsh), put_global(mask, bsh),
                 jnp.asarray(nval), jnp.asarray(niter, jnp.int32),
             )
             batch_terms = {k: np.asarray(v).tolist() for k, v in terms_dev.items()}
             term_avgs = {k: float(np.mean(v)) for k, v in batch_terms.items()}
             history.batch_terms = batch_terms
             if self.constraint_fn.due(niter):
-                # constraint projections see whole canvases: bridge through
-                # the replicated layout (one canvas round-trip), only on
+                # constraint projections see whole canvases: the jitted
+                # bridge all-gathers, applies the due projections on the
+                # true canvas extent, and re-shards — dispatched only on
                 # iterations where something is actually due
-                rep = self.constraint_fn(
-                    unshard_canvas_params(params, noy), self.buffers, niter)
-                params = shard_canvas_params(rep, plan, self.mesh)
+                params = self._canvas_bridge(
+                    params, self._canvas_cbuffers, jnp.asarray(niter, jnp.int32))
             jax.block_until_ready(params.obja)
             iter_t = time.perf_counter() - t0
 
@@ -731,8 +740,9 @@ class PtyRADSolver:
             if callback is not None and (
                     not save_iters or niter % save_iters == 0 or niter == n_iter):
                 # savers/plotters consume whole canvases — hand them the
-                # replicated view, built only when the save gate can fire
-                rep = unshard_canvas_params(params, noy)
+                # replicated view (jitted all-gather), built only when the
+                # save gate can fire
+                rep = self._canvas_gather(params)
                 if cb_takes_opt:
                     callback(niter, rep, history, opt_state=opt_state)
                 else:
@@ -740,7 +750,7 @@ class PtyRADSolver:
 
         # downstream consumers (final save, visualization) read self.params
         # as whole canvases
-        return unshard_canvas_params(params, noy), opt_state, history
+        return self._canvas_gather(params), opt_state, history
 
     # -- run -----------------------------------------------------------------
 

@@ -50,7 +50,7 @@ from ptyrad_tpu.models.forward import multislice_dp
 from ptyrad_tpu.models.state import Buffers, Geometry, PtychoParams
 from ptyrad_tpu.ops.cplx import Cplx
 from ptyrad_tpu.ops.patches import extract_patches
-from ptyrad_tpu.parallel.mesh import DATA_AXIS
+from ptyrad_tpu.parallel.mesh import DATA_AXIS, put_global
 
 try:  # moved to jax.shard_map in newer releases
     from jax import shard_map  # type: ignore[attr-defined]
@@ -118,7 +118,8 @@ def plan_canvas_sharding(crop_pos: np.ndarray, noy: int, probe_ny: int, n_dev: i
 def shard_canvas_params(params: PtychoParams, plan: CanvasPlan, mesh: Mesh) -> PtychoParams:
     """Lay the obja/objp canvases out row-sharded on the mesh (padded rows are
     never read by any patch and receive zero gradient); everything else
-    replicates."""
+    replicates. put_global, so process-spanning meshes work (every rank holds
+    the same host value, like every DDP rank of the reference)."""
     pad = plan.noy_pad - params.obja.shape[2]
     obja = np.pad(np.asarray(params.obja), ((0, 0), (0, 0), (0, pad), (0, 0)),
                   constant_values=1.0)
@@ -126,13 +127,13 @@ def shard_canvas_params(params: PtychoParams, plan: CanvasPlan, mesh: Mesh) -> P
     canvas_sh = NamedSharding(mesh, CANVAS_SPEC)
     rep = NamedSharding(mesh, P())
     return PtychoParams(
-        obja=jax.device_put(obja, canvas_sh),
-        objp=jax.device_put(objp, canvas_sh),
-        probe=Cplx(jax.device_put(params.probe.re, rep),
-                   jax.device_put(params.probe.im, rep)),
-        probe_pos_shifts=jax.device_put(params.probe_pos_shifts, rep),
-        obj_tilts=jax.device_put(params.obj_tilts, rep),
-        slice_thickness=jax.device_put(params.slice_thickness, rep),
+        obja=put_global(obja, canvas_sh),
+        objp=put_global(objp, canvas_sh),
+        probe=Cplx(put_global(np.asarray(params.probe.re), rep),
+                   put_global(np.asarray(params.probe.im), rep)),
+        probe_pos_shifts=put_global(np.asarray(params.probe_pos_shifts), rep),
+        obj_tilts=put_global(np.asarray(params.obj_tilts), rep),
+        slice_thickness=put_global(np.asarray(params.slice_thickness), rep),
     )
 
 
@@ -593,9 +594,9 @@ def build_canvas_store(buffers: Buffers, geom: Geometry, mesh: Mesh,
         plan=plan,
         cap=cap,
         store_valid=plan.mask.copy(),
-        meas_store=jax.device_put(meas, NamedSharding(mesh, P(DATA_AXIS))),
-        pos_store=jax.device_put(pos_local, rep),
-        gid_store=jax.device_put(plan.pos_index.astype(np.int32), rep),
+        meas_store=put_global(meas, NamedSharding(mesh, P(DATA_AXIS))),
+        pos_store=put_global(pos_local, rep),
+        gid_store=put_global(plan.pos_index.astype(np.int32), rep),
     )
 
 
@@ -721,3 +722,65 @@ def unshard_canvas_params(params_sh: PtychoParams, noy: int) -> PtychoParams:
         obj_tilts=jnp.asarray(np.asarray(params_sh.obj_tilts)),
         slice_thickness=jnp.asarray(np.asarray(params_sh.slice_thickness)),
     )
+
+
+def build_canvas_gather(mesh: Mesh, noy: int):
+    """Jitted row-sharded -> replicated whole-canvas params: crops the
+    padding rows and lets XLA all-gather the slabs over ICI. Multi-process
+    safe — every process ends holding fully replicated canvases, the same
+    layout the standard solver path and the savers/plotters consume (a host
+    np.asarray on a process-spanning SHARDED array is not addressable;
+    gathering on device first is)."""
+    rep = NamedSharding(mesh, P())
+
+    def gather(params_sh: PtychoParams) -> PtychoParams:
+        return PtychoParams(
+            obja=params_sh.obja[:, :, :noy, :],
+            objp=params_sh.objp[:, :, :noy, :],
+            probe=params_sh.probe,
+            probe_pos_shifts=params_sh.probe_pos_shifts,
+            obj_tilts=params_sh.obj_tilts,
+            slice_thickness=params_sh.slice_thickness,
+        )
+
+    return jax.jit(gather, out_shardings=rep)
+
+
+def build_constraint_bridge(scheduler, mesh: Mesh, plan: CanvasPlan, noy: int):
+    """Jitted constraint application on row-sharded params: all-gather the
+    slabs to whole (unpadded) canvases, run the due constraint projections
+    exactly as the replicated path does (ConstraintScheduler.apply_traced —
+    kr/kz filters must see the TRUE canvas extent, not the padded one),
+    re-pad, and re-shard. One device program per call, no host round-trip,
+    multi-process safe:
+
+      bridge(params_sh, buffers, niter) -> params_sh'
+
+    Buffers rides as a jit argument (never closed over); pass a slimmed
+    Buffers (measurements=None) — constraints only read probe_int_sum."""
+    canvas_sh = NamedSharding(mesh, CANVAS_SPEC)
+    pad = plan.noy_pad - noy
+
+    def bridge(params_sh: PtychoParams, buffers, niter) -> PtychoParams:
+        whole = PtychoParams(
+            obja=params_sh.obja[:, :, :noy, :],
+            objp=params_sh.objp[:, :, :noy, :],
+            probe=params_sh.probe,
+            probe_pos_shifts=params_sh.probe_pos_shifts,
+            obj_tilts=params_sh.obj_tilts,
+            slice_thickness=params_sh.slice_thickness,
+        )
+        out = scheduler.apply_traced(whole, buffers, niter)
+        obja = jnp.pad(out.obja, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                       constant_values=1.0)
+        objp = jnp.pad(out.objp, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return PtychoParams(
+            obja=jax.lax.with_sharding_constraint(obja, canvas_sh),
+            objp=jax.lax.with_sharding_constraint(objp, canvas_sh),
+            probe=out.probe,
+            probe_pos_shifts=out.probe_pos_shifts,
+            obj_tilts=out.obj_tilts,
+            slice_thickness=out.slice_thickness,
+        )
+
+    return jax.jit(bridge)

@@ -107,6 +107,41 @@ save_results(save_dir, solver.params, solver.buffers, solver.geom, cfg,
 # SAME path from every rank — orbax's save is a cross-process collective
 save_opt_state(solver.opt_state, os.path.join(save_dir, "optim_state"))
 
+# beyond-reference: the canvas-sharded solver path on the PROCESS-SPANNING
+# mesh — object rows sharded over 8 devices across both processes, resident
+# slab-major measurement store via put_global, jitted constraint bridge
+ys2 = np.repeat(np.arange(8) * (npix + 4), 2) + np.tile([2, 4], 8)
+xs2 = np.tile([3, 9], 8)
+crop2 = np.stack([ys2, xs2], -1).astype(np.int32)
+n2 = crop2.shape[0]
+canvas2_y, canvas2_x = 8 * (npix + 4), npix + 20
+obj2 = np.exp(
+    1j * 0.1 * rng.standard_normal((1, nz, canvas2_y, canvas2_x))
+).astype(np.complex64)
+init2 = {
+    "obj": obj2, "probe": probe,
+    "probe_pos_shifts": np.zeros((n2, 2), np.float32),
+    "obj_tilts": np.zeros((1, 2), np.float32), "slice_thickness": dz,
+    "H": near_field_evolution((npix, npix), dx, dz, lam),
+    "measurements": np.abs(rng.standard_normal((n2, npix, npix))).astype(np.float32),
+    "crop_pos": crop2,
+    "omode_occu": np.ones(1, np.float32), "dx": dx, "lambd": lam,
+    "N_scan_slow": 8, "N_scan_fast": 2,
+}
+cfg2 = {
+    "model_params": {"update_params": upd, "optimizer_params": {"name": "Adam"},
+                     "fwd_fused": False},
+    "constraint_params": {"objp_postiv": {"freq": 2, "relax": 0.0}},
+    "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": n2},
+                     "shard_canvas": True},
+}
+solver2 = PtyRADSolver(cfg2, init_variables=init2, mesh=mesh, verbose=False)
+solver2.run()
+loss2 = float(solver2.history.loss_iters[-1][1])
+objp2 = float(jnp.sum(jnp.abs(solver2.params.objp)))
+assert solver2.params.objp.shape[2] == canvas2_y  # whole canvas handed back
+print(f"MHCV rank={rank} loss={loss2:.9f} objp={objp2:.9f}", flush=True)
+
 # rank-divergent host strings (e.g. prefix_time folder names) adopt rank 0's
 from ptyrad_tpu.parallel.mesh import broadcast_str
 agreed = broadcast_str(f"folder_rank{rank}")
@@ -155,17 +190,29 @@ def test_two_process_multihost_epoch(tmp_path):
         outs.append(out)
 
     vals = {}
+    cvals = {}
     for rank, out in enumerate(outs):
         line = [ln for ln in out.splitlines() if ln.startswith("MHOK")]
         assert line, f"rank {rank} produced no result line:\n{out}"
         parts = dict(kv.split("=") for kv in line[0].split()[1:])
         assert int(parts["rank"]) == rank
         vals[rank] = (float(parts["loss"]), float(parts["objp"]))
+        cline = [ln for ln in out.splitlines() if ln.startswith("MHCV")]
+        assert cline, f"rank {rank} produced no canvas-sharded line:\n{out}"
+        cparts = dict(kv.split("=") for kv in cline[0].split()[1:])
+        cvals[rank] = (float(cparts["loss"]), float(cparts["objp"]))
 
     # both ranks agree on the reduced loss AND on the updated parameters
     assert vals[0][0] == pytest.approx(vals[1][0], rel=1e-6)
     assert vals[0][1] == pytest.approx(vals[1][1], rel=1e-6)
     assert np.isfinite(vals[0][0])
+
+    # canvas-sharded leg: ranks agree and stay finite (the slabs span
+    # processes; the halo ppermute and the store gather cross the
+    # process boundary)
+    assert cvals[0][0] == pytest.approx(cvals[1][0], rel=1e-6)
+    assert cvals[0][1] == pytest.approx(cvals[1][1], rel=1e-6)
+    assert np.isfinite(cvals[0][0])
 
     # rank-0-only saving: the file exists and was written exactly once
     saved = (tmp_path / "rank0_save.txt").read_text()
