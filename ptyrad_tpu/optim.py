@@ -250,10 +250,11 @@ def mask_unstarted_grads(grads: PtychoParams, niter, start_dict: Dict[str, int])
     """Zero gradients of tensors whose start_iter has not been reached.
 
     niter may be a traced scalar; start_iter == -1 means 'never optimize'
-    (reference toggle_grad_requires, reconstruction.py:783-790).
+    (reference toggle_grad_requires, reconstruction.py:783-790). A name
+    absent from start_dict is active from iteration 0.
     """
     def gate(name):
-        si = start_dict[name]
+        si = start_dict.get(name, 0)
         if si < 0:
             return jnp.float32(0.0)
         return (niter >= si).astype(jnp.float32)
