@@ -599,6 +599,8 @@ class PtyRADSolver:
             build_canvas_store,
             build_canvas_store_epoch,
             build_constraint_bridge,
+            build_opt_state_gather,
+            make_opt_state_coerce,
             plan_canvas_sharding,
             shard_canvas_params,
         )
@@ -607,10 +609,6 @@ class PtyRADSolver:
             raise NotImplementedError(
                 "shard_canvas with LBFGS is not supported — use a first-order "
                 "optimizer (Adam/AdamW/SGD/...)")
-        if optimizer_params.get("load_state"):
-            raise NotImplementedError(
-                "shard_canvas cannot resume optimizer state (the moments are "
-                "row-sharded and padded); drop optimizer_params.load_state")
         # the canvas epoch manages its own shard_map; the patch kernels must
         # take their single-device path INSIDE the shard, not wrap themselves
         # in a nested data-parallel shard_map (and their Pallas gather assumes
@@ -632,6 +630,12 @@ class PtyRADSolver:
         # parameter tables
         plan = _dc.replace(plan, pos_index=idx[plan.pos_index])
 
+        # abstract replicated params, captured BEFORE sharding: the orbax
+        # resume path below restores into this host layout (checkpoints are
+        # written replicated/unpadded — build_opt_state_gather — so they are
+        # interchangeable across modes and mesh sizes)
+        params_abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
         self.params = shard_canvas_params(self.params, plan, self.mesh)
         self.optimizer, self.opt_state, self.lr_dict, self.start_dict = create_optimizer(
             optimizer_params,
@@ -639,6 +643,39 @@ class PtyRADSolver:
             self.params,
             grad_accumulation=getattr(self, "grad_accumulation", 1),
         )
+        load_state = optimizer_params.get("load_state")
+        if load_state:
+            from ptyrad_tpu.optim import (
+                OptStateMismatchError,
+                _apply_keystr_dict,
+                load_opt_state_hdf5,
+                load_opt_state_values,
+            )
+
+            coerce = make_opt_state_coerce(plan, self.mesh, noy)
+            try:
+                if str(load_state).endswith((".hdf5", ".h5")):
+                    # model.hdf5 checkpoint (ours or reference-written torch
+                    # state) — moments arrive in the replicated host layout
+                    # and coerce pads + row-shards the canvas-shaped ones
+                    self.opt_state = load_opt_state_hdf5(
+                        self.opt_state, load_state,
+                        self.model_params.get("update_params"), coerce=coerce,
+                    )
+                else:
+                    abstract = jax.eval_shape(self.optimizer.init, params_abstract)
+                    values = load_opt_state_values(abstract, load_state)
+                    self.opt_state = _apply_keystr_dict(
+                        self.opt_state, values, coerce=coerce)
+                vprint(f"Restored optimizer state from '{load_state}'",
+                       verbose=self.verbose)
+            except OptStateMismatchError:
+                raise
+            except (OSError, KeyError, ValueError) as e:
+                vprint(
+                    f"WARNING: failed to restore optimizer state from "
+                    f"'{load_state}': {e}. Using fresh state."
+                )
         store = build_canvas_store(self.buffers, self.geom, self.mesh, plan)
         epoch = build_canvas_store_epoch(
             self.buffers, self.geom, self.mesh, store, self.loss_params,
@@ -662,6 +699,10 @@ class PtyRADSolver:
         # projections on the TRUE canvas extent -> re-pad -> re-shard) — no
         # host round-trips, process-spanning-mesh safe
         self._canvas_gather = build_canvas_gather(self.mesh, noy)
+        # checkpointed optimizer state goes out replicated/unpadded — the
+        # same layout the standard path writes (cross-mode resume)
+        self._canvas_opt_gather = build_opt_state_gather(
+            self.mesh, noy, plan.noy_pad)
         self._canvas_bridge = build_constraint_bridge(
             self.constraint_fn, self.mesh, plan, noy)
         # constraints only read probe_int_sum; don't ship the measurement
@@ -744,13 +785,15 @@ class PtyRADSolver:
                 # save gate can fire
                 rep = self._canvas_gather(params)
                 if cb_takes_opt:
-                    callback(niter, rep, history, opt_state=opt_state)
+                    callback(niter, rep, history,
+                             opt_state=self._canvas_opt_gather(opt_state))
                 else:
                     callback(niter, rep, history)
 
-        # downstream consumers (final save, visualization) read self.params
-        # as whole canvases
-        return self._canvas_gather(params), opt_state, history
+        # downstream consumers (final save, visualization, save_opt_state)
+        # read self.params / self.opt_state in the whole-canvas layout
+        return (self._canvas_gather(params),
+                self._canvas_opt_gather(opt_state), history)
 
     # -- run -----------------------------------------------------------------
 

@@ -361,7 +361,7 @@ def _canonical_key(keystr: str):
     return tuple(t for t in re.findall(r"\w+", keystr) if t in _CANON_VOCAB)
 
 
-def _apply_keystr_dict(opt_state_template, values: Dict[str, Any]):
+def _apply_keystr_dict(opt_state_template, values: Dict[str, Any], coerce=None):
     """Rebuild an optax state pytree from {jax.tree_util.keystr(path): array}.
 
     Leaves missing from `values` keep their template value (non-array state
@@ -374,8 +374,17 @@ def _apply_keystr_dict(opt_state_template, values: Dict[str, Any]):
     (e.g. with/without grad accumulation, whose MultiSteps wrapper prefixes
     every path) and a silent fresh state would masquerade as a successful
     resume.
+
+    `coerce(template_leaf, np_array) -> leaf` overrides the default
+    reshape-and-cast per matched array leaf — the shard_canvas resume path
+    uses it to pad and re-shard canvas-shaped moments onto the mesh
+    (parallel/canvas.py make_opt_state_coerce).
     """
     import numpy as np
+
+    if coerce is None:
+        def coerce(leaf, arr):
+            return jnp.asarray(arr.reshape(leaf.shape), dtype=leaf.dtype)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state_template)
 
@@ -406,8 +415,7 @@ def _apply_keystr_dict(opt_state_template, values: Dict[str, Any]):
                 key = alias
                 canon_matched += 1
         if key in values and hasattr(leaf, "shape"):
-            arr = np.asarray(values[key])
-            leaves.append(jnp.asarray(arr.reshape(leaf.shape), dtype=leaf.dtype))
+            leaves.append(coerce(leaf, np.asarray(values[key])))
             matched += 1
         else:
             if hasattr(leaf, "shape") and getattr(leaf, "size", 0) > 1:
@@ -482,7 +490,37 @@ def convert_torch_optim_state(torch_state: Dict[str, Any], update_params: Option
     return out
 
 
-def load_opt_state_hdf5(opt_state_template, ckpt_path: str, update_params: Optional[dict] = None):
+def load_opt_state_values(opt_state_abstract, path: str) -> Dict[str, Any]:
+    """Restore a save_opt_state orbax directory as {keystr: np.ndarray}.
+
+    `opt_state_abstract` is a jax.eval_shape of the optimizer's init on the
+    REPLICATED (host-layout) params — it supplies structure and host-numpy
+    restore targets, so nothing touches a device. Used by the shard_canvas
+    resume path, where the live opt_state template is row-sharded/padded and
+    therefore cannot be handed to orbax directly.
+    """
+    import os
+
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype) if hasattr(s, "shape") else s,
+        opt_state_abstract,
+    )
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, target=template)
+    flat, _ = jax.tree_util.tree_flatten_with_path(restored)
+    return {
+        jax.tree_util.keystr(p): np.asarray(leaf)
+        for p, leaf in flat
+        if hasattr(leaf, "shape")
+    }
+
+
+def load_opt_state_hdf5(opt_state_template, ckpt_path: str, update_params: Optional[dict] = None,
+                        coerce=None):
     """Restore optimizer state from a model.hdf5 checkpoint's optim_state_dict.
 
     Accepts both our flattened-keystr layout (written by save.make_save_dict)
@@ -501,4 +539,4 @@ def load_opt_state_hdf5(opt_state_template, ckpt_path: str, update_params: Optio
         )
     if "state" in values and "param_groups" in values:
         values = convert_torch_optim_state(values, update_params)
-    return _apply_keystr_dict(opt_state_template, values)
+    return _apply_keystr_dict(opt_state_template, values, coerce=coerce)

@@ -746,6 +746,50 @@ def build_canvas_gather(mesh: Mesh, noy: int):
     return jax.jit(gather, out_shardings=rep)
 
 
+def build_opt_state_gather(mesh: Mesh, noy: int, noy_pad: int):
+    """Jitted row-sharded -> replicated optimizer state for checkpointing:
+    canvas-shaped moment leaves (Adam mu/nu, MultiSteps acc_grads — any 4D
+    leaf with the padded row extent on axis 2) drop their padding rows and
+    all-gather; everything else replicates as-is. The result is the SAME
+    layout a replicated-mode run would checkpoint, so optim-state files are
+    interchangeable across modes, mesh sizes, and with the reference's own
+    torch checkpoints."""
+    rep = NamedSharding(mesh, P())
+
+    def fix(leaf):
+        if getattr(leaf, "ndim", 0) == 4 and leaf.shape[2] == noy_pad:
+            return leaf[:, :, :noy, :]
+        return leaf
+
+    def gather(opt_state):
+        return jax.tree_util.tree_map(fix, opt_state)
+
+    return jax.jit(gather, out_shardings=rep)
+
+
+def make_opt_state_coerce(plan: CanvasPlan, mesh: Mesh, noy: int):
+    """The restore-side inverse of build_opt_state_gather, plugged into
+    optim._apply_keystr_dict: checkpointed moments arrive in the replicated
+    host layout; canvas-shaped ones (template leaf padded to plan.noy_pad on
+    axis 2) are zero-padded — padding rows receive zero gradient, so a zero
+    moment is the exact resume — and laid out row-sharded; the rest
+    replicate. put_global, so process-spanning meshes work."""
+    canvas_sh = NamedSharding(mesh, CANVAS_SPEC)
+    rep = NamedSharding(mesh, P())
+    pad = plan.noy_pad - noy
+
+    def coerce(leaf, arr):
+        if (getattr(leaf, "ndim", 0) == 4 and leaf.shape[2] == plan.noy_pad
+                and arr.ndim == 4 and arr.shape[2] == noy
+                and arr.shape[:2] + arr.shape[3:] == leaf.shape[:2] + leaf.shape[3:]):
+            arr = np.pad(arr, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            return put_global(arr.astype(leaf.dtype), canvas_sh)
+        return put_global(
+            np.asarray(arr, dtype=leaf.dtype).reshape(leaf.shape), rep)
+
+    return coerce
+
+
 def build_constraint_bridge(scheduler, mesh: Mesh, plan: CanvasPlan, noy: int):
     """Jitted constraint application on row-sharded params: all-gather the
     slabs to whole (unpadded) canvases, run the due constraint projections

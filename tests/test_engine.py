@@ -1306,6 +1306,75 @@ class TestCanvasSharding:
         np.testing.assert_allclose(
             np.asarray(p_sh.objp), np.asarray(p_rep.objp), atol=1e-4)
 
+    @pytest.mark.slow
+    def test_solver_shard_canvas_opt_state_resume(self, rng, tmp_path):
+        """shard_canvas optimizer-state resume (r4 restriction lifted):
+        checkpoints go out in the replicated/unpadded layout
+        (build_opt_state_gather), resume pads + re-shards the canvas moments
+        exactly (make_opt_state_coerce), and the same file also resumes a
+        replicated-mode run — one canonical format across modes."""
+        import copy
+
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+        from ptyrad_tpu.optim import save_opt_state
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        def flat(state):
+            return [
+                (jax.tree_util.keystr(p), np.asarray(leaf))
+                for p, leaf in jax.tree_util.tree_flatten_with_path(state)[0]
+                if hasattr(leaf, "shape")
+            ]
+
+        init = self._setup(rng, grid=6)
+        n = init["measurements"].shape[0]
+        cfg = {
+            "model_params": {
+                "fwd_fused": False,
+                "optimizer_params": {"name": "Adam"},
+                "update_params": {"objp": {"lr": 5e-3, "start_iter": 1},
+                                  "obja": {"lr": 5e-3, "start_iter": 1}},
+            },
+            "loss_params": {"loss_single": {"state": True, "weight": 1.0,
+                                            "dp_pow": 0.5}},
+            "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": n},
+                             "GROUP_MODE": "random", "shard_canvas": True},
+        }
+        solver = PtyRADSolver(cfg, init_variables=copy.deepcopy(init),
+                              mesh=make_mesh(8), verbose=False)
+        solver.run()
+        saved = flat(solver.opt_state)
+        # the gathered state's canvas moments carry the UNPADDED extent —
+        # i.e. the exact shapes a replicated-mode checkpoint would have
+        objp_shape = tuple(np.asarray(solver.params.objp).shape)
+        mu_objp = [v for k, v in saved if "mu" in k and k.endswith("objp")]
+        assert mu_objp and mu_objp[0].shape == objp_shape
+        path = str(tmp_path / "optim_state")
+        save_opt_state(solver.opt_state, path)
+
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["model_params"]["optimizer_params"]["load_state"] = path
+        solver2 = PtyRADSolver(cfg2, init_variables=copy.deepcopy(init),
+                               mesh=make_mesh(8), verbose=False)
+        solver2.prepare()
+        solver2._build()
+        restored = flat(solver2._canvas_opt_gather(solver2.opt_state))
+        assert [k for k, _ in restored] == [k for k, _ in saved]
+        for (k, a), (_, b) in zip(saved, restored):
+            np.testing.assert_array_equal(b, a, err_msg=k)
+        p2, hist2 = solver2.run()
+        assert np.isfinite(hist2.loss_iters[-1][1])
+
+        # cross-mode: the canvas-written file resumes a REPLICATED run
+        cfg3 = copy.deepcopy(cfg2)
+        cfg3["recon_params"].pop("shard_canvas")
+        solver3 = PtyRADSolver(cfg3, init_variables=copy.deepcopy(init),
+                               mesh=None, verbose=False)
+        solver3.prepare()
+        solver3._build()
+        for (k, a), (_, b) in zip(saved, flat(solver3.opt_state)):
+            np.testing.assert_array_equal(b, a, err_msg=k)
+
     def test_canvas_epoch_scan_matches_replicated_minibatches(self, rng):
         """build_canvas_train_epoch: one jitted lax.scan over per-slab
         minibatches (the production solver shape — engine/solver's

@@ -433,7 +433,16 @@ class TestEndToEndWorkflow:
         meas_path = str(tmp_path / "meas.npy")
         np.save(meas_path, meas)
 
-        def params_for(outdir, shard):
+        def params_for(outdir, shard, load_state=None):
+            model_params = {
+                "update_params": {
+                    "obja": {"start_iter": 1, "lr": 1e-3},
+                    "objp": {"start_iter": 1, "lr": 1e-3},
+                },
+            }
+            if load_state:
+                model_params["optimizer_params"] = {
+                    "name": "Adam", "load_state": load_state}
             return {
                 "init_params": {
                     "probe_kv": 80.0, "probe_conv_angle": 24.9, "meas_Npix": 32,
@@ -445,27 +454,22 @@ class TestEndToEndWorkflow:
                     "meas_source": "file", "meas_params": {"path": meas_path},
                     "pos_scan_rand_std": 0.0,
                 },
-                "model_params": {
-                    "update_params": {
-                        "obja": {"start_iter": 1, "lr": 1e-3},
-                        "objp": {"start_iter": 1, "lr": 1e-3},
-                    },
-                },
+                "model_params": model_params,
                 "recon_params": {
                     "NITER": 2, "SAVE_ITERS": 2, "BATCH_SIZE": {"size": 18},
                     "shard_canvas": shard,
                     "output_dir": str(tmp_path / outdir),
-                    "save_result": ["model", "objp"],
+                    "save_result": ["model", "objp", "optim_state"],
                     "result_modes": {"obj_dim": [2], "FOV": ["full"], "bit": ["raw"]},
                     "selected_figs": [],
                     "prefix_time": False,
                 },
             }
 
-        def run_and_load(outdir, shard, extra_args):
+        def run_and_load(outdir, shard, extra_args, load_state=None):
             params_path = str(tmp_path / f"recon_{outdir}.yml")
             with open(params_path, "w") as f:
-                yaml.safe_dump(params_for(outdir, shard), f)
+                yaml.safe_dump(params_for(outdir, shard, load_state), f)
             assert main(["run", "--params_path", params_path, *extra_args]) == 0
             out_dirs = os.listdir(tmp_path / outdir)
             assert len(out_dirs) == 1
@@ -473,14 +477,33 @@ class TestEndToEndWorkflow:
             files = os.listdir(out)
             assert any(f.startswith("objp") for f in files)
             ckpt_file = sorted(f for f in files if f.startswith("model"))[-1]
-            return load_ptyrad(str(out / ckpt_file))
+            return load_ptyrad(str(out / ckpt_file)), str(out / ckpt_file)
 
-        ckpt_rep = run_and_load("out_rep", False, [])
-        ckpt_sh = run_and_load("out_sh", True, ["--n_devices", "2"])
+        ckpt_rep, _ = run_and_load("out_rep", False, [])
+        ckpt_sh, sh_ckpt = run_and_load("out_sh", True, ["--n_devices", "2"])
         a_rep = ckpt_rep["optimizable_tensors"]["obja"]
         a_sh = ckpt_sh["optimizable_tensors"]["obja"]
         assert a_sh.shape == a_rep.shape  # whole canvas, padding dropped
         assert np.all(np.isfinite(a_sh))
+
+        # the sharded run's optim-state checkpoint carries the SAME keys and
+        # (unpadded) shapes a replicated run writes — one canonical format
+        od_rep, od_sh = ckpt_rep["optim_state_dict"], ckpt_sh["optim_state_dict"]
+        assert set(od_sh) == set(od_rep)
+        for k in od_rep:
+            assert np.asarray(od_sh[k]).shape == np.asarray(od_rep[k]).shape, k
+
+        # resume a fresh sharded run from the sharded run's hdf5 via the CLI:
+        # the restored Adam step counter keeps counting (fresh state would
+        # reset it), proving the moments were actually loaded
+        def max_count(od):
+            return max(int(np.asarray(v)) for k, v in od.items()
+                       if k.endswith(".count"))
+
+        ckpt_res, _ = run_and_load(
+            "out_res", True, ["--n_devices", "2"], load_state=sh_ckpt)
+        assert max_count(ckpt_res["optim_state_dict"]) == \
+            2 * max_count(ckpt_sh["optim_state_dict"])
 
     def test_resume_from_checkpoint(self, rng, tmp_path):
         """Reconstruct, save, then re-initialize obj/probe/pos from the
