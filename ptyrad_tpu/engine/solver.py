@@ -596,19 +596,23 @@ class PtyRADSolver:
         train through the scanned store epoch."""
         from ptyrad_tpu.parallel.canvas import (
             build_canvas_gather,
+            build_canvas_lbfgs_step,
             build_canvas_store,
             build_canvas_store_epoch,
             build_constraint_bridge,
             build_opt_state_gather,
+            canvas_state_shardings,
             make_opt_state_coerce,
             plan_canvas_sharding,
             shard_canvas_params,
         )
 
-        if self.optimizer_name in ("LBFGS", "lbfgs"):
+        is_lbfgs = self.optimizer_name in ("LBFGS", "lbfgs")
+        if is_lbfgs and optimizer_params.get("load_state"):
             raise NotImplementedError(
-                "shard_canvas with LBFGS is not supported — use a first-order "
-                "optimizer (Adam/AdamW/SGD/...)")
+                "shard_canvas + LBFGS cannot resume optimizer state (the "
+                "linesearch state embeds padded param/grad copies); drop "
+                "optimizer_params.load_state or use a first-order optimizer")
         # the canvas epoch manages its own shard_map; the patch kernels must
         # take their single-device path INSIDE the shard, not wrap themselves
         # in a nested data-parallel shard_map (and their Pallas gather assumes
@@ -642,7 +646,18 @@ class PtyRADSolver:
             self.model_params.get("update_params"),
             self.params,
             grad_accumulation=getattr(self, "grad_accumulation", 1),
+            init_state=not is_lbfgs,
         )
+        if is_lbfgs:
+            # init under jit with explicit shardings: LBFGS's stacked diff
+            # memories (m canvas-sized copies each) must be BORN row-sharded
+            # — an eager init would materialize them replicated, which is
+            # exactly the memory wall shard_canvas removes
+            shardings = canvas_state_shardings(
+                jax.eval_shape(self.optimizer.init, self.params),
+                self.mesh, self.params.obja.shape)
+            self.opt_state = jax.jit(
+                self.optimizer.init, out_shardings=shardings)(self.params)
         load_state = optimizer_params.get("load_state")
         if load_state:
             from ptyrad_tpu.optim import (
@@ -677,10 +692,19 @@ class PtyRADSolver:
                     f"'{load_state}': {e}. Using fresh state."
                 )
         store = build_canvas_store(self.buffers, self.geom, self.mesh, plan)
-        epoch = build_canvas_store_epoch(
-            self.buffers, self.geom, self.mesh, store, self.loss_params,
-            self.optimizer, self.start_dict,
-        )
+        if is_lbfgs:
+            # step == the scanned full-store LBFGS objective; _canvas_loop
+            # dispatches it once per iteration with ALL batches
+            epoch = build_canvas_lbfgs_step(
+                self.buffers, self.geom, self.mesh, store, self.loss_params,
+                self.optimizer, self.start_dict,
+            )
+        else:
+            epoch = build_canvas_store_epoch(
+                self.buffers, self.geom, self.mesh, store, self.loss_params,
+                self.optimizer, self.start_dict,
+            )
+        self._canvas_is_lbfgs = is_lbfgs
         batch_size = int(self.recon_params.get("BATCH_SIZE", {}).get("size", 32))
         n_batches = max(1, -(-len(idx) // batch_size))
         # every iteration batch must hold at least one position: the split is
@@ -738,17 +762,37 @@ class PtyRADSolver:
         save_iters = self.recon_params.get("SAVE_ITERS")
         bsh = NamedSharding(self.mesh, P(None, "data"))
 
+        is_lbfgs = getattr(self, "_canvas_is_lbfgs", False)
+        if is_lbfgs:
+            # LBFGS consumes the FULL store every step (the scanned
+            # objective accumulates over all batches); fixed batch split —
+            # a reshuffle would change nothing but the accumulation order
+            slots_f, mask_f, nval_f = canvas_iteration_batches(
+                store, n_batches, 0)
+            lbfgs_inputs = (put_global(slots_f, bsh), put_global(mask_f, bsh),
+                            jnp.asarray(nval_f))
+
         for niter in range(1, n_iter + 1):
             t0 = time.perf_counter()
-            slots, mask, nval = canvas_iteration_batches(store, n_batches, niter)
-            params, opt_state, _total, terms_dev = epoch(
-                params, opt_state, store.meas_store,
-                put_global(slots, bsh), put_global(mask, bsh),
-                jnp.asarray(nval), jnp.asarray(niter, jnp.int32),
-            )
-            batch_terms = {k: np.asarray(v).tolist() for k, v in terms_dev.items()}
-            term_avgs = {k: float(np.mean(v)) for k, v in batch_terms.items()}
-            history.batch_terms = batch_terms
+            if is_lbfgs:
+                params, opt_state, value = epoch(
+                    params, opt_state, store.meas_store, *lbfgs_inputs,
+                    jnp.asarray(niter, jnp.int32),
+                )
+                term_avgs = {"lbfgs": float(value)}
+                history.batch_terms = {}
+            else:
+                slots, mask, nval = canvas_iteration_batches(
+                    store, n_batches, niter)
+                params, opt_state, _total, terms_dev = epoch(
+                    params, opt_state, store.meas_store,
+                    put_global(slots, bsh), put_global(mask, bsh),
+                    jnp.asarray(nval), jnp.asarray(niter, jnp.int32),
+                )
+                batch_terms = {k: np.asarray(v).tolist()
+                               for k, v in terms_dev.items()}
+                term_avgs = {k: float(np.mean(v)) for k, v in batch_terms.items()}
+                history.batch_terms = batch_terms
             if self.constraint_fn.due(niter):
                 # constraint projections see whole canvases: the jitted
                 # bridge all-gathers, applies the due projections on the

@@ -183,11 +183,15 @@ def create_optimizer(
     update_params: Optional[dict],
     params: PtychoParams,
     grad_accumulation: int = 1,
+    init_state: bool = True,
 ):
     """Build (optax optimizer, opt_state, lr_dict, start_iter_dict).
 
     optimizer_params: {'name': 'Adam', 'configs': {...}} (reference schema).
     update_params: per-tensor {'lr', 'start_iter'}.
+    init_state=False returns opt_state=None — for callers that must init
+    under jit with explicit out_shardings (shard_canvas LBFGS, whose stacked
+    diff memories would otherwise materialize replicated).
     """
     optimizer_params = optimizer_params or {"name": "Adam"}
     name = optimizer_params.get("name", "Adam")
@@ -242,7 +246,7 @@ def create_optimizer(
         # linesearch steps
         tx = optax.MultiSteps(tx, every_k_schedule=int(grad_accumulation))
 
-    opt_state = tx.init(params)
+    opt_state = tx.init(params) if init_state else None
     return tx, opt_state, lr_dict, start_dict
 
 

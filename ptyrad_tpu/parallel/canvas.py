@@ -637,34 +637,22 @@ def canvas_iteration_batches(store: CanvasStore, n_batches: int, niter: int):
     return slots_arr.reshape(n_batches, -1), mask.reshape(n_batches, -1), nval
 
 
-def build_canvas_store_epoch(
+def _make_store_batch_loss(
     buffers: Buffers,
     geom: Geometry,
     mesh: Mesh,
     store: CanvasStore,
     loss_params: Optional[dict],
-    optimizer,
-    start_iters: Optional[dict] = None,
 ):
-    """The production canvas iteration (PtyRADSolver's SHARD_CANVAS path):
-
-      epoch(params, opt_state, meas_store, slots_b, mask_b, nval_b, niter)
-        -> (params', opt_state', total_mean, terms (n_batches,) per key)
-
-    One jitted lax.scan over the per-iteration minibatches from
-    canvas_iteration_batches; the measurement store is an explicit ARGUMENT
-    (never closed over — CLAUDE.md invariant) gathered shard-locally; grads
-    and updates of tensors whose start_iter hasn't arrived are zeroed
-    exactly like engine/solver.build_train_epoch."""
-    import optax
-
+    """The per-minibatch objective shared by the Adam epoch and the LBFGS
+    step: batch_loss(params, meas_store, slots, mask_l, nval) -> (total,
+    terms). The measurement store is an explicit ARGUMENT (never closed
+    over — CLAUDE.md invariant) gathered shard-locally."""
     from ptyrad_tpu.losses import merge_loss_params
-    from ptyrad_tpu.optim import mask_unstarted_grads
 
     cfg = merge_loss_params(loss_params)
     active = set(k for k, v in cfg.items() if v["state"])
     plan = store.plan
-    start_iters = start_iters or {}
     sharded = _make_sharded_loss(
         buffers, geom, mesh, plan.n_dev, plan.halo, cfg, active,
         store_cap=store.cap)
@@ -686,6 +674,35 @@ def build_canvas_store_epoch(
             mask_l, nval,
         )
 
+    return batch_loss
+
+
+def build_canvas_store_epoch(
+    buffers: Buffers,
+    geom: Geometry,
+    mesh: Mesh,
+    store: CanvasStore,
+    loss_params: Optional[dict],
+    optimizer,
+    start_iters: Optional[dict] = None,
+):
+    """The production canvas iteration (PtyRADSolver's SHARD_CANVAS path):
+
+      epoch(params, opt_state, meas_store, slots_b, mask_b, nval_b, niter)
+        -> (params', opt_state', total_mean, terms (n_batches,) per key)
+
+    One jitted lax.scan over the per-iteration minibatches from
+    canvas_iteration_batches; the measurement store is an explicit ARGUMENT
+    (never closed over — CLAUDE.md invariant) gathered shard-locally; grads
+    and updates of tensors whose start_iter hasn't arrived are zeroed
+    exactly like engine/solver.build_train_epoch."""
+    import optax
+
+    from ptyrad_tpu.optim import mask_unstarted_grads
+
+    start_iters = start_iters or {}
+    batch_loss = _make_store_batch_loss(buffers, geom, mesh, store, loss_params)
+
     def epoch(params, opt_state, meas_store, slots_b, mask_b, nval_b, niter):
         def body(carry, xs):
             params, opt_state = carry
@@ -705,6 +722,89 @@ def build_canvas_store_epoch(
         return params, opt_state, jnp.mean(totals), terms
 
     return jax.jit(epoch, donate_argnums=(0, 1))
+
+
+def canvas_state_shardings(abstract_state, mesh: Mesh, canvas_shape):
+    """NamedShardings for an optimizer state over row-sharded canvases: any
+    leaf whose trailing 4 dims are the PADDED canvas shape — Adam moments,
+    momentum/param copies, LBFGS's stacked (m, ...) diff memories — row-shards
+    on axis -2; everything else replicates. Used as jit out_shardings for
+    `optimizer.init`, so the big state buffers are born sharded and never
+    materialize replicated (the point of shard_canvas)."""
+    canvas_shape = tuple(canvas_shape)
+
+    def sh(s):
+        shape = tuple(getattr(s, "shape", ()))
+        if len(shape) >= 4 and shape[-4:] == canvas_shape:
+            spec = P(*((None,) * (len(shape) - 2)), DATA_AXIS, None)
+            return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(sh, abstract_state)
+
+
+def build_canvas_lbfgs_step(
+    buffers: Buffers,
+    geom: Geometry,
+    mesh: Mesh,
+    store: CanvasStore,
+    loss_params: Optional[dict],
+    optimizer,
+    start_iters: Optional[dict] = None,
+):
+    """LBFGS on the row-sharded canvas (the combination the reference cannot
+    express at all: its LBFGS must fall back to Adam even under plain DDP,
+    reference reconstruction.py:697-735 note):
+
+      step(params, opt_state, meas_store, slots_b, mask_b, nval_b, niter)
+        -> (params', opt_state', value)
+
+    The objective mirrors engine/solver.build_lbfgs_step — the mean over
+    minibatches of the store batch loss, evaluated as a rematerialized
+    lax.scan so HBM holds one batch of wavefields at a time — but every
+    evaluation (the linesearch makes several) runs on the SHARDED canvas,
+    and the LBFGS diff memories row-shard with it (init via
+    canvas_state_shardings), so the m-deep history that makes replicated
+    LBFGS memory-hungry scales down by the mesh size."""
+    import optax
+
+    from ptyrad_tpu.optim import freeze_unstarted_params
+
+    start_iters = start_iters or {}
+    batch_loss = _make_store_batch_loss(buffers, geom, mesh, store, loss_params)
+
+    def value_fn_of(meas_store, slots_b, mask_b, nval_b, niter):
+        # remat: without it the scan stacks every batch's forward residuals
+        one_batch = jax.checkpoint(
+            lambda params, slots, mask_l, nval:
+                batch_loss(params, meas_store, slots, mask_l, nval)[0])
+
+        def value_fn(params):
+            if start_iters:
+                # gate INSIDE the objective so the linesearch's internal
+                # gradient evaluations are gated too
+                params = freeze_unstarted_params(params, niter, start_iters)
+
+            def body(acc, xs):
+                slots, mask_l, nval = xs
+                return acc + one_batch(params, slots, mask_l, nval), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.asarray(0.0, jnp.float32), (slots_b, mask_b, nval_b))
+            return total / slots_b.shape[0]
+
+        return value_fn
+
+    def step(params, opt_state, meas_store, slots_b, mask_b, nval_b, niter):
+        value_fn = value_fn_of(meas_store, slots_b, mask_b, nval_b, niter)
+        value, grad = optax.value_and_grad_from_state(value_fn)(
+            params, state=opt_state)
+        updates, opt_state = optimizer.update(
+            grad, opt_state, params, value=value, grad=grad, value_fn=value_fn)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, value
+
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def unshard_canvas_params(params_sh: PtychoParams, noy: int) -> PtychoParams:
@@ -748,17 +848,17 @@ def build_canvas_gather(mesh: Mesh, noy: int):
 
 def build_opt_state_gather(mesh: Mesh, noy: int, noy_pad: int):
     """Jitted row-sharded -> replicated optimizer state for checkpointing:
-    canvas-shaped moment leaves (Adam mu/nu, MultiSteps acc_grads — any 4D
-    leaf with the padded row extent on axis 2) drop their padding rows and
-    all-gather; everything else replicates as-is. The result is the SAME
-    layout a replicated-mode run would checkpoint, so optim-state files are
-    interchangeable across modes, mesh sizes, and with the reference's own
-    torch checkpoints."""
+    canvas-shaped moment leaves (Adam mu/nu, MultiSteps acc_grads, LBFGS's
+    stacked diff memories — any leaf whose axis -2 carries the padded row
+    extent) drop their padding rows and all-gather; everything else
+    replicates as-is. The result is the SAME layout a replicated-mode run
+    would checkpoint, so optim-state files are interchangeable across
+    modes, mesh sizes, and with the reference's own torch checkpoints."""
     rep = NamedSharding(mesh, P())
 
     def fix(leaf):
-        if getattr(leaf, "ndim", 0) == 4 and leaf.shape[2] == noy_pad:
-            return leaf[:, :, :noy, :]
+        if getattr(leaf, "ndim", 0) >= 4 and leaf.shape[-2] == noy_pad:
+            return leaf[..., :noy, :]
         return leaf
 
     def gather(opt_state):
@@ -771,19 +871,20 @@ def make_opt_state_coerce(plan: CanvasPlan, mesh: Mesh, noy: int):
     """The restore-side inverse of build_opt_state_gather, plugged into
     optim._apply_keystr_dict: checkpointed moments arrive in the replicated
     host layout; canvas-shaped ones (template leaf padded to plan.noy_pad on
-    axis 2) are zero-padded — padding rows receive zero gradient, so a zero
+    axis -2) are zero-padded — padding rows receive zero gradient, so a zero
     moment is the exact resume — and laid out row-sharded; the rest
     replicate. put_global, so process-spanning meshes work."""
-    canvas_sh = NamedSharding(mesh, CANVAS_SPEC)
     rep = NamedSharding(mesh, P())
     pad = plan.noy_pad - noy
 
     def coerce(leaf, arr):
-        if (getattr(leaf, "ndim", 0) == 4 and leaf.shape[2] == plan.noy_pad
-                and arr.ndim == 4 and arr.shape[2] == noy
-                and arr.shape[:2] + arr.shape[3:] == leaf.shape[:2] + leaf.shape[3:]):
-            arr = np.pad(arr, ((0, 0), (0, 0), (0, pad), (0, 0)))
-            return put_global(arr.astype(leaf.dtype), canvas_sh)
+        nd = getattr(leaf, "ndim", 0)
+        if (nd >= 4 and leaf.shape[-2] == plan.noy_pad
+                and arr.ndim == nd and arr.shape[-2] == noy
+                and arr.shape[:-2] + arr.shape[-1:] == leaf.shape[:-2] + leaf.shape[-1:]):
+            arr = np.pad(arr, [(0, 0)] * (nd - 2) + [(0, pad), (0, 0)])
+            spec = P(*((None,) * (nd - 2)), DATA_AXIS, None)
+            return put_global(arr.astype(leaf.dtype), NamedSharding(mesh, spec))
         return put_global(
             np.asarray(arr, dtype=leaf.dtype).reshape(leaf.shape), rep)
 

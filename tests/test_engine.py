@@ -1307,6 +1307,57 @@ class TestCanvasSharding:
             np.asarray(p_sh.objp), np.asarray(p_rep.objp), atol=1e-4)
 
     @pytest.mark.slow
+    def test_solver_shard_canvas_lbfgs_matches_replicated(self, rng):
+        """shard_canvas + LBFGS — a combination the reference cannot express
+        (its LBFGS closure is incompatible with DDP): the scanned full-store
+        linesearch objective on the row-sharded canvas must reproduce the
+        replicated LBFGS trajectory, with the stacked diff memories BORN
+        row-sharded (canvas_state_shardings jit-init), never replicated."""
+        import copy
+
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)
+        n = init["measurements"].shape[0]
+        cfg = {
+            "model_params": {
+                "fwd_fused": False,
+                "optimizer_params": {"name": "LBFGS"},
+                "update_params": {"objp": {"lr": 1e-2, "start_iter": 1},
+                                  "obja": {"lr": 1e-2, "start_iter": 1}},
+            },
+            "loss_params": {"loss_single": {"state": True, "weight": 1.0,
+                                            "dp_pow": 0.5}},
+            "recon_params": {"NITER": 3, "BATCH_SIZE": {"size": n},
+                             "GROUP_MODE": "random"},
+        }
+        solver_rep = PtyRADSolver(cfg, init_variables=copy.deepcopy(init),
+                                  mesh=None, verbose=False)
+        p_rep, hist_rep = solver_rep.run()
+
+        cfg_sh = copy.deepcopy(cfg)
+        cfg_sh["recon_params"]["shard_canvas"] = True
+        solver_sh = PtyRADSolver(cfg_sh, init_variables=copy.deepcopy(init),
+                                 mesh=make_mesh(8), verbose=False)
+        solver_sh.prepare()
+        solver_sh._build()
+        # the m-deep diff memories (5D: (m, omode, Nz, rows, cols)) must be
+        # row-sharded over the mesh, not replicated
+        mem = [leaf for leaf in jax.tree_util.tree_leaves(solver_sh.opt_state)
+               if getattr(leaf, "ndim", 0) == 5]
+        assert mem, "no stacked LBFGS memory leaves found"
+        assert all("data" in str(leaf.sharding.spec) for leaf in mem)
+
+        p_sh, hist_sh = solver_sh.run()
+        np.testing.assert_allclose(
+            [v for _, v in hist_sh.loss_iters],
+            [v for _, v in hist_rep.loss_iters], rtol=1e-4)
+        assert p_sh.objp.shape == p_rep.objp.shape
+        np.testing.assert_allclose(
+            np.asarray(p_sh.objp), np.asarray(p_rep.objp), atol=1e-3)
+
+    @pytest.mark.slow
     def test_solver_shard_canvas_opt_state_resume(self, rng, tmp_path):
         """shard_canvas optimizer-state resume (r4 restriction lifted):
         checkpoints go out in the replicated/unpadded layout
