@@ -221,8 +221,26 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
     train_epoch = solver.train_epoch
     from ptyrad_tpu.engine.solver import put_iter_batches
 
-    batch_idx_np = np.asarray(solver.batch_idx)
-    batch_mask_np = np.asarray(solver.batch_mask)
+    canvas = solver._canvas is not None
+    if canvas:
+        # shard_canvas trials iterate exactly like _canvas_loop: scanned
+        # store epoch (or the full-store LBFGS step) + the jitted
+        # constraint bridge; only slot indices travel per iteration
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ptyrad_tpu.parallel.canvas import canvas_iteration_batches
+        from ptyrad_tpu.parallel.mesh import put_global
+
+        plan_c, store_c, epoch_c, n_batches_c = solver._canvas
+        bsh = NamedSharding(solver.mesh, P(None, "data"))
+        canvas_lbfgs = getattr(solver, "_canvas_is_lbfgs", False)
+        if canvas_lbfgs:
+            s0, m0, v0 = canvas_iteration_batches(store_c, n_batches_c, 0)
+            lb_inputs = (put_global(s0, bsh), put_global(m0, bsh),
+                         jnp.asarray(v0))
+    else:
+        batch_idx_np = np.asarray(solver.batch_idx)
+        batch_mask_np = np.asarray(solver.batch_mask)
 
     def put_iter(niter):
         # same per-iteration batch-order shuffle AND transfer path as
@@ -235,8 +253,28 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
     pruned = False
     for niter in range(1, n_iter + 1):
         t0 = _time.perf_counter()
-        idx_dev, mask_dev = put_iter(niter)
-        if train_epoch is not None:
+        if canvas:
+            if canvas_lbfgs:
+                solver.params, solver.opt_state, value = epoch_c(
+                    solver.params, solver.opt_state, store_c.meas_store,
+                    *lb_inputs, jnp.asarray(niter, jnp.int32))
+                term_avgs = {"loss_total": float(value)}
+            else:
+                slots, mask_b, nval = canvas_iteration_batches(
+                    store_c, n_batches_c, niter)
+                solver.params, solver.opt_state, _total, terms_dev = epoch_c(
+                    solver.params, solver.opt_state, store_c.meas_store,
+                    put_global(slots, bsh), put_global(mask_b, bsh),
+                    jnp.asarray(nval), jnp.asarray(niter, jnp.int32))
+                term_avgs = {k: float(np.mean(np.asarray(v)))
+                             for k, v in terms_dev.items()}
+            if solver.constraint_fn.due(niter):
+                solver.params = solver._canvas_bridge(
+                    solver.params, solver._canvas_cbuffers,
+                    jnp.asarray(niter, jnp.int32))
+            jax.block_until_ready(solver.params.obja)
+        elif train_epoch is not None:
+            idx_dev, mask_dev = put_iter(niter)
             solver.params, solver.opt_state, _total_dev, terms_dev = train_epoch(
                 solver.params, solver.opt_state, idx_dev, mask_dev,
                 jnp.asarray(niter, jnp.int32),
@@ -247,6 +285,7 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
         else:  # LBFGS: the solver builds lbfgs_step (train_step is None)
             # pass the loop's niter so freeze_unstarted_params gates tensors
             # by start_iter exactly as the production run would
+            idx_dev, mask_dev = put_iter(niter)
             solver.params, solver.opt_state, value = solver.lbfgs_step(
                 solver.params, solver.opt_state, idx_dev, mask_dev, niter
             )
@@ -273,6 +312,11 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
                 pruned = True
                 break
 
+    if canvas:
+        # collation (save_results/plot_summary) and the final error metric
+        # consume whole canvases — same bridge _canvas_loop crosses on exit
+        solver.params = solver._canvas_gather(solver.params)
+        solver.opt_state = solver._canvas_opt_gather(solver.opt_state)
     if error is None:
         error = compute_hypertune_error(solver, ht["error_metric"])
     return solver, error, pruned

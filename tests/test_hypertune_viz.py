@@ -319,6 +319,37 @@ class TestHypertune:
         assert len(done) == 2
         assert all(t["value"] is not None and np.isfinite(t["value"]) for t in done)
 
+    @pytest.mark.slow
+    def test_shard_canvas_trials_run(self, rng, tmp_path):
+        """Hypertune trials under recon_params.shard_canvas drive the
+        scanned store epoch + the jitted constraint bridge (train_epoch is
+        None in canvas mode), and collate WHOLE canvases (the gather at the
+        end of _run_trial_loop) — not padded row-sharded ones."""
+        import glob
+
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        cfg = hypertune_cfg(rng, tmp_path, n_trials=2, niter=2, tune_over={
+            "oplr": {"state": True, "suggest": "float",
+                     "kwargs": {"low": 1e-3, "high": 1e-2, "log": True}},
+        })
+        # taller canvas so 2 slabs each hold >= one probe height
+        cfg["init_params"] = base_init_params(
+            rng, n_scans=36, pos_scan_step_size=2.0)
+        cfg["recon_params"]["shard_canvas"] = True
+        cfg["recon_params"]["save_result"] = ["model", "objp"]
+        cfg["constraint_params"] = {"objp_postiv": {"freq": 1, "relax": 0.0}}
+        cfg["hypertune_params"]["collate_results"] = True
+        study = run_hypertune(cfg, mesh=make_mesh(2), use_optuna=False)
+        done = [t for t in study.trials if t["state"] == "COMPLETE"]
+        assert len(done) == 2
+        assert all(t["value"] is not None and np.isfinite(t["value"])
+                   for t in done)
+        # collation saved whole-canvas checkpoints
+        ckpts = glob.glob(str(tmp_path / "ht_out" / "**" / "model*.hdf5"),
+                          recursive=True)
+        assert len(ckpts) == 2
+
     def test_run_hypertune_end_to_end(self, rng, tmp_path):
         cfg = hypertune_cfg(rng, tmp_path, n_trials=3, niter=2, tune_over={
             "oplr": {"state": True, "suggest": "float", "kwargs": {"low": 1e-3, "high": 1e-2, "log": True}},
