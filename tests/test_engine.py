@@ -1307,6 +1307,53 @@ class TestCanvasSharding:
             np.asarray(p_sh.objp), np.asarray(p_rep.objp), atol=1e-4)
 
     @pytest.mark.slow
+    def test_solver_shard_canvas_grad_accumulation(self, rng):
+        """shard_canvas + BATCH_SIZE.grad_accumulation: MultiSteps wraps the
+        sharded optimizer, its canvas-shaped acc_grads are born row-sharded,
+        and accumulating 2 half-batches tracks the full-batch update (same
+        loose gate as the replicated test — the objective is nonlinear, so
+        microbatch-mean != full-batch gradient exactly)."""
+        import copy
+
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)
+        n = init["measurements"].shape[0]
+        cfg = {
+            "model_params": {
+                "fwd_fused": False,
+                "optimizer_params": {"name": "SGD"},
+                "update_params": {"objp": {"lr": 1e-2, "start_iter": 1}},
+            },
+            "loss_params": {"loss_single": {"state": True, "weight": 1.0,
+                                            "dp_pow": 0.5}},
+            "recon_params": {"NITER": 1, "BATCH_SIZE": {"size": n},
+                             "GROUP_MODE": "random", "shard_canvas": True},
+        }
+        objp0 = np.angle(np.asarray(init["obj"]))
+        solver_f = PtyRADSolver(cfg, init_variables=copy.deepcopy(init),
+                                mesh=make_mesh(8), verbose=False)
+        p_full, _ = solver_f.run()
+
+        cfg_acc = copy.deepcopy(cfg)
+        cfg_acc["recon_params"]["BATCH_SIZE"] = {
+            "size": n // 2, "grad_accumulation": 2}
+        solver_a = PtyRADSolver(cfg_acc, init_variables=copy.deepcopy(init),
+                                mesh=make_mesh(8), verbose=False)
+        solver_a.prepare()
+        solver_a._build()
+        # MultiSteps acc_grads (canvas-shaped, padded) live row-sharded
+        acc = [leaf for leaf in jax.tree_util.tree_leaves(solver_a.opt_state)
+               if getattr(leaf, "ndim", 0) == 4]
+        assert acc and all("data" in str(a.sharding.spec) for a in acc)
+        p_acc, _ = solver_a.run()
+
+        d_full = np.asarray(p_full.objp) - objp0
+        d_acc = np.asarray(p_acc.objp) - objp0
+        assert np.corrcoef(d_full.ravel(), d_acc.ravel())[0, 1] > 0.95
+
+    @pytest.mark.slow
     def test_solver_shard_canvas_lbfgs_matches_replicated(self, rng):
         """shard_canvas + LBFGS — a combination the reference cannot express
         (its LBFGS closure is incompatible with DDP): the scanned full-store
