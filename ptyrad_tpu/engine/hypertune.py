@@ -306,7 +306,16 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
         solver.history.avg_tilt_iters.append((niter, np.asarray(solver.params.obj_tilts).mean(0)))
 
         if ht.get("pruner_params") is not None:
-            error = compute_hypertune_error(solver, ht["error_metric"])
+            if canvas:
+                # the error metric reads whole canvases (padded row-sharded
+                # params are not host-addressable on a process-spanning
+                # mesh); swap in the gathered view just for the metric
+                params_sh = solver.params
+                solver.params = solver._canvas_gather(params_sh)
+                error = compute_hypertune_error(solver, ht["error_metric"])
+                solver.params = params_sh
+            else:
+                error = compute_hypertune_error(solver, ht["error_metric"])
             trial.report(error, niter)
             if trial.should_prune():
                 pruned = True
@@ -314,9 +323,12 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
 
     if canvas:
         # collation (save_results/plot_summary) and the final error metric
-        # consume whole canvases — same bridge _canvas_loop crosses on exit
+        # consume whole canvases — same bridge _canvas_loop crosses on exit;
+        # the optimizer state crosses only if collation will write it
         solver.params = solver._canvas_gather(solver.params)
-        solver.opt_state = solver._canvas_opt_gather(solver.opt_state)
+        if "optim_state" in (trial_params.get("recon_params", {})
+                             .get("save_result") or []):
+            solver.opt_state = solver._canvas_opt_gather(solver.opt_state)
     if error is None:
         error = compute_hypertune_error(solver, ht["error_metric"])
     return solver, error, pruned

@@ -731,11 +731,9 @@ class PtyRADSolver:
             self.constraint_fn, self.mesh, plan, noy)
         # constraints only read probe_int_sum; don't ship the measurement
         # store into the bridge as a replicated jit argument
-        import dataclasses as _dc2
-
         from ptyrad_tpu.parallel.mesh import put_global, replicate
 
-        slim = _dc2.replace(self.buffers, measurements=None)
+        slim = _dc.replace(self.buffers, measurements=None)
         self._canvas_cbuffers = put_global(slim, replicate(self.mesh))
         self.train_step = self.eval_loss = self.train_epoch = None
         self.lbfgs_step = None
@@ -760,6 +758,8 @@ class PtyRADSolver:
         if callback is not None:
             cb_takes_opt = "opt_state" in inspect.signature(callback).parameters
         save_iters = self.recon_params.get("SAVE_ITERS")
+        save_optim = "optim_state" in (
+            self.recon_params.get("save_result") or [])
         bsh = NamedSharding(self.mesh, P(None, "data"))
 
         is_lbfgs = getattr(self, "_canvas_is_lbfgs", False)
@@ -779,7 +779,8 @@ class PtyRADSolver:
                     params, opt_state, store.meas_store, *lbfgs_inputs,
                     jnp.asarray(niter, jnp.int32),
                 )
-                term_avgs = {"lbfgs": float(value)}
+                # same history key the hypertune LBFGS paths record
+                term_avgs = {"loss_total": float(value)}
                 history.batch_terms = {}
             else:
                 slots, mask, nval = canvas_iteration_batches(
@@ -826,18 +827,24 @@ class PtyRADSolver:
                     not save_iters or niter % save_iters == 0 or niter == n_iter):
                 # savers/plotters consume whole canvases — hand them the
                 # replicated view (jitted all-gather), built only when the
-                # save gate can fire
+                # save gate can fire; the optimizer state is gathered ONLY
+                # when the save actually writes it (for LBFGS the state is
+                # ~2m canvas copies — rematerializing it replicated on every
+                # save would be the memory wall shard_canvas removes)
                 rep = self._canvas_gather(params)
                 if cb_takes_opt:
                     callback(niter, rep, history,
-                             opt_state=self._canvas_opt_gather(opt_state))
+                             opt_state=(self._canvas_opt_gather(opt_state)
+                                        if save_optim else opt_state))
                 else:
                     callback(niter, rep, history)
 
         # downstream consumers (final save, visualization, save_opt_state)
-        # read self.params / self.opt_state in the whole-canvas layout
+        # read self.params as whole canvases; self.opt_state crosses to the
+        # canonical host layout only if something will write it
         return (self._canvas_gather(params),
-                self._canvas_opt_gather(opt_state), history)
+                self._canvas_opt_gather(opt_state) if save_optim else opt_state,
+                history)
 
     # -- run -----------------------------------------------------------------
 

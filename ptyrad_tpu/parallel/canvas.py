@@ -847,24 +847,35 @@ def build_canvas_gather(mesh: Mesh, noy: int):
 
 
 def build_opt_state_gather(mesh: Mesh, noy: int, noy_pad: int):
-    """Jitted row-sharded -> replicated optimizer state for checkpointing:
+    """Row-sharded -> replicated HOST optimizer state for checkpointing:
     canvas-shaped moment leaves (Adam mu/nu, MultiSteps acc_grads, LBFGS's
     stacked diff memories — any leaf whose axis -2 carries the padded row
-    extent) drop their padding rows and all-gather; everything else
-    replicates as-is. The result is the SAME layout a replicated-mode run
-    would checkpoint, so optim-state files are interchangeable across
-    modes, mesh sizes, and with the reference's own torch checkpoints."""
+    extent) drop their padding rows and all-gather; everything else fetches
+    as-is. The result is the SAME layout a replicated-mode run would
+    checkpoint, so optim-state files are interchangeable across modes, mesh
+    sizes, and with the reference's own torch checkpoints.
+
+    Leaves materialize ONE AT A TIME as host numpy (the savers host-convert
+    anyway): the peak device footprint is a single replicated leaf — for
+    LBFGS state (~2m canvas copies) a whole-tree device gather would
+    rematerialize exactly the memory wall shard_canvas removes."""
     rep = NamedSharding(mesh, P())
+    # one compiled program per distinct canvas-leaf shape (mu/nu share one,
+    # the stacked memories another) — the jitted-program count stays small
+    crop = jax.jit(lambda x: x[..., :noy, :], out_shardings=rep)
 
     def fix(leaf):
         if getattr(leaf, "ndim", 0) >= 4 and leaf.shape[-2] == noy_pad:
-            return leaf[..., :noy, :]
+            return np.asarray(crop(leaf))
+        if hasattr(leaf, "shape"):
+            # replicated leaves are fully addressable on every process
+            return np.asarray(leaf)
         return leaf
 
     def gather(opt_state):
         return jax.tree_util.tree_map(fix, opt_state)
 
-    return jax.jit(gather, out_shardings=rep)
+    return gather
 
 
 def make_opt_state_coerce(plan: CanvasPlan, mesh: Mesh, noy: int):

@@ -1436,7 +1436,10 @@ class TestCanvasSharding:
             "loss_params": {"loss_single": {"state": True, "weight": 1.0,
                                             "dp_pow": 0.5}},
             "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": n},
-                             "GROUP_MODE": "random", "shard_canvas": True},
+                             "GROUP_MODE": "random", "shard_canvas": True,
+                             # the exit gather to the canonical host layout
+                             # happens only when something will write it
+                             "save_result": ["model", "objp", "optim_state"]},
         }
         solver = PtyRADSolver(cfg, init_variables=copy.deepcopy(init),
                               mesh=make_mesh(8), verbose=False)
