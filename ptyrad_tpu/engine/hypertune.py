@@ -231,7 +231,7 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
         from ptyrad_tpu.parallel.canvas import canvas_iteration_batches
         from ptyrad_tpu.parallel.mesh import put_global
 
-        plan_c, store_c, epoch_c, n_batches_c = solver._canvas
+        _, store_c, epoch_c, n_batches_c = solver._canvas
         bsh = NamedSharding(solver.mesh, P(None, "data"))
         canvas_lbfgs = getattr(solver, "_canvas_is_lbfgs", False)
         if canvas_lbfgs:

@@ -500,9 +500,15 @@ class PtyRADSolver:
         set_kernel_mesh(self.mesh)
         optimizer_params = self.model_params.get("optimizer_params", {"name": "Adam"})
         self.optimizer_name = optimizer_params.get("name", "Adam")
-        if self.mesh is not None and self.recon_params.get("shard_canvas"):
-            self._build_canvas(optimizer_params)
-            return
+        if self.recon_params.get("shard_canvas"):
+            if self.mesh is not None:
+                self._build_canvas(optimizer_params)
+                return
+            vprint(
+                "WARNING: recon_params.shard_canvas requires a device mesh "
+                "(pass mesh=/n_devices= or --n_devices); running the "
+                "replicated path instead.", verbose=self.verbose,
+            )
         self.optimizer, self.opt_state, self.lr_dict, self.start_dict = create_optimizer(
             optimizer_params,
             self.model_params.get("update_params"),
