@@ -1307,6 +1307,51 @@ class TestCanvasSharding:
             np.asarray(p_sh.objp), np.asarray(p_rep.objp), atol=1e-4)
 
     @pytest.mark.slow
+    def test_solver_shard_canvas_bf16_policy_composes(self, rng):
+        """compute_dtype='bfloat16' reaches the canvas-sharded loss too
+        (multislice_dp's compute_dtype rides geom into the shard): the
+        canvas bf16 trajectory must track the REPLICATED bf16 one — same
+        math, different layout. (bf16 vs f32 is gated separately on a
+        dose-realistic synthetic; on noise-only data the dtypes decorrelate
+        by construction, so that is deliberately not the comparison here.)"""
+        import copy
+
+        from ptyrad_tpu.engine.solver import PtyRADSolver
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)
+        n = init["measurements"].shape[0]
+        cfg = {
+            "model_params": {
+                "fwd_fused": False,
+                "compute_dtype": "bfloat16",
+                "optimizer_params": {"name": "Adam"},
+                "update_params": {"objp": {"lr": 5e-3, "start_iter": 1}},
+            },
+            "loss_params": {"loss_single": {"state": True, "weight": 1.0,
+                                            "dp_pow": 0.5}},
+            "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": n},
+                             "GROUP_MODE": "random"},
+        }
+        objp0 = np.angle(np.asarray(init["obj"]))
+        p_rep, _ = PtyRADSolver(cfg, init_variables=copy.deepcopy(init),
+                                mesh=None, verbose=False).run()
+
+        cfg_sh = copy.deepcopy(cfg)
+        cfg_sh["recon_params"]["shard_canvas"] = True
+        solver_sh = PtyRADSolver(cfg_sh, init_variables=copy.deepcopy(init),
+                                 mesh=make_mesh(8), verbose=False)
+        assert solver_sh.geom.compute_dtype == "bfloat16"
+        p_sh, hist_sh = solver_sh.run()
+
+        assert all(np.isfinite(v) for _, v in hist_sh.loss_iters)
+        d_rep = (np.asarray(p_rep.objp) - objp0).ravel()
+        d_sh = (np.asarray(p_sh.objp) - objp0).ravel()
+        assert np.corrcoef(d_rep, d_sh)[0, 1] > 0.99
+        np.testing.assert_allclose(
+            np.asarray(p_sh.objp), np.asarray(p_rep.objp), atol=2e-2)
+
+    @pytest.mark.slow
     def test_solver_shard_canvas_grad_accumulation(self, rng):
         """shard_canvas + BATCH_SIZE.grad_accumulation: MultiSteps wraps the
         sharded optimizer, its canvas-shaped acc_grads are born row-sharded,
