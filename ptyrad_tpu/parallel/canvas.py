@@ -1,4 +1,4 @@
-"""Object-canvas spatial sharding over the device mesh (prototype).
+"""Object-canvas spatial sharding over the device mesh.
 
 The one parallel axis genuinely beyond the reference (SURVEY.md §5
 "long-context" row; reference replicates the whole object on every GPU —
