@@ -19,6 +19,13 @@ an A100 measurement.
 Robustness contract (the tunneled TPU backend is load-noisy and sometimes
 refuses to initialize — see VERDICT r4 item 1):
   - backend init and the first device transfer retry with bounded backoff;
+  - backend init and the first device op run inside BOUNDED daemon-thread
+    probes: a dead tunnel makes them HANG in native code, where SIGALRM is
+    never delivered (verified against a real outage 2026-08-18 — the
+    watchdog alone cannot save the record);
+  - a detected hang poisons this process's jax, so while budget allows the
+    bench sleeps and RE-EXECS itself in fresh processes (the chip often
+    comes back within minutes), forwarding the first successful record;
   - a COMPLETE JSON result line is printed and flushed as soon as the primary
     (tBL) leg finishes; later legs append fields and re-print, so the LAST
     stdout line is always a complete, parseable record even if a later leg
@@ -115,22 +122,110 @@ def emit(result):
     print(json.dumps(result), flush=True)
 
 
-def init_backend_with_retry(max_wait=600.0):
-    """jax.devices() with bounded exponential backoff. The axon backend
-    sometimes refuses to initialize under load (BENCH_r04: UNAVAILABLE at
-    init); a failed attempt leaves jax's backend table empty so a retry
-    re-runs platform init."""
-    import jax
+def _bounded(fn, timeout_s: float, what: str):
+    """Run fn() in a daemon thread with a bounded join.
 
+    An unreachable tunnel chip makes backend init (and sometimes the first
+    device op) HANG in native code, not raise — and while the main thread is
+    blocked there, CPython never delivers SIGALRM, so the global watchdog
+    cannot fire either (verified empirically against a dead chip,
+    2026-08-18: a 300 s alarm never ran and the process had to be SIGKILLed
+    with no JSON on stdout). The main thread therefore must never call
+    hang-capable device entry points directly."""
+    import threading
+
+    box: dict = {}
+
+    def probe():
+        try:
+            box["out"] = fn()
+        except Exception as e:  # noqa: BLE001
+            box["err"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise BenchTimeout(
+            f"{what} still hanging after {timeout_s:.0f}s — chip unreachable "
+            "(the stuck probe thread keeps its lock, so retrying in-process "
+            "cannot succeed)"
+        )
+    if "err" in box:
+        raise box["err"]
+    return box.get("out")
+
+
+def _devices_probe(timeout_s: float):
+    def probe():
+        import jax
+
+        return jax.devices()
+
+    return _bounded(probe, timeout_s, "backend init")
+
+
+def _fresh_process_retry():
+    """After a detected backend hang this process's jax is poisoned (the
+    stuck probe thread holds the backend-init lock forever), but the chip
+    may come back within the driver's budget: sleep, then re-exec bench.py
+    in a FRESH process and forward its record. Loops while budget allows.
+    Returns True if a child produced a JSON record (already printed)."""
+    if os.environ.get("BENCH_REEXEC") == "1":
+        return False  # children do not recurse
+    import subprocess
+
+    attempt = 0
+    while remaining() > 480:
+        attempt += 1
+        wait = min(240.0, remaining() - 420.0)
+        log(f"hang retry {attempt}: sleeping {wait:.0f}s, then a fresh process")
+        time.sleep(wait)
+        child_budget = int(remaining() - 90)
+        if child_budget < 300:
+            break
+        env = dict(os.environ, BENCH_REEXEC="1", BENCH_BUDGET_S=str(child_budget))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=child_budget + 60,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        sys.stderr.write(proc.stderr[-4000:])
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")]
+        if not lines:
+            continue
+        try:
+            rec = json.loads(lines[-1])
+        except ValueError:
+            continue
+        if rec.get("value", 0) > 0 or "error" not in rec:
+            for ln in lines:  # keep the driver's parse-the-last-line contract
+                print(ln, flush=True)
+            return True
+    return False
+
+
+def init_backend_with_retry(max_wait=600.0):
+    """Backend init with bounded exponential backoff. The axon backend
+    sometimes refuses to initialize under load (BENCH_r04: UNAVAILABLE at
+    init) — a failed attempt leaves jax's backend table empty so a retry
+    re-runs platform init. A HANGING init (dead tunnel) is detected by the
+    bounded probe and aborts immediately: the record must still go out."""
     delay = 15.0
     t0 = time.perf_counter()
     attempt = 0
     while True:
         attempt += 1
+        probe_budget = max(30.0, min(180.0, max_wait - (time.perf_counter() - t0)))
         try:
-            devs = jax.devices()
+            devs = _devices_probe(probe_budget)
             log(f"backend up on attempt {attempt}: {devs[0]}")
             return devs
+        except BenchTimeout:
+            raise  # hang: unrecoverable in-process, emit the record now
         except Exception as e:  # noqa: BLE001
             waited = time.perf_counter() - t0
             if waited + delay > max_wait or remaining() < delay + 60:
@@ -139,6 +234,7 @@ def init_backend_with_retry(max_wait=600.0):
                 ) from e
             log(f"backend init attempt {attempt} failed ({e!r:.120}); retry in {delay:.0f}s")
             try:  # best-effort: drop any cached half-initialized backend state
+                import jax
                 import jax.extend.backend  # subpackage: not reachable via bare `import jax`
 
                 jax.extend.backend.clear_backends()
@@ -604,8 +700,32 @@ def main():
         if SMOKE:
             jax.config.update("jax_platforms", "cpu")
             result["smoke"] = True
-        devs = init_backend_with_retry(max_wait=min(600.0, BUDGET_S * 0.4))
+        try:
+            devs = init_backend_with_retry(max_wait=min(600.0, BUDGET_S * 0.4))
+        except BenchTimeout as e:
+            # hang: unrecoverable in THIS process — try fresh ones while
+            # the budget allows, then fall back to the error record
+            result["error"] = str(e)
+            log(f"WATCHDOG: {e}")
+            if _fresh_process_retry():
+                signal.alarm(0)
+                sys.exit(0)
+            raise
         result["device"] = str(devs[0])
+
+        # canary: a chip can accept backend init and then hang on the first
+        # real work; prove one tiny compile+fetch round-trip inside a bounded
+        # probe before committing the main thread to unbounded device calls.
+        # Generous bound: first remote compiles are a latency lottery
+        # (8 s - 5 min on this tunnel).
+        def canary():
+            import jax.numpy as jnp
+
+            return float(jnp.sum(jnp.asarray(np.ones(8, np.float32))))
+
+        _bounded(canary, max(60.0, min(480.0, remaining() - 120.0)),
+                 "first device op")
+        log("canary device op ok")
 
         tbl_params, tbl_opt, tbl_iter, tbl_init = run_tbl(result)
         emit(result)  # primary leg is now on the record whatever happens next

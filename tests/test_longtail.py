@@ -253,6 +253,30 @@ class TestDemoScript:
 
 class TestBenchHarness:
     @pytest.mark.slow
+    def test_bench_bounded_probe_detects_hang(self):
+        """bench._bounded must turn a native-style hang into BenchTimeout
+        (a dead tunnel chip hangs backend init where SIGALRM is never
+        delivered — the probe thread is the only defense), and pass results
+        and exceptions through otherwise."""
+        import importlib.util
+        import os
+        import time as _time
+
+        import pytest as _pytest
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "bench_mod", os.path.join(repo, "bench.py"))
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        assert bench._bounded(lambda: 42, 5.0, "ok") == 42
+        with _pytest.raises(bench.BenchTimeout, match="hanging"):
+            bench._bounded(lambda: _time.sleep(30), 0.5, "simulated hang")
+        with _pytest.raises(ValueError, match="boom"):
+            bench._bounded(lambda: (_ for _ in ()).throw(ValueError("boom")),
+                           5.0, "raise passthrough")
+
     def test_bench_smoke_emits_staged_parseable_json(self):
         """The driver parses bench.py's LAST stdout line; BENCH_SMOKE=1 must
         run every leg on CPU, exit 0, and leave a complete JSON record on
