@@ -50,11 +50,24 @@ def _maybe_init_multihost(args) -> None:
 
 
 def cmd_run(args):
+    import os
+
     from ptyrad_tpu.load import load_params
     from ptyrad_tpu.utils.logging import CustomLogger
-    from ptyrad_tpu.utils.system import print_system_info, resolve_devices
+    from ptyrad_tpu.utils.system import (
+        ensure_backend_alive,
+        print_system_info,
+        resolve_devices,
+    )
 
     _maybe_init_multihost(args)
+    if not getattr(args, "multihost", False) and not getattr(
+            args, "coordinator_address", None):
+        # fail fast (with a check-tpu pointer) when the tunnel chip is dead:
+        # backend init hangs in native code and would freeze the run forever.
+        # Skipped under multihost, where blocking for peer ranks is correct.
+        ensure_backend_alive(
+            float(os.environ.get("PTYRAD_TPU_BACKEND_TIMEOUT", "180")))
     logger = CustomLogger(
         log_file="ptyrad_tpu_log.txt",
         prefix_jobid=_jobid_prefix(args.jobid),

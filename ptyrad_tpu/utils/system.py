@@ -72,6 +72,38 @@ def print_device_info(timeout_s: float = 60.0) -> None:
             vprint(line)
 
 
+def ensure_backend_alive(timeout_s: float = 180.0) -> None:
+    """Fail fast with a diagnosis if backend init HANGS (dead or saturated
+    tunnel chip) instead of freezing the run forever. The hang sits in
+    native code where signals are never delivered, so the probe runs in a
+    daemon thread — the same defense as check-tpu and bench.py. Only for
+    single-process runs: under multihost, jax.devices() legitimately blocks
+    until every rank joins the coordination service."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        try:
+            import jax
+
+            jax.devices()
+        except Exception:  # noqa: BLE001 — the real run will re-raise it with context
+            pass
+        finally:
+            done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        raise RuntimeError(
+            f"JAX backend initialization is hanging (> {timeout_s:.0f}s): the "
+            "TPU chip is unreachable or saturated. Run 'ptyrad-tpu check-tpu' "
+            "to diagnose; host-side commands (validate-params, "
+            "export-meas-init) still work. Retry when the chip recovers."
+        )
+
+
 def resolve_devices(n_devices: Optional[int]):
     """Build a data mesh over n devices (None/1 -> single-device, no mesh)."""
     if n_devices is None or n_devices <= 1:

@@ -82,6 +82,22 @@ class TestSystemUtils:
         assert "TIMED OUT" in out
         assert "unreachable or saturated" in out
 
+    def test_ensure_backend_alive(self, monkeypatch):
+        """cmd_run's fail-fast probe: a hanging jax.devices() raises a
+        diagnosis pointing at check-tpu instead of freezing the run."""
+        import time
+
+        import jax
+        import pytest
+
+        from ptyrad_tpu.utils.system import ensure_backend_alive
+
+        ensure_backend_alive(timeout_s=30.0)  # healthy backend: returns fast
+
+        monkeypatch.setattr(jax, "devices", lambda *a, **k: time.sleep(30))
+        with pytest.raises(RuntimeError, match="check-tpu"):
+            ensure_backend_alive(timeout_s=0.3)
+
     def test_resolve_devices(self):
         assert resolve_devices(None) is None
         assert resolve_devices(1) is None
