@@ -142,6 +142,21 @@ objp2 = float(jnp.sum(jnp.abs(solver2.params.objp)))
 assert solver2.params.objp.shape[2] == canvas2_y  # whole canvas handed back
 print(f"MHCV rank={rank} loss={loss2:.9f} objp={objp2:.9f}", flush=True)
 
+# canvas LBFGS across processes: the scanned full-store linesearch objective
+# with row-sharded diff memories, halo + linesearch collectives crossing the
+# process boundary
+cfg3 = {
+    "model_params": {"update_params": upd, "optimizer_params": {"name": "LBFGS"},
+                     "fwd_fused": False},
+    "recon_params": {"NITER": 1, "BATCH_SIZE": {"size": n2},
+                     "shard_canvas": True},
+}
+solver3 = PtyRADSolver(cfg3, init_variables=dict(init2), mesh=mesh, verbose=False)
+solver3.run()
+loss3 = float(solver3.history.loss_iters[-1][1])
+objp3 = float(jnp.sum(jnp.abs(solver3.params.objp)))
+print(f"MHLB rank={rank} loss={loss3:.9f} objp={objp3:.9f}", flush=True)
+
 # rank-divergent host strings (e.g. prefix_time folder names) adopt rank 0's
 from ptyrad_tpu.parallel.mesh import broadcast_str
 agreed = broadcast_str(f"folder_rank{rank}")
@@ -191,6 +206,7 @@ def test_two_process_multihost_epoch(tmp_path):
 
     vals = {}
     cvals = {}
+    lvals = {}
     for rank, out in enumerate(outs):
         line = [ln for ln in out.splitlines() if ln.startswith("MHOK")]
         assert line, f"rank {rank} produced no result line:\n{out}"
@@ -201,6 +217,10 @@ def test_two_process_multihost_epoch(tmp_path):
         assert cline, f"rank {rank} produced no canvas-sharded line:\n{out}"
         cparts = dict(kv.split("=") for kv in cline[0].split()[1:])
         cvals[rank] = (float(cparts["loss"]), float(cparts["objp"]))
+        lline = [ln for ln in out.splitlines() if ln.startswith("MHLB")]
+        assert lline, f"rank {rank} produced no canvas-LBFGS line:\n{out}"
+        lparts = dict(kv.split("=") for kv in lline[0].split()[1:])
+        lvals[rank] = (float(lparts["loss"]), float(lparts["objp"]))
 
     # both ranks agree on the reduced loss AND on the updated parameters
     assert vals[0][0] == pytest.approx(vals[1][0], rel=1e-6)
@@ -213,6 +233,12 @@ def test_two_process_multihost_epoch(tmp_path):
     assert cvals[0][0] == pytest.approx(cvals[1][0], rel=1e-6)
     assert cvals[0][1] == pytest.approx(cvals[1][1], rel=1e-6)
     assert np.isfinite(cvals[0][0])
+
+    # canvas LBFGS leg: linesearch collectives + row-sharded diff memories
+    # across the process boundary; ranks agree and stay finite
+    assert lvals[0][0] == pytest.approx(lvals[1][0], rel=1e-6)
+    assert lvals[0][1] == pytest.approx(lvals[1][1], rel=1e-6)
+    assert np.isfinite(lvals[0][0])
 
     # rank-0-only saving: the file exists and was written exactly once
     saved = (tmp_path / "rank0_save.txt").read_text()
