@@ -426,6 +426,62 @@ def _extract_bwd(patch_shape, res, g):
 extract_patches.defvjp(_extract_fwd, _extract_bwd)
 
 
+def _use_pallas_local() -> bool:
+    """Kernel dispatch for a caller already INSIDE a shard_map: no mesh or
+    global device-count consultation — each shard is logically one device."""
+    if not _HAVE_PALLAS or _FORCE_XLA:
+        return False
+    if _INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _local_gather_impl(canvas, crop_pos, patch_shape):
+    ny, nx = patch_shape
+    if _use_pallas_local() and _kernel_fits(canvas.shape, ny, nx):
+        return pallas_gather(canvas, crop_pos, patch_shape, interpret=_INTERPRET)
+    return _extract_impl(canvas, crop_pos, patch_shape)
+
+
+def _local_scatter_impl(canvas_shape, patches, crop_pos):
+    ny, nx = patches.shape[-2], patches.shape[-1]
+    if _use_pallas_local() and _kernel_fits(canvas_shape, ny, nx):
+        return pallas_scatter_add(canvas_shape, patches, crop_pos, interpret=_INTERPRET)
+    return _scatter_fori(canvas_shape, patches, crop_pos)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def extract_patches_local(canvas: jnp.ndarray, crop_pos: jnp.ndarray,
+                          patch_shape: tuple[int, int]) -> jnp.ndarray:
+    """extract_patches for callers already INSIDE a shard_map (the
+    canvas-sharded loss, parallel/canvas.py).
+
+    extract_patches' dispatch consults the kernel mesh and the global device
+    count, which inside another shard_map either nests a second shard_map
+    over the bound 'data' axis (trace-time error) or, on a multi-device TPU
+    with no kernel mesh registered, silently falls back to the ~24x serial
+    XLA scatter adjoint. This variant goes straight to the single-device
+    Pallas kernels — each shard is one device — and its scatter-add adjoint
+    stays SHARD-LOCAL with no collective: for a row-sharded canvas, the
+    shard's gradient IS its slab (halo terms ride the caller's ppermute
+    transpose)."""
+    return _local_gather_impl(canvas, crop_pos, patch_shape)
+
+
+def _extract_local_fwd(canvas, crop_pos, patch_shape):
+    return _local_gather_impl(canvas, crop_pos, patch_shape), (crop_pos, canvas.shape)
+
+
+def _extract_local_bwd(patch_shape, res, g):
+    crop_pos, canvas_shape = res
+    dcanvas = _local_scatter_impl(canvas_shape, g, crop_pos)
+    dpos = np.zeros(crop_pos.shape, dtype=jax.dtypes.float0)
+    return dcanvas, dpos
+
+
+extract_patches_local.defvjp(_extract_local_fwd, _extract_local_bwd)
+
+
 def scatter_add_patches(
     canvas_shape: tuple[int, ...], patches: jnp.ndarray, crop_pos: jnp.ndarray
 ) -> jnp.ndarray:

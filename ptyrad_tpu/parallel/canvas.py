@@ -49,7 +49,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ptyrad_tpu.models.forward import multislice_dp
 from ptyrad_tpu.models.state import Buffers, Geometry, PtychoParams
 from ptyrad_tpu.ops.cplx import Cplx
-from ptyrad_tpu.ops.patches import extract_patches
+from ptyrad_tpu.ops.patches import extract_patches_local
 from ptyrad_tpu.parallel.mesh import DATA_AXIS, put_global
 
 try:  # moved to jax.shard_map in newer releases
@@ -143,6 +143,20 @@ def unshard_canvas(arr, noy: int) -> np.ndarray:
     return np.asarray(arr)[:, :, :noy, :]
 
 
+def slab_local_positions(crop_pos, pos_index, rows_local: int, n_dev: int,
+                         b_local: int) -> np.ndarray:
+    """crop_pos gathered into slab order with row coordinates rebased to each
+    slab's first row — the slab-local frame every sharded gather reads. The
+    last axis of pos_index holds the n_dev*b_local slot-ordered position ids;
+    leading axes (e.g. a minibatch axis) broadcast. One definition shared by
+    the full-batch, scanned-epoch, and resident-store builders (they must
+    agree on this rebasing or gathers read the wrong rows)."""
+    pos = np.asarray(crop_pos)[np.asarray(pos_index)].astype(np.int32)
+    first = (np.arange(n_dev, dtype=np.int32) * rows_local).repeat(b_local)
+    pos[..., 0] -= first
+    return pos
+
+
 def build_canvas_sharded_loss(
     buffers: Buffers,
     geom: Geometry,
@@ -169,18 +183,17 @@ def build_canvas_sharded_loss(
 
     n_dev, halo = plan.n_dev, plan.halo
     # host-side grouping: positions/measurements gathered into slab order
-    # (mask-padded slots re-gather position 0 and contribute zero); row
-    # coordinates rebased to each slab's first row
-    pos = np.asarray(buffers.crop_pos)[plan.pos_index].astype(np.int32)
-    slab_first_row = (np.arange(n_dev) * plan.rows_local).repeat(plan.b_local)
-    pos_local = pos.copy()
-    pos_local[:, 0] -= slab_first_row.astype(np.int32)
+    # (mask-padded slots re-gather position 0 and contribute zero)
+    pos_local = slab_local_positions(
+        buffers.crop_pos, plan.pos_index, plan.rows_local, n_dev, plan.b_local)
     meas = np.asarray(buffers.measurements)[plan.pos_index]
 
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
-    pos_local = jax.device_put(pos_local, batch_sh)
-    meas = jax.device_put(meas, batch_sh)
-    mask = jax.device_put(plan.mask, batch_sh)
+    # put_global, not device_put: these builders are documented to work on
+    # process-spanning meshes, where device_put cannot address remote devices
+    pos_local = put_global(pos_local, batch_sh)
+    meas = put_global(meas, batch_sh)
+    mask = put_global(plan.mask, batch_sh)
     pos_index = jnp.asarray(plan.pos_index)  # tiny constant: gathers shifts
     n_valid = jnp.float32(plan.mask.sum())
 
@@ -243,8 +256,12 @@ def _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active,
         top_p = jax.lax.ppermute(objp_sh[:, :, :halo], DATA_AXIS, perm)
         ext_a = jnp.concatenate([obja_sh, top_a], axis=2)
         ext_p = jnp.concatenate([objp_sh, top_p], axis=2)
-        pa = extract_patches(ext_a, pos_l, geom.probe_shape)
-        pp = extract_patches(ext_p, pos_l, geom.probe_shape)
+        # the _local variant: we are already inside THIS shard_map, so the
+        # gather must dispatch straight to the single-device kernels (the
+        # mesh-aware extract_patches would nest a shard_map or fall back to
+        # the serial XLA scatter adjoint on multi-device TPU)
+        pa = extract_patches_local(ext_a, pos_l, geom.probe_shape)
+        pp = extract_patches_local(ext_p, pos_l, geom.probe_shape)
         pre_std = geom.obj_preblur_std
         if pre_std is not None and pre_std != 0:
             pa = gaussian_blur_2d(pa, kernel_size=5, sigma=pre_std)
@@ -266,8 +283,16 @@ def _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active,
         else:
             base = Cplx(h_re, h_im)
         if geom.tilt_obj:
-            ty = jnp.tan(tilts_l[:, 0, None, None] / 1e3)
-            tx = jnp.tan(tilts_l[:, 1, None, None] / 1e3)
+            # a global tilt arrives as b_local identical rows (the callers
+            # broadcast it into slot order); build ONE (1, Ny, Nx) ramp and
+            # let H broadcast over the batch, exactly like forward.py's
+            # global-tilt case — the per-row expi would be b_local-fold
+            # redundant transcendental work. Gradients are unchanged: all
+            # local positions' contributions accumulate on the single ramp
+            # and the callers' broadcast_to transpose sums over slots.
+            t_src = tilts_l[:1] if geom.global_tilt else tilts_l
+            ty = jnp.tan(t_src[:, 0, None, None] / 1e3)
+            tx = jnp.tan(t_src[:, 1, None, None] / 1e3)
             tilt_factor = expi(
                 dz * (jnp.asarray(buffers.Ky)[None] * ty
                       + jnp.asarray(buffers.Kx)[None] * tx))
@@ -276,6 +301,7 @@ def _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active,
             H = base[None]
         dp = multislice_dp(
             pa, pp, probes, H, occu, eps=geom.eps,
+            remat=geom.fwd_remat,
             compute_dtype=(jnp.bfloat16 if geom.compute_dtype == "bfloat16"
                            else jnp.float32),
         )
@@ -515,16 +541,16 @@ def build_canvas_train_epoch(
     n_dev, halo = base.n_dev, base.halo
     n_slots = plan.pos_index.shape[1]
 
-    pos = np.asarray(buffers.crop_pos)[plan.pos_index].astype(np.int32)
-    slab_first_row = (np.arange(n_dev) * base.rows_local).repeat(plan.b_local)
-    pos_local = pos.copy()
-    pos_local[:, :, 0] -= slab_first_row[None].astype(np.int32)
+    pos_local = slab_local_positions(
+        buffers.crop_pos, plan.pos_index, base.rows_local, n_dev, plan.b_local)
     meas = np.asarray(buffers.measurements)[plan.pos_index]
 
     bsh = NamedSharding(mesh, P(None, DATA_AXIS))
-    pos_b = jax.device_put(pos_local, bsh)
-    meas_b = jax.device_put(meas, bsh)
-    mask_b = jax.device_put(plan.mask, bsh)
+    # put_global: works on process-spanning meshes (device_put cannot
+    # address other processes' devices)
+    pos_b = put_global(pos_local, bsh)
+    meas_b = put_global(meas, bsh)
+    mask_b = put_global(plan.mask, bsh)
     nval_b = jnp.asarray(plan.mask.sum(axis=1), jnp.float32)
     idx_b = jnp.asarray(plan.pos_index)
 
@@ -584,10 +610,8 @@ def build_canvas_store(buffers: Buffers, geom: Geometry, mesh: Mesh,
     Reduced-precision (meas_dtype) storage is preserved — the local loss
     upcasts per batch, exactly like forward.get_measurements."""
     n_dev, cap = plan.n_dev, plan.b_local
-    pos = np.asarray(buffers.crop_pos)[plan.pos_index].astype(np.int32)
-    slab_first_row = (np.arange(n_dev) * plan.rows_local).repeat(cap)
-    pos_local = pos.copy()
-    pos_local[:, 0] -= slab_first_row.astype(np.int32)
+    pos_local = slab_local_positions(
+        buffers.crop_pos, plan.pos_index, plan.rows_local, n_dev, cap)
     meas = np.asarray(buffers.measurements)[plan.pos_index]
     rep = NamedSharding(mesh, P())
     return CanvasStore(
@@ -805,23 +829,6 @@ def build_canvas_lbfgs_step(
         return params, opt_state, value
 
     return jax.jit(step, donate_argnums=(0, 1))
-
-
-def unshard_canvas_params(params_sh: PtychoParams, noy: int) -> PtychoParams:
-    """Materialize a row-sharded PtychoParams back to the replicated host
-    layout (padding rows dropped) — the bridge to the constraint projections
-    and the checkpoint/visualization savers, which operate on whole
-    canvases. One full-canvas transfer per call; the SHARD_CANVAS solver
-    path only crosses it when a constraint is due or a save fires."""
-    return PtychoParams(
-        obja=jnp.asarray(unshard_canvas(params_sh.obja, noy)),
-        objp=jnp.asarray(unshard_canvas(params_sh.objp, noy)),
-        probe=Cplx(jnp.asarray(np.asarray(params_sh.probe.re)),
-                   jnp.asarray(np.asarray(params_sh.probe.im))),
-        probe_pos_shifts=jnp.asarray(np.asarray(params_sh.probe_pos_shifts)),
-        obj_tilts=jnp.asarray(np.asarray(params_sh.obj_tilts)),
-        slice_thickness=jnp.asarray(np.asarray(params_sh.slice_thickness)),
-    )
 
 
 def build_canvas_gather(mesh: Mesh, noy: int):

@@ -1766,6 +1766,55 @@ class TestCanvasSharding:
             float(grad.slice_thickness), float(ref_grad.slice_thickness),
             rtol=1e-2)
 
+    def test_canvas_global_tilt_gradients_match(self, rng):
+        """Global (1, 2) nonzero tilt: the shard builds ONE ramp
+        (tilts_l[:1]) instead of b_local identical ones; loss and the
+        obj_tilts gradient must still match the replicated path (all local
+        positions accumulate on the single ramp, and the callers'
+        broadcast_to transpose sums over slots)."""
+        from ptyrad_tpu.losses import combined_loss
+        from ptyrad_tpu.models.forward import forward as fwd_fn
+        from ptyrad_tpu.parallel.canvas import (
+            build_canvas_sharded_loss,
+            plan_canvas_sharding,
+            shard_canvas_params,
+        )
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng)
+        init["obj_tilts"] = np.array([[0.8, -0.5]], np.float32)
+        mp = {"fwd_fused": False,
+              "update_params": {"obj_tilts": {"lr": 1e-3, "start_iter": 1}}}
+        params, buffers, geom = make_model(init, mp)
+        assert geom.tilt_obj and geom.global_tilt
+        noy = geom.obj_shape[2]
+        loss_params = {"loss_single": {"state": True, "weight": 1.0,
+                                       "dp_pow": 0.5}}
+
+        def ref_loss(p):
+            dp, (oa, op_) = fwd_fn(p, buffers, geom, jnp.arange(geom.n_scans))
+            total, _ = combined_loss(
+                dp, buffers.measurements, oa, op_, buffers.omode_occu,
+                loss_params, None)
+            return total
+
+        ref_val, ref_grad = jax.jit(jax.value_and_grad(ref_loss))(params)
+        assert float(jnp.abs(ref_grad.obj_tilts).max()) > 0
+
+        mesh = make_mesh(8)
+        plan = plan_canvas_sharding(
+            np.asarray(buffers.crop_pos), noy, geom.probe_shape[0], 8)
+        loss_fn, (pos_l, meas_l) = build_canvas_sharded_loss(
+            buffers, geom, mesh, plan, loss_params)
+        params_sh = shard_canvas_params(params, plan, mesh)
+        val, grad = jax.jit(jax.value_and_grad(loss_fn))(params_sh, pos_l, meas_l)
+
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+        a = np.asarray(ref_grad.obj_tilts)
+        np.testing.assert_allclose(
+            np.asarray(grad.obj_tilts), a,
+            atol=1e-5 * max(float(np.abs(a).max()), 1e-3))
+
     def test_plan_mask_pads_unbalanced_and_rejects_oversized(self, rng):
         from ptyrad_tpu.parallel.canvas import plan_canvas_sharding
 
