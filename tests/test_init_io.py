@@ -326,6 +326,20 @@ class TestParamsSchema:
         assert p["loss_params"]["loss_single"]["state"] is True
         assert p["constraint_params"]["ortho_pmode"]["freq"] == 1
 
+    def test_shipped_demo_params_validate(self):
+        """Every YAML in demo/params/ must pass the schema — they are the
+        documented entry points (quickstart, shard_canvas launch guide)."""
+        import glob
+
+        import yaml
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ymls = sorted(glob.glob(os.path.join(repo, "demo", "params", "*.yml")))
+        assert len(ymls) >= 3  # tBL_WSe2, PSO, largeFOV_shard_canvas
+        for path in ymls:
+            with open(path) as f:
+                PtyRADParams(**yaml.safe_load(f))
+
     def test_extra_forbidden(self):
         bad = self.minimal()
         bad["init_params"]["bogus_field"] = 1
