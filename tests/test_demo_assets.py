@@ -1,0 +1,58 @@
+"""Shipped demo assets stay loadable: notebook generators build valid
+notebooks, the committed .ipynb files carry executed outputs, and the launch
+scripts pass a shell syntax check. (The params YAMLs are schema-validated in
+test_init_io.py::TestParamsSchema.)"""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "demo", "scripts")
+
+
+def _build_notebook(module_name):
+    sys.path.insert(0, SCRIPTS)
+    try:
+        import importlib
+
+        mod = importlib.import_module(module_name)
+        return mod.build()
+    finally:
+        sys.path.remove(SCRIPTS)
+
+
+def test_notebook_generators_build_valid_notebooks():
+    import nbformat
+
+    for gen in ("make_walkthrough_notebook", "make_quick_example_notebook"):
+        nb = _build_notebook(gen)
+        nbformat.validate(nb)
+        # every code cell must at least compile as Python (catches API-rename
+        # rot in the embedded sources without executing them)
+        for cell in nb.cells:
+            if cell.cell_type == "code":
+                compile(cell.source, f"<{gen}>", "exec")
+
+
+def test_committed_notebooks_are_executed():
+    ipynbs = sorted(glob.glob(os.path.join(SCRIPTS, "*.ipynb")))
+    assert len(ipynbs) >= 2  # quick example + detailed walkthrough
+    for path in ipynbs:
+        with open(path) as f:
+            nb = json.load(f)
+        outputs = [o for c in nb["cells"] for o in c.get("outputs", [])]
+        assert outputs, f"{os.path.basename(path)} committed without outputs"
+        errors = [o for o in outputs if o.get("output_type") == "error"]
+        assert not errors, f"{os.path.basename(path)} has error outputs"
+
+
+def test_launch_scripts_shell_syntax():
+    shs = [os.path.join(SCRIPTS, s)
+           for s in ("LoopSubmit.sh", "tpu_pod_launch.sh",
+                     "slurm_run_ptyrad_tpu.sub")]
+    for path in shs:
+        assert os.path.exists(path), path
+        subprocess.run(["bash", "-n", path], check=True)
