@@ -33,7 +33,10 @@ refuses to initialize — see VERDICT r4 item 1):
   - `device_ms_per_step` is measured from a jax.profiler trace (device-lane
     time), immune to host/tunnel load noise;
   - a global watchdog (BENCH_BUDGET_S, default 2100 s) guarantees the process
-    exits 0 with whatever it has.
+    exits 0 with whatever it has;
+  - an error record (value 0) carries `last_good`: the newest driver-captured
+    measurement from the committed BENCH_r0*.json files, labeled historical —
+    a dead-chip day cannot erase the perf record.
 
 Prints ONE-or-more JSON lines; the final line is the full record:
 {"metric", "value", "unit", "vs_baseline", ...extras}.
@@ -120,6 +123,35 @@ def emit(result):
     """Print a complete JSON record and flush — callable repeatedly; the
     driver parses the LAST line of stdout."""
     print(json.dumps(result), flush=True)
+
+
+def _attach_last_good(result):
+    """On an error record (value 0), attach the newest driver-captured
+    measurement from the committed BENCH_r0*.json files, clearly labeled as
+    historical — a dead-chip day must not erase the perf record entirely."""
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r0*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed") or {}
+        if parsed.get("value", 0) > 0:
+            best = {"round": rec.get("n"), "source": os.path.basename(path)}
+            for k in ("value", "unit", "ms_per_step", "device_ms_per_step",
+                      "pso_patterns_per_sec", "device"):
+                if k in parsed:
+                    best[k] = parsed[k]
+    if best is None:  # no committed records (fresh checkout): pin r2's number
+        best = {"round": 2, "source": "hardcoded (no BENCH_r0*.json found)",
+                "value": 20643.7, "unit": "patterns/sec/chip",
+                "ms_per_step": 1.55, "device": "TPU v5 lite0"}
+    best["note"] = ("chip unreachable THIS run; these are the most recent "
+                    "driver-captured measurements from a previous round, "
+                    "NOT from this run")
+    result["last_good"] = best
 
 
 def _bounded(fn, timeout_s: float, what: str):
@@ -785,6 +817,11 @@ def main():
         log(f"FATAL (still emitting record): {e!r}")
 
     signal.alarm(0)
+    if not result.get("value"):
+        try:
+            _attach_last_good(result)
+        except Exception as e:  # noqa: BLE001 — never let the fallback kill the record
+            log(f"last-good lookup failed: {e!r:.120}")
     emit(result)
     sys.exit(0)
 
