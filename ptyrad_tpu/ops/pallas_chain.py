@@ -28,9 +28,11 @@ in its (revisited, consecutive) output block. The transmission function
 cos/sin is computed once per batch block (pm == 0) into scratch and reused.
 
 The driver `multislice_dp_chain` unrolls the segments (same shapes -> one
-compiled program reused), runs the final far-field transform in XLA, and is
-what models/forward.py dispatches to when `fused_path_applicable` declines
-on size. Probe-shift/shared-probe gradients flow through XLA's adjoint of
+compiled program reused), runs the final far-field transform INSIDE the tail
+segment's kernel (far_field: dense fftshift-folded DFT matrices in VMEM, so
+the intensity emerges centered in natural order), and is what
+models/forward.py dispatches to when `fused_path_applicable` declines on
+size. Probe-shift/shared-probe gradients flow through XLA's adjoint of
 the psi0 construction; shared-H cotangents psum over a registered kernel
 mesh exactly like the fused kernel.
 """
@@ -47,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 from ptyrad_tpu.ops.cplx import Cplx
-from ptyrad_tpu.ops.fourier import _dft_consts, fft2
+from ptyrad_tpu.ops.fourier import _dft_consts
 from ptyrad_tpu.ops.kernel_util import (
     VMEM_LIMIT_BYTES as _VMEM_LIMIT_BYTES,
     compiler_params as _compiler_params,
@@ -138,6 +140,28 @@ def _consts(n: int):
     return [jnp.asarray(a) for a in mats], r
 
 
+@functools.lru_cache(maxsize=8)
+def _ff_consts(n: int):
+    """Dense far-field matrices for the in-kernel detector transform.
+
+    fwd: F with fftshift folded into the OUTPUT index (columns — _cpass puts
+    the transformed axis on mat columns), so the exit spectrum emerges dense,
+    natural AND centered: no un-decimating gather/relayout, no XLA roll.
+    adj: its real-pair VJP transpose conj(Fs)^T = roll(conj(F), n//2, rows).
+    Dense costs 2x the radix pass MACs — for the ONE far-field DFT2 that is
+    far cheaper than any lane permutation of the (B, N, N) intensity."""
+    k = np.arange(n)
+    F = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    Fs = np.roll(F, n // 2, axis=1)
+    As = np.roll(F.conj(), n // 2, axis=0)
+    out = []
+    for M in (Fs, As):
+        mr = M.real.astype(np.float32)
+        mi = M.imag.astype(np.float32)
+        out.append((mr, mi, (mr + mi).astype(np.float32)))
+    return tuple(out)
+
+
 def _bfly(parts, inverse):
     """Length-R DFT butterfly across R (re, im) pairs: y_j = sum_q x_q w^(qj),
     w = exp(-+2i*pi/R). R in {2, 4}; the R=4 roots are {1, -+i, -1, +-i}, so
@@ -210,15 +234,31 @@ def _bundles(mat_refs, radix):
     return (vals[:half], radix, False), (vals[half:], radix, True)
 
 
-def _seg_fwd_kernel(sg, n, pc, blk, last, h_shared, dt, radix, n_mats,
+def _seg_fwd_kernel(sg, n, pc, blk, last, far_field, h_shared, dt, radix,
+                    n_mats,
                     pr_ref, pi_ref, a_ref, p_ref, hr_ref, hi_ref,
                     *refs):
-    """One (batch block, pmode chunk) step: Sg T-mult/propagate slices."""
-    mats, (or_ref, oi_ref, tr_scr, ti_scr) = refs[:n_mats], refs[n_mats:]
+    """One (batch block, pmode chunk) step: Sg T-mult/propagate slices.
+
+    far_field (static, requires last): the chain-final segment also applies
+    the UNNORMALIZED forward DFT2 to the detector plane in VMEM via the
+    dense fftshift-folded matrices (_ff_consts) — the exit is the centered
+    far-field spectrum in NATURAL order, saving the XLA dense-DFT pair, the
+    fftshift roll, and an exit-wavefield HBM round trip. The caller folds
+    the ortho 1/(N*N) into the intensity (multislice_dp_chain)."""
+    if far_field:
+        mats, ff, (or_ref, oi_ref, tr_scr, ti_scr) = (
+            refs[:n_mats], refs[n_mats:n_mats + 3], refs[n_mats + 3:])
+        ff_bundle = ([r[...] for r in ff], 1, False)
+    else:
+        mats, (or_ref, oi_ref, tr_scr, ti_scr) = refs[:n_mats], refs[n_mats:]
     pm = pl.program_id(1)
     fwd, inv = _bundles(mats, radix)
+    # the inverse DFT's 1/(N*N) normalization rides the (tiny, per-grid-step)
+    # propagator instead of two full-wavefield VPU multiplies per propagation
     inv_scale = np.float32(1.0 / (n * n))
     h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+    h_r, h_i = h_r * inv_scale, h_i * inv_scale
 
     @pl.when(pm == 0)
     def _():
@@ -232,12 +272,15 @@ def _seg_fwd_kernel(sg, n, pc, blk, last, h_shared, dt, radix, n_mats,
         if not (last and s == sg - 1):
             kr, ki = _dft2(psi_r, psi_i, fwd, dt)
             kr, ki = _mul_h(kr, ki, h_r, h_i, False, blk, pc, n)
-            psi_r, psi_i = _dft2(kr, ki, inv, dt, scale=inv_scale)
+            psi_r, psi_i = _dft2(kr, ki, inv, dt)
+    if far_field:
+        psi_r, psi_i = _dft2(psi_r, psi_i, ff_bundle, dt)
     or_ref[...] = psi_r.reshape(blk, pc, n, n)
     oi_ref[...] = psi_i.reshape(blk, pc, n, n)
 
 
-def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
+def _seg_bwd_kernel(sg, n, pc, blk, last, far_field, h_shared, need_dh, dt,
+                    radix, n_mats,
                     gr_ref, gi_ref, pr_ref, pi_ref, a_ref, p_ref, hr_ref, hi_ref,
                     *refs):
     """Segment-level rematerialization: rebuild the Sg entry states from the
@@ -245,19 +288,26 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
     transpose of multiply-by-F_fwd is the unnormalized inverse matrices;
     the transpose of the scaled inverse pass is F_fwd * 1/(N*N) — both hold
     for the radix passes too, layout included; see _pass)."""
+    mats, rest = refs[:n_mats], refs[n_mats:]
+    if far_field:
+        # adjoint triple of the fftshift-folded far-field DFT (_ff_consts)
+        ff, rest = rest[:3], rest[3:]
+        ff_adj = ([r[...] for r in ff], 1, False)
     if need_dh:
-        mats, (da_ref, dp_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref) = (
-            refs[:n_mats], refs[n_mats:])
+        da_ref, dp_ref, dpr_ref, dpi_ref, dhr_ref, dhi_ref = rest
     else:
         # no propagator cotangents requested: the dH outputs do not exist at
         # all (the driver returns zeros), saving their VMEM blocks
-        mats, (da_ref, dp_ref, dpr_ref, dpi_ref) = refs[:n_mats], refs[n_mats:]
+        da_ref, dp_ref, dpr_ref, dpi_ref = rest
         dhr_ref = dhi_ref = None
     i = pl.program_id(0)
     pm = pl.program_id(1)
     fwd, inv = _bundles(mats, radix)
+    # 1/(N*N) folded into the propagator (see _seg_fwd_kernel); the raw dH
+    # accumulation is w.r.t. the scaled h — the wrapper multiplies it back
     inv_scale = np.float32(1.0 / (n * n))
     h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+    h_r, h_i = h_r * inv_scale, h_i * inv_scale
 
     def t_of(s):
         # transmission cos/sin recomputed per use — a few VPU transcendentals
@@ -273,14 +323,17 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
             psi_r, psi_i = _mul_t(psi_r, psi_i, *t_of(s), blk, pc, n)
             kr, ki = _dft2(psi_r, psi_i, fwd, dt)
             kr, ki = _mul_h(kr, ki, h_r, h_i, False, blk, pc, n)
-            psi_r, psi_i = _dft2(kr, ki, inv, dt, scale=inv_scale)
+            psi_r, psi_i = _dft2(kr, ki, inv, dt)
 
     dchi_r = gr_ref[...].reshape(blk * pc, n, n)
     dchi_i = gi_ref[...].reshape(blk * pc, n, n)
+    if far_field:
+        # adjoint of the exit's unnormalized shift-folded forward DFT2
+        dchi_r, dchi_i = _dft2(dchi_r, dchi_i, ff_adj, dt)
     if not last:
         # cotangent arrives at the segment EXIT, i.e. after the trailing
         # propagation of slice sg-1: undo that adjoint first
-        ur, ui = _dft2(dchi_r, dchi_i, fwd, dt, scale=inv_scale)
+        ur, ui = _dft2(dchi_r, dchi_i, fwd, dt)
         if need_dh:
             czr, czi = _mul_t(*stack[sg - 1], *t_of(sg - 1), blk, pc, n)
             kzr, kzi = _dft2(czr, czi, fwd, dt)
@@ -294,15 +347,16 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
 
     for s in range(sg - 1, -1, -1):
         psi_r, psi_i = stack[s]
-        tr, ti = t_of(s)
+        # one cos/sin per slice, shared by the transmission adjoint and dT
+        cosp = jnp.cos(p_ref[:, s])
+        sinp = jnp.sin(p_ref[:, s])
+        tr, ti = a_ref[:, s] * cosp, a_ref[:, s] * sinp
         # dT = sum_pc dchi * conj(psi); accumulated over pm chunks in the
         # (consecutively revisited) output block
         prod_r = (dchi_r * psi_r + dchi_i * psi_i).reshape(blk, pc, n, n)
         prod_i = (dchi_i * psi_r - dchi_r * psi_i).reshape(blk, pc, n, n)
         dtr = jnp.sum(prod_r, axis=1)
         dti = jnp.sum(prod_i, axis=1)
-        cosp = jnp.cos(p_ref[:, s])
-        sinp = jnp.sin(p_ref[:, s])
         da_s = dtr * cosp + dti * sinp
         dp_s = a_ref[:, s] * (dti * cosp - dtr * sinp)
 
@@ -318,7 +372,7 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, h_shared, need_dh, dt, radix, n_mats,
 
         dpsi_r, dpsi_i = _mul_t(dchi_r, dchi_i, tr, -ti, blk, pc, n)
         if s > 0:
-            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt, scale=inv_scale)
+            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt)
             if need_dh:
                 czr, czi = _mul_t(*stack[s - 1], *t_of(s - 1), blk, pc, n)
                 kzr, kzi = _dft2(czr, czi, fwd, dt)
@@ -424,8 +478,10 @@ def _mega_fwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, dt, radix, n_mats,
     mats, (stk_r, stk_i, or_ref, oi_ref, sr_scr, si_scr) = refs[:n_mats], refs[n_mats:]
     s = pl.program_id(2)
     fwd, inv = _bundles(mats, radix)
+    # 1/(N*N) folded into the propagator (see _seg_fwd_kernel)
     inv_scale = np.float32(1.0 / (n * n))
     h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+    h_r, h_i = h_r * inv_scale, h_i * inv_scale
 
     def t_of(j):
         return a_ref[:, j] * jnp.cos(p_ref[:, j]), a_ref[:, j] * jnp.sin(p_ref[:, j])
@@ -445,7 +501,7 @@ def _mega_fwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, dt, radix, n_mats,
         if j < sg - 1:
             kr, ki = _dft2(psi_r, psi_i, fwd, dt)
             kr, ki = _mul_h(kr, ki, h_r, h_i, False, blk, pc, n)
-            psi_r, psi_i = _dft2(kr, ki, inv, dt, scale=inv_scale)
+            psi_r, psi_i = _dft2(kr, ki, inv, dt)
 
     def store(r, im, also_exit):
         sr_scr[...] = r.reshape(blk, pc, n, n)
@@ -457,7 +513,7 @@ def _mega_fwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, dt, radix, n_mats,
     def propagate():
         kr, ki = _dft2(psi_r, psi_i, fwd, dt)
         kr, ki = _mul_h(kr, ki, h_r, h_i, False, blk, pc, n)
-        return _dft2(kr, ki, inv, dt, scale=inv_scale)
+        return _dft2(kr, ki, inv, dt)
 
     if last_mega:
         # the chain ends inside this kernel: no propagation after the final
@@ -498,8 +554,11 @@ def _mega_bwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, need_dh, dt,
     s = pl.program_id(1)
     pm = pl.program_id(2)
     fwd, inv = _bundles(mats, radix)
+    # 1/(N*N) folded into the propagator (see _seg_bwd_kernel); dH comes out
+    # w.r.t. the scaled h — the wrapper multiplies it back
     inv_scale = np.float32(1.0 / (n * n))
     h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+    h_r, h_i = h_r * inv_scale, h_i * inv_scale
 
     def t_of(j):
         return a_ref[:, j] * jnp.cos(p_ref[:, j]), a_ref[:, j] * jnp.sin(p_ref[:, j])
@@ -528,18 +587,23 @@ def _mega_bwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, need_dh, dt,
             psi_r, psi_i = _mul_t(psi_r, psi_i, *t_of(j), blk, pc, n)
             kr, ki = _dft2(psi_r, psi_i, fwd, dt)
             kr, ki = _mul_h(kr, ki, h_r, h_i, False, blk, pc, n)
-            psi_r, psi_i = _dft2(kr, ki, inv, dt, scale=inv_scale)
+            psi_r, psi_i = _dft2(kr, ki, inv, dt)
 
-    # incoming cotangent: the exit cotangent g at the first step (srev=S-1),
-    # the carried scratch otherwise
-    sel = s == 0
-    dchi_r = jnp.where(sel, gr_ref[...], cr_scr[:, pl.ds(pm * pc, pc)]).reshape(blk * pc, n, n)
-    dchi_i = jnp.where(sel, gi_ref[...], ci_scr[:, pl.ds(pm * pc, pc)]).reshape(blk * pc, n, n)
+    # incoming cotangent: the exit cotangent g seeds the carry scratch at the
+    # first step (srev = S-1); afterwards the scratch carries it — a one-time
+    # predicated copy instead of a full-size select on every grid step
+    @pl.when(s == 0)
+    def _():
+        cr_scr[:, pl.ds(pm * pc, pc)] = gr_ref[...]
+        ci_scr[:, pl.ds(pm * pc, pc)] = gi_ref[...]
+
+    dchi_r = cr_scr[:, pl.ds(pm * pc, pc)].reshape(blk * pc, n, n)
+    dchi_i = ci_scr[:, pl.ds(pm * pc, pc)].reshape(blk * pc, n, n)
 
     # undo the trailing propagation's adjoint — present for every segment
     # except the chain-final one (srev == S-1 i.e. s == 0, when last_mega)
     undo_needed = (s > 0) if last_mega else None  # None => always
-    ur, ui = _dft2(dchi_r, dchi_i, fwd, dt, scale=inv_scale)
+    ur, ui = _dft2(dchi_r, dchi_i, fwd, dt)
     if need_dh:
         czr, czi = _mul_t(*stack[sg - 1], *t_of(sg - 1), blk, pc, n)
         kzr, kzi = _dft2(czr, czi, fwd, dt)
@@ -555,13 +619,14 @@ def _mega_bwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, need_dh, dt,
 
     for j in range(sg - 1, -1, -1):
         psi_r, psi_i = stack[j]
-        tr, ti = t_of(j)
+        # one cos/sin per slice, shared by the transmission adjoint and dT
+        cosp = jnp.cos(p_ref[:, j])
+        sinp = jnp.sin(p_ref[:, j])
+        tr, ti = a_ref[:, j] * cosp, a_ref[:, j] * sinp
         prod_r = (dchi_r * psi_r + dchi_i * psi_i).reshape(blk, pc, n, n)
         prod_i = (dchi_i * psi_r - dchi_r * psi_i).reshape(blk, pc, n, n)
         dtr = jnp.sum(prod_r, axis=1)
         dti = jnp.sum(prod_i, axis=1)
-        cosp = jnp.cos(p_ref[:, j])
-        sinp = jnp.sin(p_ref[:, j])
         da_s = dtr * cosp + dti * sinp
         dp_s = a_ref[:, j] * (dti * cosp - dtr * sinp)
 
@@ -577,7 +642,7 @@ def _mega_bwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, need_dh, dt,
 
         dpsi_r, dpsi_i = _mul_t(dchi_r, dchi_i, tr, -ti, blk, pc, n)
         if j > 0:
-            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt, scale=inv_scale)
+            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt)
             if need_dh:
                 czr, czi = _mul_t(*stack[j - 1], *t_of(j - 1), blk, pc, n)
                 kzr, kzi = _dft2(czr, czi, fwd, dt)
@@ -671,6 +736,21 @@ _MEGA_VMEM_BUDGET = (_VMEM_LIMIT_BYTES * 5) // 8  # 60 MB at the 96 MiB ceiling
 
 # s-parked index maps for the backward's g/dpsi0 blocks (see _chain_stack_bwd)
 _PARK_MAPS = True
+
+# In-kernel far-field exit (see _seg_fwd_kernel far_field). Default OFF:
+# an interleaved on-chip A/B at PSO scale (B=32, nz=21, N=256, pmode=4,
+# scratch/pso_chain_time.py --ab-ff, 2026-08-18) measured the in-kernel exit
+# 0.58 ms/step SLOWER (17.20 vs 16.62 ms chain fwd+bwd) — the XLA dense
+# detector DFT pipelines with the surrounding elementwise/update ops, while
+# the monolithic tail kernel serializes the same MACs. Kept as a measured
+# negative result + hook: the trade may flip on backends with slower XLA
+# fusion or pricier HBM round trips.
+_FAR_FIELD = False
+
+
+def set_far_field(flag: bool) -> None:
+    global _FAR_FIELD
+    _FAR_FIELD = flag
 
 
 def set_park_maps(flag: bool) -> None:
@@ -866,6 +946,9 @@ def _chain_stack_bwd(sg, last_mega, need_dh, residuals, g):
         )(g_r, g_i, stk_r, stk_i, a_main, p_main, h_r, h_i, *mats)
         if need_dh:
             da, dp, d0r, d0i, dhr, dhi = outs
+            # the kernel accumulates dH w.r.t. the 1/(N*N)-scaled propagator
+            inv_scale = np.float32(1.0 / (n * n))
+            dhr, dhi = dhr * inv_scale, dhi * inv_scale
             if mesh is not None and h_shared:
                 dhr = jax.lax.psum(dhr, DATA_AXIS)
                 dhi = jax.lax.psum(dhi, DATA_AXIS)
@@ -893,7 +976,10 @@ def _chain_stack_bwd(sg, last_mega, need_dh, residuals, g):
 chain_stack.defvjp(_chain_stack_fwd, _chain_stack_bwd)
 
 
-def _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh):
+def _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh,
+                  far_field=False):
+    if far_field and not last:
+        raise ValueError("chain_segment: far_field requires last=True")
     b, pmode, n, _ = psi_r.shape
     sg = a_seg.shape[1]
     h_shared = h_r.shape[0] == 1
@@ -909,18 +995,23 @@ def _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh):
     blk, pc = plan
     mats, radix = _consts(n)
     n_mats = len(mats)
+    if far_field:
+        ff_mats = [jnp.asarray(m) for m in _ff_consts(n)[0]]
+        mats = mats + ff_mats
 
     def run(psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats):
         bl = psi_r.shape[0]
         psi, pat, h, mat = _specs(sg, n, pc, blk, h_shared, radix)
+        ffm = [pl.BlockSpec((n, n), lambda i, p: (0, 0),
+                            memory_space=pltpu.VMEM)] * (3 if far_field else 0)
         kernel = functools.partial(
-            _seg_fwd_kernel, sg, n, pc, blk, bool(last), h_shared,
-            _gemm_dtype(), radix, n_mats,
+            _seg_fwd_kernel, sg, n, pc, blk, bool(last), bool(far_field),
+            h_shared, _gemm_dtype(), radix, n_mats,
         )
         out_r, out_i = pl.pallas_call(
             kernel,
             grid=(bl // blk, pmode // pc),
-            in_specs=[psi, psi, pat, pat, h, h] + [mat] * n_mats,
+            in_specs=[psi, psi, pat, pat, h, h] + [mat] * n_mats + ffm,
             out_specs=[psi, psi],
             out_shape=[jax.ShapeDtypeStruct((bl, pmode, n, n), jnp.float32)] * 2,
             scratch_shapes=[
@@ -936,14 +1027,16 @@ def _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh):
         d = P(DATA_AXIS)
         h_spec = P() if h_shared else d
         run = jax.shard_map(
-            run, mesh=mesh, in_specs=(d, d, d, d, h_spec, h_spec) + (P(),) * n_mats,
+            run, mesh=mesh,
+            in_specs=(d, d, d, d, h_spec, h_spec) + (P(),) * len(mats),
             out_specs=(d, d), check_vma=False,
         )
     return run(psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def chain_segment(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last=False, need_dh=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def chain_segment(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last=False,
+                  need_dh=False, far_field=False):
     """Advance the wavefield through one segment of Sg object slices.
 
     psi: (B, pmode, N, N) float32 pair, the wavefield at the segment entry.
@@ -953,20 +1046,26 @@ def chain_segment(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last=False, need_dh=Fals
       planes with radix_perm(N) on the last two axes (multislice_dp_chain
       does); the dH cotangent comes back in the same order.
     last (static): this segment ends the chain — no propagation after its
-      final slice (the far-field transform happens outside).
+      final slice.
     need_dh (static): also produce propagator cotangents in the backward.
+    far_field (static, requires last): additionally apply the UNNORMALIZED
+      fftshift-folded forward DFT2 in VMEM (dense _ff_consts matrices) —
+      the return is then the CENTERED detector-plane spectrum in natural
+      order; the caller owns the ortho 1/(N*N) (see _seg_fwd_kernel).
 
     Returns the exit wavefield (B, pmode, N, N) pair.
     """
-    return _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh)
+    return _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh,
+                         far_field)
 
 
-def _chain_fwd(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh):
-    out = _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh)
+def _chain_fwd(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh, far_field):
+    out = _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh,
+                        far_field)
     return out, (psi_r, psi_i, a_seg, p_seg, h_r, h_i)
 
 
-def _chain_bwd(last, need_dh, residuals, g):
+def _chain_bwd(last, need_dh, far_field, residuals, g):
     psi_r, psi_i, a_seg, p_seg, h_r, h_i = residuals
     g_r, g_i = g
     b, pmode, n, _ = psi_r.shape
@@ -984,13 +1083,18 @@ def _chain_bwd(last, need_dh, residuals, g):
     blk, pc = plan
     mats, radix = _consts(n)
     n_mats = len(mats)
+    if far_field:
+        ff_adj = [jnp.asarray(m) for m in _ff_consts(n)[1]]
+        mats = mats + ff_adj
 
     def run(g_r, g_i, psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats):
         bl = psi_r.shape[0]
         psi, pat, h, mat = _specs(sg, n, pc, blk, h_shared, radix)
+        ffm = [pl.BlockSpec((n, n), lambda i, p: (0, 0),
+                            memory_space=pltpu.VMEM)] * (3 if far_field else 0)
         kernel = functools.partial(
-            _seg_bwd_kernel, sg, n, pc, blk, bool(last), h_shared,
-            bool(need_dh), _gemm_dtype(), radix, n_mats,
+            _seg_bwd_kernel, sg, n, pc, blk, bool(last), bool(far_field),
+            h_shared, bool(need_dh), _gemm_dtype(), radix, n_mats,
         )
         out_specs = [pat, pat, psi, psi]
         out_shape = [
@@ -1009,7 +1113,7 @@ def _chain_bwd(last, need_dh, residuals, g):
         outs = pl.pallas_call(
             kernel,
             grid=(bl // blk, pmode // pc),
-            in_specs=[psi, psi, psi, psi, pat, pat, h, h] + [mat] * n_mats,
+            in_specs=[psi, psi, psi, psi, pat, pat, h, h] + [mat] * n_mats + ffm,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=_INTERPRET,
@@ -1017,6 +1121,9 @@ def _chain_bwd(last, need_dh, residuals, g):
         )(g_r, g_i, psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats)
         if need_dh:
             da, dp, dpr, dpi, dhr, dhi = outs
+            # the kernel accumulates dH w.r.t. the 1/(N*N)-scaled propagator
+            inv_scale = np.float32(1.0 / (n * n))
+            dhr, dhi = dhr * inv_scale, dhi * inv_scale
             if mesh is not None and h_shared:
                 dhr = jax.lax.psum(dhr, DATA_AXIS)
                 dhi = jax.lax.psum(dhi, DATA_AXIS)
@@ -1033,7 +1140,7 @@ def _chain_bwd(last, need_dh, residuals, g):
         dh_out = P() if h_shared else d
         run = jax.shard_map(
             run, mesh=mesh,
-            in_specs=(d, d, d, d, d, d, h_spec, h_spec) + (P(),) * n_mats,
+            in_specs=(d, d, d, d, d, d, h_spec, h_spec) + (P(),) * len(mats),
             out_specs=(d, d, d, d, dh_out, dh_out), check_vma=False,
         )
     da, dp, dpr, dpi, dhr, dhi = run(
@@ -1177,17 +1284,21 @@ def multislice_dp_chain(obja_patches, objp_patches, probes: Cplx, H: Cplx,
     psi0_r = jnp.broadcast_to(probes.re, (b, pmode, n, n))
     psi0_i = jnp.broadcast_to(probes.im, (b, pmode, n, n))
 
-    from ptyrad_tpu.ops.fourier import fftshift2
-
     # the uniform part (S full segments) runs as ONE kernel per direction
-    # (chain_stack); only a ragged tail of nz % sg slices goes through the
-    # per-segment path
+    # (chain_stack); the chain always ENDS in a per-segment tail so the
+    # detector-plane transform runs in-kernel (far_field: dense shift-folded
+    # DFT in VMEM — no XLA DFT pair, fftshift, or exit-psi HBM round trip)
     n_seg_uniform = nz // sg
+    use_ff = _FAR_FIELD
     nz_main = 0
     if n_seg_uniform >= 2 and _mega_plan(
         b_local, sg, n, pmode, h_shared, need_dh
     ) is not None:
         nz_main = n_seg_uniform * sg
+        if use_ff and nz_main == nz:
+            nz_main -= sg  # keep a (full-size) tail segment for the exit
+
+    inv_nn = np.float32(1.0 / (n * n))  # |DFT_ortho|^2 = |DFT_unnorm|^2/(N*N)
 
     dp = None
     for om in range(omode):
@@ -1205,11 +1316,18 @@ def multislice_dp_chain(obja_patches, objp_patches, probes: Cplx, H: Cplx,
             psi_r, psi_i = chain_segment(
                 psi_r, psi_i,
                 obja_patches[:, om, z0:z1], objp_patches[:, om, z0:z1],
-                h_re, h_im, z1 == nz, need_dh,
+                h_re, h_im, z1 == nz, need_dh, use_ff and z1 == nz,
             )
             z0 = z1
-        y = fft2(Cplx(psi_r, psi_i), norm="ortho")
-        inten = jnp.sum(y.abs2(), axis=1)  # (B, N, N), sum over pmode
+        if use_ff:
+            # psi is the CENTERED far-field spectrum (unnormalized, natural
+            # order — the tail kernel's dense DFT folds in the fftshift)
+            inten = jnp.sum(psi_r * psi_r + psi_i * psi_i, axis=1) * inv_nn
+        else:
+            from ptyrad_tpu.ops.fourier import fft2 as _fft2, fftshift2
+
+            y = _fft2(Cplx(psi_r, psi_i), norm="ortho")
+            inten = fftshift2(jnp.sum(y.abs2(), axis=1))
         contrib = omode_occu[om] * inten
         dp = contrib if dp is None else dp + contrib
-    return fftshift2(dp) + eps
+    return dp + eps

@@ -84,13 +84,24 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
+def _load_h_scaled(hr_ref, hi_ref, h_shared, n):
+    """Propagator load with the inverse DFT's 1/(N*N) folded in. The dH
+    cotangent the backward accumulates is then w.r.t. the SCALED h — the
+    wrappers multiply it back by 1/(N*N)."""
+    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+    inv_scale = np.float32(1.0 / (n * n))
+    return h_r * inv_scale, h_i * inv_scale
+
+
 def _forward_chain(psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n,
                    dt, store_stack=False):
     """Shared forward recurrence on (blk*pmode, N, N) pairs. a_pat/p_pat are
     (blk, Nz, N, N); h is (N, N) or (blk, N, N). Returns final (chi_r, chi_i)
     and optionally the per-slice entry states."""
     nz = a_pat.shape[1]
-    inv_scale = np.float32(1.0 / (n * n))
+    # h arrives pre-scaled by 1/(N*N) (see _load_h_scaled): the inverse DFT's
+    # normalization rides the tiny propagator load, not two full-wavefield
+    # VPU multiplies per propagation
     stack = []
     for z in range(nz):
         if store_stack:
@@ -101,7 +112,7 @@ def _forward_chain(psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n
         if z < nz - 1:
             kr, ki = _dft2(psi_r, psi_i, fwd, dt)
             kr, ki = _hmul(kr, ki, h_r, h_i, False, blk, pmode, n)
-            psi_r, psi_i = _dft2(kr, ki, inv, dt, scale=inv_scale)
+            psi_r, psi_i = _dft2(kr, ki, inv, dt)
     return psi_r, psi_i, stack
 
 
@@ -130,7 +141,7 @@ def _fwd_kernel(nz, n, pmode, blk, shared, h_shared, kspace, dt,
     a_pat = a_ref[:, 0]  # (blk, Nz, N, N)
     p_pat = p_ref[:, 0]
     psi_r, psi_i = _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n)
-    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+    h_r, h_i = _load_h_scaled(hr_ref, hi_ref, h_shared, n)
     chi_r, chi_i, _ = _forward_chain(
         psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n, dt
     )
@@ -159,7 +170,7 @@ def _bwd_kernel(nz, n, pmode, blk, shared, h_shared, need_dh, kspace, dt,
     inv = (br_ref[:], bi_ref[:], brpi_ref[:])
     a_pat = a_ref[:, 0]
     p_pat = p_ref[:, 0]
-    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+    h_r, h_i = _load_h_scaled(hr_ref, hi_ref, h_shared, n)
 
     psi0_r, psi0_i = _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n)
     chi_r, chi_i, stack = _forward_chain(
@@ -206,9 +217,10 @@ def _bwd_from_g(nz, n, pmode, blk, shared, h_shared, need_dh, kspace, dt,
         dpsi_r, dpsi_i = _tmul(dchi_r, dchi_i, tr, -ti, blk, pmode, n)
         cosp_z = sinp_z = None
         if z > 0:
-            # adjoint of psi_z = IDFT(H * DFT(chi_{z-1})):
-            #   u = F_fwd^T-adj(dpsi) with inverse-pass scaling -> F_fwd * 1/(N*N)
-            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt, scale=inv_scale)  # = dM_{z-1}
+            # adjoint of psi_z = IDFT(H' * DFT(chi_{z-1})) with the 1/(N*N)
+            # riding the pre-scaled H' (dH below is w.r.t. H' — the wrapper
+            # multiplies it back)
+            ur, ui = _dft2(dpsi_r, dpsi_i, fwd, dt)  # = dM_{z-1} w.r.t. H'
             # T_{z-1} is needed here (for K) and by the next iteration; compute once
             cosp_z, sinp_z = jnp.cos(p_pat[:, z - 1]), jnp.sin(p_pat[:, z - 1])
             if need_dh:
@@ -481,6 +493,10 @@ def _fused_bwd(need_dh, probe_kspace, residuals, g):
             interpret=_INTERPRET,
             compiler_params=_compiler_params(_live_bytes(blk, nz, n, pmode, True, shared, h_shared, bool(need_dh))),
         )(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats)
+        if need_dh:
+            # the kernel accumulates dH w.r.t. the 1/(N*N)-scaled propagator
+            dhr = dhr * np.float32(1.0 / (n * n))
+            dhi = dhi * np.float32(1.0 / (n * n))
         if mesh is not None:
             # shared-parameter cotangents reduce across the data shards —
             # the DDP gradient allreduce, riding ICI inside the step
@@ -549,7 +565,7 @@ def _fwd_loss_kernel(nz, n, pmode, blk, shared, h_shared, kspace, p, eps, dt,
     a_pat = a_ref[:, 0]
     p_pat = p_ref[:, 0]
     psi_r, psi_i = _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n)
-    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+    h_r, h_i = _load_h_scaled(hr_ref, hi_ref, h_shared, n)
     chi_r, chi_i, _ = _forward_chain(
         psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n, dt
     )
@@ -591,7 +607,7 @@ def _bwd_loss_kernel(nz, n, pmode, blk, shared, h_shared, need_dh, kspace, p,
     inv = (br_ref[:], bi_ref[:], brpi_ref[:])
     a_pat = a_ref[:, 0]
     p_pat = p_ref[:, 0]
-    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
+    h_r, h_i = _load_h_scaled(hr_ref, hi_ref, h_shared, n)
 
     psi0_r, psi0_i = _load_probe(pr_ref, pi_ref, shared, kspace, inv, dt, blk, pmode, n)
     chi_r, chi_i, stack = _forward_chain(
@@ -761,6 +777,10 @@ def _loss_fused_bwd(dp_pow, eps, need_dh, probe_kspace, residuals, g):
             compiler_params=_compiler_params(_live_bytes(blk, nz, n, pmode, True, shared, h_shared, bool(need_dh), loss=True)),
         )(c_row, mask_pad, obja_p, objp_p, probe_r, probe_i, h_r, h_i,
           meas_cc, *mats)
+        if need_dh:
+            # the kernel accumulates dH w.r.t. the 1/(N*N)-scaled propagator
+            dhr = dhr * np.float32(1.0 / (n * n))
+            dhi = dhi * np.float32(1.0 / (n * n))
         if mesh is not None:
             if shared:
                 dpr = jax.lax.psum(dpr, DATA_AXIS)

@@ -28,6 +28,8 @@ def main():
             mb = float(tok.split("=")[1])
             pch._VMEM_BUDGET = int(mb * 1024 * 1024)
             pch._MEGA_VMEM_BUDGET = int(mb * 1024 * 1024)
+        if tok.startswith("--radix-m="):
+            pch.set_radix_m(int(tok.split("=")[1]))
 
     if no_mega:
         # force the per-segment path by making the mega plan infeasible
@@ -66,24 +68,45 @@ def main():
         (obja, objp), probes = jax.lax.scan(body, (obja, objp), None, length=K)
         return jnp.sum(obja) + jnp.sum(probes)
 
-    fn = jax.jit(scan_fn)
     args = (obja, objp, pr, pi, hr, hi)
 
-    t0 = time.perf_counter()
-    compiled = fn.lower(*args).compile()
-    print(f"compiled in {time.perf_counter()-t0:.1f}s (no_mega={no_mega})", flush=True)
+    def measure(tag):
+        # fresh closure per measurement: jax.jit caches on function identity,
+        # so a reused scan_fn would NOT retrace after set_far_field()
+        def scan_fresh(obja, objp, pr, pi, hr, hi):
+            return scan_fn(obja, objp, pr, pi, hr, hi)
 
-    # warmup + timing; force execution with a host fetch
-    _ = float(compiled(*args))
-    times = []
-    for _ in range(4):
+        fn = jax.jit(scan_fresh)
         t0 = time.perf_counter()
+        compiled = fn.lower(*args).compile()
+        print(f"[{tag}] compiled in {time.perf_counter()-t0:.1f}s "
+              f"(no_mega={no_mega})", flush=True)
         _ = float(compiled(*args))
-        times.append(time.perf_counter() - t0)
-    best = min(times) / K
-    print(f"chain fwd+bwd b={b} nz={nz} n={n} pmode={pmode}: best {best*1e3:.1f} ms"
-          f" ({b/best:.0f} patterns/s)  no_mega={no_mega} (K={K} per dispatch)",
-          flush=True)
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            _ = float(compiled(*args))
+            times.append(time.perf_counter() - t0)
+        best = min(times) / K
+        print(f"[{tag}] chain fwd+bwd b={b} nz={nz} n={n} pmode={pmode}: "
+              f"best {best*1e3:.1f} ms ({b/best:.0f} patterns/s) "
+              f"(K={K} per dispatch)", flush=True)
+        return best
+
+    if "--ab-ff" in sys.argv:
+        # interleaved A/B of the in-kernel far-field exit (cancels chip drift)
+        pch.set_far_field(True)
+        on1 = measure("ff-on")
+        pch.set_far_field(False)
+        off1 = measure("ff-off")
+        pch.set_far_field(True)
+        on2 = measure("ff-on2")
+        pch.set_far_field(False)
+        off2 = measure("ff-off2")
+        print(f"A/B far_field: on {min(on1, on2)*1e3:.2f} ms vs "
+              f"off {min(off1, off2)*1e3:.2f} ms", flush=True)
+    else:
+        measure("run")
 
 
 if __name__ == "__main__":

@@ -661,6 +661,58 @@ class TestPallasChainPath:
             )
 
     @pytest.mark.slow
+    @pytest.mark.parametrize("need_dh", [False, True])
+    def test_chain_far_field_exit_matches_jnp(self, rng, need_dh):
+        """The opt-in in-kernel far-field exit (set_far_field: the tail
+        segment applies the dense fftshift-folded detector DFT in VMEM) must
+        match the default path exactly — values and every gradient."""
+        from ptyrad_tpu.models.forward import multislice_dp
+        from ptyrad_tpu.ops import cplx, pallas_chain as pch
+
+        B, pmode, omode, nz, n = 4, 2, 1, 5, 16
+        obja = jnp.asarray(rng.uniform(0.9, 1.0, (B, omode, nz, n, n)).astype(np.float32))
+        objp = jnp.asarray(rng.uniform(-0.3, 0.3, (B, omode, nz, n, n)).astype(np.float32))
+        pr = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        pi = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        hr = jnp.asarray((1 + 0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        hi = jnp.asarray((0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        occu = jnp.ones(omode, jnp.float32)
+
+        def ref_fn(obja, objp, pr, pi, hr, hi):
+            return multislice_dp(obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi),
+                                 occu, eps=1e-10)
+
+        def chain_fn(obja, objp, pr, pi, hr, hi):
+            return pch.multislice_dp_chain(
+                obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi), occu, 1e-10,
+                need_dh=need_dh, seg_override=2,
+            )
+
+        args = (obja, objp, pr, pi, hr, hi)
+        pch.set_interpret(True)
+        pch.set_far_field(True)
+        try:
+            dp_c = chain_fn(*args)
+            g_c = self._grads(chain_fn, args)
+        finally:
+            pch.set_far_field(False)
+            pch.set_interpret(False)
+        dp_r = ref_fn(*args)
+        g_r = self._grads(ref_fn, args)
+
+        np.testing.assert_allclose(np.asarray(dp_c), np.asarray(dp_r),
+                                   rtol=1e-4, atol=1e-6)
+        names = ["obja", "objp", "probe_re", "probe_im", "h_re", "h_im"]
+        for name, a, b in zip(names, g_r, g_c):
+            if name.startswith("h_") and not need_dh:
+                continue
+            scale = max(float(jnp.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=3e-6 * scale,
+                err_msg=f"gradient mismatch: {name}",
+            )
+
+    @pytest.mark.slow
     @pytest.mark.parametrize("park", [True, False])
     def test_mega_chain_stack_matches_jnp(self, rng, park, monkeypatch):
         """The mega kernel (chain_stack: ALL uniform segments in one
