@@ -48,6 +48,7 @@ import json
 import os
 import signal
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -405,7 +406,9 @@ def bench_pso(deadline_s):
     chain-kernel regime has a recorded reconstruction-quality gate, not just
     throughput. Stops early (keeping partial results) once `deadline_s` of
     global elapsed time is reached. Returns (patterns/s, ms/step, losses,
-    phase_corr, iters_done)."""
+    phase_corr, iters_done, trace_fields) where trace_fields carries the
+    trace-derived pso_device_ms_per_step / pso_device_patterns_per_sec
+    (empty when the trace leg was skipped or failed)."""
     import jax
     import jax.numpy as jnp
 
@@ -509,6 +512,29 @@ def bench_pso(deadline_s):
         if elapsed() > deadline_s:
             log("PSO: deadline during timing loop — keeping partial result")
             break
+    # device-time trace of one epoch (same instrument as the tBL trace leg)
+    # so tunnel load noise cannot erase the PSO perf record either
+    pso_dev = {}
+    if elapsed() < deadline_s - 60:
+        try:
+            logdir = tempfile.mkdtemp(prefix="bench_pso_trace_")
+            t0 = time.perf_counter()
+            with jax.profiler.trace(logdir):
+                niter += 1
+                params, opt_state, total = one_iter(params, opt_state, niter)
+            losses.append(float(total))
+            dev_ms = device_ms_from_trace(logdir)
+            if dev_ms is not None:
+                pso_dev = {
+                    "pso_device_ms_per_step": round(dev_ms / n_batches, 2),
+                    "pso_device_patterns_per_sec": round(
+                        batch * n_batches * 1e3 / dev_ms, 1),
+                }
+                log(f"PSO trace leg in {time.perf_counter()-t0:.1f}s: device "
+                    f"{dev_ms:.0f} ms/epoch = {dev_ms / n_batches:.2f} ms/step")
+        except Exception as e:  # noqa: BLE001 — a failed trace must not kill the leg
+            log(f"PSO trace leg failed: {e!r:.200}")
+
     while niter < PSO_QUALITY_ITERS and elapsed() < deadline_s:
         niter += 1
         params, opt_state, total = one_iter(params, opt_state, niter)
@@ -523,7 +549,7 @@ def bench_pso(deadline_s):
     hi = lo + (grid - 1) * step_px
     corr = float(np.corrcoef(rec[lo:hi, lo:hi].ravel(), tru[lo:hi, lo:hi].ravel())[0, 1])
     log(f"PSO phase corr after {niter} iters: {corr:.3f}")
-    return n_scans / best, best / n_batches * 1e3, losses, corr, niter
+    return n_scans / best, best / n_batches * 1e3, losses, corr, niter, pso_dev
 
 
 def run_tbl(result):
@@ -686,8 +712,6 @@ def run_bf16_leg(result, init):
 def run_trace_leg(result, params, opt_state, one_iter):
     """Trace one full epoch+constraints iteration and record device-lane
     time per step — the load-noise-immune number (VERDICT r4 item 1c)."""
-    import tempfile
-
     import jax
 
     # unique per run: a fixed dir could hold a stale trace from a previous
@@ -776,8 +800,9 @@ def main():
         # cost the primary metric
         if remaining() > 420:
             try:
-                pso_dps, pso_ms, pso_losses, pso_corr, pso_iters = bench_pso(
-                    deadline_s=BUDGET_S - 60)
+                (pso_dps, pso_ms, pso_losses, pso_corr, pso_iters,
+                 pso_dev) = bench_pso(deadline_s=BUDGET_S - 60)
+                result.update(pso_dev)
                 result.update({
                     "pso_patterns_per_sec": round(pso_dps, 1),
                     "pso_ms_per_step": round(pso_ms, 1),
