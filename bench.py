@@ -30,8 +30,9 @@ refuses to initialize — see VERDICT r4 item 1):
     (tBL) leg finishes; later legs append fields and re-print, so the LAST
     stdout line is always a complete, parseable record even if a later leg
     hangs or the process is killed;
-  - `device_ms_per_step` is measured from a jax.profiler trace (device-lane
-    time), immune to host/tunnel load noise;
+  - `device_ms_per_step` (and the PSO leg's `pso_device_ms_per_step`) are
+    measured from a jax.profiler trace ('XLA Modules' device-lane time),
+    immune to host/tunnel load noise;
   - a global watchdog (BENCH_BUDGET_S, default 2100 s) guarantees the process
     exits 0 with whatever it has;
   - an error record (value 0) carries `last_good`: the newest driver-captured
@@ -278,12 +279,16 @@ def init_backend_with_retry(max_wait=600.0):
 
 
 def device_ms_from_trace(logdir):
-    """Sum device-lane op time from the newest trace.json.gz under logdir.
+    """Device busy time (ms) from the newest trace.json.gz under logdir.
 
     Device lanes are identified via process_name/thread_name metadata (TPU
-    device pids, 'XLA Ops'-style tids). Within one lane events are leaf-level
-    and non-overlapping, so a plain duration sum is the device busy time.
-    Returns total device ms, or None if no device lane was found.
+    device pids); 'Steps' marker lanes are excluded. Busy time is the
+    INTERVAL-UNION coverage of the event spans, not their flat duration
+    sum: on this backend the 'XLA Ops' lane carries overlapping spans
+    (pipelined scan steps execute concurrently — measured flat sum exactly
+    2x the union on a real tBL trace), so a flat sum double-counts. The
+    union of the ops lane equals the 'XLA Modules' lane total to 0.1 ms.
+    Returns None if no device lane was found.
     """
     paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
     if not paths:
@@ -302,19 +307,46 @@ def device_ms_from_trace(logdir):
         pid for pid, name in procs.items()
         if ("TPU" in name or "/device:" in name) and "Host" not in name
     }
-    per_lane = {}
+    spans = []
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
-        tname = threads.get((e["pid"], e.get("tid")), "")
-        if "step" in tname.lower():  # 'Steps' lanes span the window; skip
+        tname = threads.get((e["pid"], e.get("tid")), "").lower()
+        if "step" in tname:  # 'Steps' marker lanes span the window; skip
             continue
-        key = (e["pid"], e.get("tid"))
-        per_lane[key] = per_lane.get(key, 0.0) + e.get("dur", 0) / 1e3
-    if not per_lane:
+        ts = e.get("ts")
+        if ts is not None:
+            spans.append((ts, ts + e.get("dur", 0)))
+    if not spans:
         return None
-    # one lane per compute stream; take the busiest (the XLA Ops lane)
-    return max(per_lane.values())
+    spans.sort()
+    cov, cur_s, cur_e = 0.0, spans[0][0], spans[0][1]
+    for s, t in spans[1:]:
+        if s <= cur_e:
+            cur_e = max(cur_e, t)
+        else:
+            cov += cur_e - cur_s
+            cur_s, cur_e = s, t
+    cov += cur_e - cur_s
+    return cov / 1e3
+
+
+def trace_one(fn, prefix):
+    """Run fn() under a jax.profiler trace in a fresh tempdir (a fixed dir
+    could hold a stale trace from a previous run) and return its device
+    busy ms, or None if no device lane was found. Cleans the trace dump up
+    afterwards — an XLA trace is multi-MB and bench may trace several legs."""
+    import shutil
+
+    import jax
+
+    logdir = tempfile.mkdtemp(prefix=prefix)
+    try:
+        with jax.profiler.trace(logdir):
+            fn()
+        return device_ms_from_trace(logdir)
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
 
 
 def build_workload():
@@ -517,13 +549,16 @@ def bench_pso(deadline_s):
     pso_dev = {}
     if elapsed() < deadline_s - 60:
         try:
-            logdir = tempfile.mkdtemp(prefix="bench_pso_trace_")
             t0 = time.perf_counter()
-            with jax.profiler.trace(logdir):
-                niter += 1
-                params, opt_state, total = one_iter(params, opt_state, niter)
+            traced = {}
+
+            def traced_iter():
+                traced["out"] = one_iter(params, opt_state, niter + 1)
+
+            dev_ms = trace_one(traced_iter, "bench_pso_trace_")
+            params, opt_state, total = traced["out"]
+            niter += 1
             losses.append(float(total))
-            dev_ms = device_ms_from_trace(logdir)
             if dev_ms is not None:
                 pso_dev = {
                     "pso_device_ms_per_step": round(dev_ms / n_batches, 2),
@@ -712,15 +747,9 @@ def run_bf16_leg(result, init):
 def run_trace_leg(result, params, opt_state, one_iter):
     """Trace one full epoch+constraints iteration and record device-lane
     time per step — the load-noise-immune number (VERDICT r4 item 1c)."""
-    import jax
-
-    # unique per run: a fixed dir could hold a stale trace from a previous
-    # run, and the glob-newest parse would report that run's device time
-    logdir = tempfile.mkdtemp(prefix="bench_trace_")
     t0 = time.perf_counter()
-    with jax.profiler.trace(logdir):
-        one_iter(params, opt_state, QUALITY_ITERS + 1)
-    dev_ms = device_ms_from_trace(logdir)
+    dev_ms = trace_one(
+        lambda: one_iter(params, opt_state, QUALITY_ITERS + 1), "bench_trace_")
     if dev_ms is None:
         log("trace leg: no device lane found in trace — skipping field")
         return

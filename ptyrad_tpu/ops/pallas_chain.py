@@ -986,7 +986,7 @@ def _seg_fwd_impl(psi_r, psi_i, a_seg, p_seg, h_r, h_i, last, need_dh,
     mesh = get_kernel_mesh()
     b_local = b // kernel_mesh_size()
     plan = _pick_plan(b_local, sg, n, pmode, backward=False, h_shared=h_shared,
-                      need_dh=need_dh)
+                      need_dh=need_dh, far_field=far_field)
     if plan is None:
         raise ValueError(
             f"chain_segment: (B={b_local}, Sg={sg}, N={n}, pmode={pmode}) "
@@ -1074,7 +1074,7 @@ def _chain_bwd(last, need_dh, far_field, residuals, g):
     mesh = get_kernel_mesh()
     b_local = b // kernel_mesh_size()
     plan = _pick_plan(b_local, sg, n, pmode, backward=True, h_shared=h_shared,
-                      need_dh=need_dh)
+                      need_dh=need_dh, far_field=far_field)
     if plan is None:
         raise ValueError(
             f"chain_segment backward: (B={b_local}, Sg={sg}, N={n}, "
@@ -1167,12 +1167,17 @@ chain_segment.defvjp(_chain_fwd, _chain_bwd)
 _VMEM_BUDGET = (_VMEM_LIMIT_BYTES * 5) // 8  # tracks the Mosaic ceiling
 
 
-def _pick_plan(b, sg, n, pmode, backward, h_shared, need_dh):
+def _pick_plan(b, sg, n, pmode, backward, h_shared, need_dh, far_field=False):
     """Largest (pc, blk) whose working set fits VMEM; None if nothing fits.
     pc-major: growing the pmode chunk widens the GEMMs with less real VMEM
     growth than widening the batch block (see budget note above)."""
     radix = _radix_of(n)
     mats = 6 * radix * (n // radix) ** 2 * 4
+    if far_field:
+        # the dense fftshift-folded detector DFT adds 3 full (n, n) f32
+        # matrices (fwd triple or adjoint triple); its pass temps are
+        # chunk-sized and covered by the DFT-temp terms below
+        mats += 3 * n * n * 4
     for pc in (8, 4, 2, 1):
         if pmode % pc or pc > pmode:
             continue
@@ -1217,13 +1222,16 @@ def _best_sg(b, nz, n, pmode, h_shared, need_dh):
     plan keeps the most batch*pmode rows per GEMM (measured to matter more
     than fewer HBM psi boundaries: at PSO scale bwd (1,2)@sg=2 is 1.36x
     bwd (1,1)@sg=2, while sg=3@(1,1) only trims ~10% of boundary traffic);
-    ties break toward larger sg. 0 if even Sg=1 does not fit."""
+    ties break toward larger sg. 0 if even Sg=1 does not fit. When the
+    far-field exit is globally enabled, every segment is budgeted with the
+    ff extras (only the tail segment pays them, but one shared sg must fit
+    both — the over-reserve is 3 (n, n) f32 planes out of a 60 MB budget)."""
     best, best_key = 0, (0, 0)
     for sg in range(min(nz, 8), 0, -1):
         pb = _pick_plan(b, sg, n, pmode, backward=True, h_shared=h_shared,
-                        need_dh=need_dh)
+                        need_dh=need_dh, far_field=_FAR_FIELD)
         pf = _pick_plan(b, sg, n, pmode, backward=False, h_shared=h_shared,
-                        need_dh=need_dh)
+                        need_dh=need_dh, far_field=_FAR_FIELD)
         if pb is not None and pf is not None:
             # sg=1 puts EVERY slice boundary through HBM (nz-1 psi-pair
             # round-trips) — only take it when nothing longer fits at all
@@ -1324,10 +1332,16 @@ def multislice_dp_chain(obja_patches, objp_patches, probes: Cplx, H: Cplx,
             # order — the tail kernel's dense DFT folds in the fftshift)
             inten = jnp.sum(psi_r * psi_r + psi_i * psi_i, axis=1) * inv_nn
         else:
-            from ptyrad_tpu.ops.fourier import fft2 as _fft2, fftshift2
+            from ptyrad_tpu.ops.fourier import fft2 as _fft2
 
             y = _fft2(Cplx(psi_r, psi_i), norm="ortho")
-            inten = fftshift2(jnp.sum(y.abs2(), axis=1))
+            inten = jnp.sum(y.abs2(), axis=1)
         contrib = omode_occu[om] * inten
         dp = contrib if dp is None else dp + contrib
+    if not use_ff:
+        # fftshift is a fixed permutation: shift(sum over omode) == sum of
+        # per-omode shifts — one roll of the accumulated dp instead of omode
+        from ptyrad_tpu.ops.fourier import fftshift2
+
+        dp = fftshift2(dp)
     return dp + eps

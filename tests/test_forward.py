@@ -662,10 +662,13 @@ class TestPallasChainPath:
 
     @pytest.mark.slow
     @pytest.mark.parametrize("need_dh", [False, True])
-    def test_chain_far_field_exit_matches_jnp(self, rng, need_dh):
+    @pytest.mark.parametrize("radix_m", [128, 8, 4])  # dense, radix 2, radix 4
+    def test_chain_far_field_exit_matches_jnp(self, rng, need_dh, radix_m):
         """The opt-in in-kernel far-field exit (set_far_field: the tail
         segment applies the dense fftshift-folded detector DFT in VMEM) must
-        match the default path exactly — values and every gradient."""
+        match the default path exactly — values and every gradient. Covers
+        the radix-decimated propagation feeding the dense ff exit (the
+        production ff config is N=256 -> radix 2), not just the dense path."""
         from ptyrad_tpu.models.forward import multislice_dp
         from ptyrad_tpu.ops import cplx, pallas_chain as pch
 
@@ -689,14 +692,17 @@ class TestPallasChainPath:
             )
 
         args = (obja, objp, pr, pi, hr, hi)
+        pch.set_radix_m(radix_m)
         pch.set_interpret(True)
         pch.set_far_field(True)
         try:
+            assert pch._radix_of(n) == (n // radix_m if n % radix_m == 0 else 1)
             dp_c = chain_fn(*args)
             g_c = self._grads(chain_fn, args)
         finally:
             pch.set_far_field(False)
             pch.set_interpret(False)
+            pch.set_radix_m(128)
         dp_r = ref_fn(*args)
         g_r = self._grads(ref_fn, args)
 

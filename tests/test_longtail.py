@@ -345,3 +345,55 @@ class TestBenchHarness:
                    ("pso_patterns_per_sec", "pso_error", "pso_skipped"))
         assert any(k in final for k in
                    ("bf16_patterns_per_sec", "bf16_error", "bf16_skipped"))
+
+    def test_bench_trace_parse_union_coverage(self, tmp_path):
+        """device_ms_from_trace must report INTERVAL-UNION device busy time:
+        on the axon backend the 'XLA Ops' lane carries overlapping spans
+        (pipelined scan steps), so a flat duration sum double-counts —
+        measured exactly 2x on a real tBL trace. Also: 'Steps' marker lanes
+        are excluded, host-only traces return None."""
+        import gzip
+        import importlib.util
+        import json
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "bench_mod3", os.path.join(repo, "bench.py"))
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        def write_trace(events):
+            d = tmp_path / "plugins"
+            d.mkdir(exist_ok=True)
+            with gzip.open(d / "x.trace.json.gz", "wt") as f:
+                json.dump({"traceEvents": events}, f)
+
+        meta = [
+            {"ph": "M", "name": "process_name", "pid": 3,
+             "args": {"name": "/device:TPU:0"}},
+            {"ph": "M", "name": "process_name", "pid": 7,
+             "args": {"name": "/host:CPU"}},
+            {"ph": "M", "name": "thread_name", "pid": 3, "tid": 1,
+             "args": {"name": "Steps"}},
+            {"ph": "M", "name": "thread_name", "pid": 3, "tid": 3,
+             "args": {"name": "XLA Ops"}},
+        ]
+        # two fully-overlapping 1000us ops + one disjoint 500us op
+        # => union 1500us = 1.5 ms (flat sum would say 2.5)
+        ops = [
+            {"ph": "X", "pid": 3, "tid": 3, "ts": 0, "dur": 1000, "name": "a"},
+            {"ph": "X", "pid": 3, "tid": 3, "ts": 0, "dur": 1000, "name": "b"},
+            {"ph": "X", "pid": 3, "tid": 3, "ts": 2000, "dur": 500, "name": "c"},
+            # a Steps marker spanning everything must not count
+            {"ph": "X", "pid": 3, "tid": 1, "ts": 0, "dur": 9000, "name": "0"},
+            # host-lane work must not count
+            {"ph": "X", "pid": 7, "tid": 1, "ts": 0, "dur": 9000, "name": "h"},
+        ]
+        write_trace(meta + ops)
+        assert abs(bench.device_ms_from_trace(str(tmp_path)) - 1.5) < 1e-9
+
+        # host-only trace: no device lane -> None
+        write_trace([m for m in meta if m["pid"] == 7]
+                    + [e for e in ops if e["pid"] == 7])
+        assert bench.device_ms_from_trace(str(tmp_path)) is None
