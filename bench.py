@@ -282,12 +282,16 @@ def device_ms_from_trace(logdir):
     """Device busy time (ms) from the newest trace.json.gz under logdir.
 
     Device lanes are identified via process_name/thread_name metadata (TPU
-    device pids); 'Steps' marker lanes are excluded. Busy time is the
-    INTERVAL-UNION coverage of the event spans, not their flat duration
-    sum: on this backend the 'XLA Ops' lane carries overlapping spans
-    (pipelined scan steps execute concurrently — measured flat sum exactly
-    2x the union on a real tBL trace), so a flat sum double-counts. The
-    union of the ops lane equals the 'XLA Modules' lane total to 0.1 ms.
+    device pids); 'Steps' marker lanes AND 'XLA Modules' lanes are
+    excluded. Busy time is the INTERVAL-UNION coverage of the op-level
+    spans, not their flat duration sum: on this backend the 'XLA Ops' lane
+    carries overlapping spans (pipelined scan steps execute concurrently —
+    measured flat sum exactly 2x the union on a real tBL trace), so a flat
+    sum double-counts. The modules lane is skipped because each module
+    span covers the module's FULL execution window including device stalls
+    (host waits, infeed) — exactly the load noise this instrument exists
+    to exclude; on a quiet-day trace the ops-lane union equals the modules
+    lane to 0.1 ms, but on a loaded day only the ops union stays honest.
     Returns None if no device lane was found.
     """
     paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
@@ -312,7 +316,9 @@ def device_ms_from_trace(logdir):
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         tname = threads.get((e["pid"], e.get("tid")), "").lower()
-        if "step" in tname:  # 'Steps' marker lanes span the window; skip
+        # 'Steps' markers span the window; 'XLA Modules' spans include
+        # intra-module stalls. Only op-level lanes measure busy time.
+        if "step" in tname or "module" in tname:
             continue
         ts = e.get("ts")
         if ts is not None:

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ptyrad_tpu.ops.fourier import get_matmul_dtype
 
@@ -77,6 +78,25 @@ def load_h(hr_ref, hi_ref, h_shared):
     if h_shared:
         return hr_ref[0], hi_ref[0]
     return hr_ref[...], hi_ref[...]
+
+
+def load_h_scaled(hr_ref, hi_ref, h_shared, n):
+    """Propagator load with the inverse DFT's 1/(N*N) normalization folded
+    in: scaling the (tiny) propagator replaces two full-wavefield VPU
+    multiplies per propagation. THE CONTRACT (shared by both kernel
+    families): any dH cotangent a backward kernel accumulates is then
+    w.r.t. the SCALED h — wrappers that expose dH must undo the fold with
+    unscale_dh before returning it."""
+    h_r, h_i = load_h(hr_ref, hi_ref, h_shared)
+    inv_scale = np.float32(1.0 / (n * n))
+    return h_r * inv_scale, h_i * inv_scale
+
+
+def unscale_dh(dhr, dhi, n):
+    """Map a dH cotangent taken w.r.t. the load_h_scaled propagator back to
+    the caller's unscaled h (chain rule through h_scaled = h / (N*N))."""
+    inv_scale = np.float32(1.0 / (n * n))
+    return dhr * inv_scale, dhi * inv_scale
 
 
 def tmul(psi_r, psi_i, tr, ti, blk, pc, n):

@@ -56,8 +56,9 @@ from ptyrad_tpu.ops.kernel_util import (
     cpass as _cpass,
     gemm_dtype as _gemm_dtype,
     hmul as _mul_h,
-    load_h as _load_h,
+    load_h_scaled as _load_h_scaled,
     tmul as _mul_t,
+    unscale_dh as _unscale_dh,
 )
 from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
@@ -254,11 +255,7 @@ def _seg_fwd_kernel(sg, n, pc, blk, last, far_field, h_shared, dt, radix,
         mats, (or_ref, oi_ref, tr_scr, ti_scr) = refs[:n_mats], refs[n_mats:]
     pm = pl.program_id(1)
     fwd, inv = _bundles(mats, radix)
-    # the inverse DFT's 1/(N*N) normalization rides the (tiny, per-grid-step)
-    # propagator instead of two full-wavefield VPU multiplies per propagation
-    inv_scale = np.float32(1.0 / (n * n))
-    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
-    h_r, h_i = h_r * inv_scale, h_i * inv_scale
+    h_r, h_i = _load_h_scaled(hr_ref, hi_ref, h_shared, n)
 
     @pl.when(pm == 0)
     def _():
@@ -303,11 +300,7 @@ def _seg_bwd_kernel(sg, n, pc, blk, last, far_field, h_shared, need_dh, dt,
     i = pl.program_id(0)
     pm = pl.program_id(1)
     fwd, inv = _bundles(mats, radix)
-    # 1/(N*N) folded into the propagator (see _seg_fwd_kernel); the raw dH
-    # accumulation is w.r.t. the scaled h — the wrapper multiplies it back
-    inv_scale = np.float32(1.0 / (n * n))
-    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
-    h_r, h_i = h_r * inv_scale, h_i * inv_scale
+    h_r, h_i = _load_h_scaled(hr_ref, hi_ref, h_shared, n)
 
     def t_of(s):
         # transmission cos/sin recomputed per use — a few VPU transcendentals
@@ -478,10 +471,7 @@ def _mega_fwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, dt, radix, n_mats,
     mats, (stk_r, stk_i, or_ref, oi_ref, sr_scr, si_scr) = refs[:n_mats], refs[n_mats:]
     s = pl.program_id(2)
     fwd, inv = _bundles(mats, radix)
-    # 1/(N*N) folded into the propagator (see _seg_fwd_kernel)
-    inv_scale = np.float32(1.0 / (n * n))
-    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
-    h_r, h_i = h_r * inv_scale, h_i * inv_scale
+    h_r, h_i = _load_h_scaled(hr_ref, hi_ref, h_shared, n)
 
     def t_of(j):
         return a_ref[:, j] * jnp.cos(p_ref[:, j]), a_ref[:, j] * jnp.sin(p_ref[:, j])
@@ -554,11 +544,7 @@ def _mega_bwd_kernel(sg, n, pc, blk, S, last_mega, h_shared, need_dh, dt,
     s = pl.program_id(1)
     pm = pl.program_id(2)
     fwd, inv = _bundles(mats, radix)
-    # 1/(N*N) folded into the propagator (see _seg_bwd_kernel); dH comes out
-    # w.r.t. the scaled h — the wrapper multiplies it back
-    inv_scale = np.float32(1.0 / (n * n))
-    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
-    h_r, h_i = h_r * inv_scale, h_i * inv_scale
+    h_r, h_i = _load_h_scaled(hr_ref, hi_ref, h_shared, n)
 
     def t_of(j):
         return a_ref[:, j] * jnp.cos(p_ref[:, j]), a_ref[:, j] * jnp.sin(p_ref[:, j])
@@ -746,10 +732,32 @@ _PARK_MAPS = True
 # negative result + hook: the trade may flip on backends with slower XLA
 # fusion or pricier HBM round trips.
 _FAR_FIELD = False
+_FF_TRACED = False  # set when a chain program reads _FAR_FIELD at trace time
 
 
-def set_far_field(flag: bool) -> None:
+def set_far_field(flag: bool, silent: bool = False) -> None:
+    """Toggle the in-kernel far-field detector exit for the chain tail.
+
+    Read at TRACE time only (same contract as fourier.set_matmul_dtype):
+    jitted programs built before the toggle keep the setting they were
+    traced with — jax's cache is keyed on function identity and arguments,
+    not on this flag. Set it before building jitted functions; toggling
+    after one has been traced warns (re-jit with a fresh closure or
+    jax.clear_caches() to apply — a measured A/B must rebuild its programs,
+    see scratch/pso_chain_time.py). Callers that DO rebuild their closures
+    per toggle pass silent=True."""
     global _FAR_FIELD
+    if flag != _FAR_FIELD and _FF_TRACED and not silent:
+        import warnings
+
+        warnings.warn(
+            "set_far_field({}) after a chain program was already traced: "
+            "existing jitted programs keep far_field={} — rebuild them "
+            "(fresh closure) or jax.clear_caches() for the toggle to take "
+            "effect".format(flag, _FAR_FIELD),
+            RuntimeWarning,
+            stacklevel=2,
+        )
     _FAR_FIELD = flag
 
 
@@ -946,9 +954,8 @@ def _chain_stack_bwd(sg, last_mega, need_dh, residuals, g):
         )(g_r, g_i, stk_r, stk_i, a_main, p_main, h_r, h_i, *mats)
         if need_dh:
             da, dp, d0r, d0i, dhr, dhi = outs
-            # the kernel accumulates dH w.r.t. the 1/(N*N)-scaled propagator
-            inv_scale = np.float32(1.0 / (n * n))
-            dhr, dhi = dhr * inv_scale, dhi * inv_scale
+            # the kernel accumulates dH w.r.t. the load_h_scaled propagator
+            dhr, dhi = _unscale_dh(dhr, dhi, n)
             if mesh is not None and h_shared:
                 dhr = jax.lax.psum(dhr, DATA_AXIS)
                 dhi = jax.lax.psum(dhi, DATA_AXIS)
@@ -1121,9 +1128,8 @@ def _chain_bwd(last, need_dh, far_field, residuals, g):
         )(g_r, g_i, psi_r, psi_i, a_seg, p_seg, h_r, h_i, *mats)
         if need_dh:
             da, dp, dpr, dpi, dhr, dhi = outs
-            # the kernel accumulates dH w.r.t. the 1/(N*N)-scaled propagator
-            inv_scale = np.float32(1.0 / (n * n))
-            dhr, dhi = dhr * inv_scale, dhi * inv_scale
+            # the kernel accumulates dH w.r.t. the load_h_scaled propagator
+            dhr, dhi = _unscale_dh(dhr, dhi, n)
             if mesh is not None and h_shared:
                 dhr = jax.lax.psum(dhr, DATA_AXIS)
                 dhi = jax.lax.psum(dhi, DATA_AXIS)
@@ -1297,6 +1303,8 @@ def multislice_dp_chain(obja_patches, objp_patches, probes: Cplx, H: Cplx,
     # detector-plane transform runs in-kernel (far_field: dense shift-folded
     # DFT in VMEM — no XLA DFT pair, fftshift, or exit-psi HBM round trip)
     n_seg_uniform = nz // sg
+    global _FF_TRACED
+    _FF_TRACED = True
     use_ff = _FAR_FIELD
     nz_main = 0
     if n_seg_uniform >= 2 and _mega_plan(

@@ -59,8 +59,9 @@ from ptyrad_tpu.ops.kernel_util import (
     dft2_dense as _dft2,
     gemm_dtype as _gemm_dtype,
     hmul as _hmul,
-    load_h as _load_h,
+    load_h_scaled as _load_h_scaled,
     tmul as _tmul,
+    unscale_dh as _unscale_dh,
 )
 from ptyrad_tpu.ops.mesh_env import DATA_AXIS, get_kernel_mesh, kernel_mesh_size
 
@@ -82,15 +83,6 @@ def _consts(n: int):
 
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
-
-
-def _load_h_scaled(hr_ref, hi_ref, h_shared, n):
-    """Propagator load with the inverse DFT's 1/(N*N) folded in. The dH
-    cotangent the backward accumulates is then w.r.t. the SCALED h — the
-    wrappers multiply it back by 1/(N*N)."""
-    h_r, h_i = _load_h(hr_ref, hi_ref, h_shared)
-    inv_scale = np.float32(1.0 / (n * n))
-    return h_r * inv_scale, h_i * inv_scale
 
 
 def _forward_chain(psi_r, psi_i, a_pat, p_pat, h_r, h_i, fwd, inv, blk, pmode, n,
@@ -494,9 +486,8 @@ def _fused_bwd(need_dh, probe_kspace, residuals, g):
             compiler_params=_compiler_params(_live_bytes(blk, nz, n, pmode, True, shared, h_shared, bool(need_dh))),
         )(g, obja_p, objp_p, probe_r, probe_i, h_r, h_i, *mats)
         if need_dh:
-            # the kernel accumulates dH w.r.t. the 1/(N*N)-scaled propagator
-            dhr = dhr * np.float32(1.0 / (n * n))
-            dhi = dhi * np.float32(1.0 / (n * n))
+            # the kernel accumulates dH w.r.t. the load_h_scaled propagator
+            dhr, dhi = _unscale_dh(dhr, dhi, n)
         if mesh is not None:
             # shared-parameter cotangents reduce across the data shards —
             # the DDP gradient allreduce, riding ICI inside the step
@@ -778,9 +769,8 @@ def _loss_fused_bwd(dp_pow, eps, need_dh, probe_kspace, residuals, g):
         )(c_row, mask_pad, obja_p, objp_p, probe_r, probe_i, h_r, h_i,
           meas_cc, *mats)
         if need_dh:
-            # the kernel accumulates dH w.r.t. the 1/(N*N)-scaled propagator
-            dhr = dhr * np.float32(1.0 / (n * n))
-            dhi = dhi * np.float32(1.0 / (n * n))
+            # the kernel accumulates dH w.r.t. the load_h_scaled propagator
+            dhr, dhi = _unscale_dh(dhr, dhi, n)
         if mesh is not None:
             if shared:
                 dpr = jax.lax.psum(dpr, DATA_AXIS)

@@ -95,13 +95,13 @@ def main():
 
     if "--ab-ff" in sys.argv:
         # interleaved A/B of the in-kernel far-field exit (cancels chip drift)
-        pch.set_far_field(True)
+        pch.set_far_field(True, silent=True)
         on1 = measure("ff-on")
-        pch.set_far_field(False)
+        pch.set_far_field(False, silent=True)
         off1 = measure("ff-off")
-        pch.set_far_field(True)
+        pch.set_far_field(True, silent=True)
         on2 = measure("ff-on2")
-        pch.set_far_field(False)
+        pch.set_far_field(False, silent=True)
         off2 = measure("ff-off2")
         print(f"A/B far_field: on {min(on1, on2)*1e3:.2f} ms vs "
               f"off {min(off1, off2)*1e3:.2f} ms", flush=True)

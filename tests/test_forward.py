@@ -694,13 +694,13 @@ class TestPallasChainPath:
         args = (obja, objp, pr, pi, hr, hi)
         pch.set_radix_m(radix_m)
         pch.set_interpret(True)
-        pch.set_far_field(True)
+        pch.set_far_field(True, silent=True)
         try:
             assert pch._radix_of(n) == (n // radix_m if n % radix_m == 0 else 1)
             dp_c = chain_fn(*args)
             g_c = self._grads(chain_fn, args)
         finally:
-            pch.set_far_field(False)
+            pch.set_far_field(False, silent=True)
             pch.set_interpret(False)
             pch.set_radix_m(128)
         dp_r = ref_fn(*args)
@@ -716,6 +716,92 @@ class TestPallasChainPath:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), atol=3e-6 * scale,
                 err_msg=f"gradient mismatch: {name}",
+            )
+
+    def test_set_far_field_warns_after_trace(self, monkeypatch):
+        """set_far_field is read at TRACE time: toggling it after a chain
+        program was traced must warn (already-jitted programs silently keep
+        the old setting) unless the caller rebuilds closures (silent=True)."""
+        import warnings
+
+        from ptyrad_tpu.ops import pallas_chain as pch
+
+        monkeypatch.setattr(pch, "_FF_TRACED", True)
+        monkeypatch.setattr(pch, "_FAR_FIELD", False)
+        with pytest.warns(RuntimeWarning, match="already traced"):
+            pch.set_far_field(True)
+        monkeypatch.setattr(pch, "_FAR_FIELD", True)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            pch.set_far_field(False, silent=True)  # fresh-closure caller
+            pch.set_far_field(False)  # no-op toggle never warns
+        assert not pch._FAR_FIELD
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("nz", [4, 6])  # carved mega S=1 and S=2
+    def test_chain_far_field_mega_boundary_matches_jnp(self, rng, nz, monkeypatch):
+        """With far_field ON and nz a MULTIPLE of sg, the dispatcher's
+        nz_main == nz boundary branch fires: the mega kernel would cover all
+        slices, so a full-size tail segment is carved off for the in-kernel
+        detector exit (pallas_chain nz_main -= sg). nz=4/sg=2 leaves the mega
+        with S=1, nz=6 with S=2 — both must match the jnp path (values and
+        all six gradients) and must actually route through the mega kernel
+        in the backward pass."""
+        from ptyrad_tpu.models.forward import multislice_dp
+        from ptyrad_tpu.ops import cplx, pallas_chain as pch
+
+        B, pmode, omode, seg, n = 4, 2, 1, 2, 16
+        obja = jnp.asarray(rng.uniform(0.9, 1.0, (B, omode, nz, n, n)).astype(np.float32))
+        objp = jnp.asarray(rng.uniform(-0.3, 0.3, (B, omode, nz, n, n)).astype(np.float32))
+        pr = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        pi = jnp.asarray(rng.standard_normal((1, pmode, n, n)).astype(np.float32))
+        hr = jnp.asarray((1 + 0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        hi = jnp.asarray((0.1 * rng.standard_normal((1, n, n))).astype(np.float32))
+        occu = jnp.ones(omode, jnp.float32)
+
+        calls = []
+        orig = pch._mega_fwd_impl
+
+        def counting(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pch, "_mega_fwd_impl", counting)
+
+        def ref_fn(obja, objp, pr, pi, hr, hi):
+            return multislice_dp(obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi),
+                                 occu, eps=1e-10)
+
+        def chain_fn(obja, objp, pr, pi, hr, hi):
+            return pch.multislice_dp_chain(
+                obja, objp, cplx.Cplx(pr, pi), cplx.Cplx(hr, hi), occu, 1e-10,
+                need_dh=True, seg_override=seg,
+            )
+
+        args = (obja, objp, pr, pi, hr, hi)
+        pch.set_interpret(True)
+        pch.set_far_field(True, silent=True)
+        try:
+            dp_c = chain_fn(*args)
+            g_c = self._grads(chain_fn, args)
+            assert calls, (
+                "far-field boundary branch did not route the carved uniform "
+                "part through the mega kernel"
+            )
+        finally:
+            pch.set_far_field(False, silent=True)
+            pch.set_interpret(False)
+        dp_r = ref_fn(*args)
+        g_r = self._grads(ref_fn, args)
+
+        np.testing.assert_allclose(np.asarray(dp_c), np.asarray(dp_r),
+                                   rtol=1e-4, atol=1e-6)
+        for name, a, b in zip(["obja", "objp", "probe_re", "probe_im", "h_re", "h_im"],
+                              g_r, g_c):
+            scale = max(float(jnp.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=3e-6 * scale,
+                err_msg=f"ff boundary gradient mismatch (nz={nz}): {name}",
             )
 
     @pytest.mark.slow

@@ -351,7 +351,9 @@ class TestBenchHarness:
         on the axon backend the 'XLA Ops' lane carries overlapping spans
         (pipelined scan steps), so a flat duration sum double-counts —
         measured exactly 2x on a real tBL trace. Also: 'Steps' marker lanes
-        are excluded, host-only traces return None."""
+        and 'XLA Modules' lanes (whose spans cover intra-module device
+        stalls — the load noise the metric exists to exclude) are
+        excluded, host-only traces return None."""
         import gzip
         import importlib.util
         import json
@@ -378,6 +380,8 @@ class TestBenchHarness:
              "args": {"name": "Steps"}},
             {"ph": "M", "name": "thread_name", "pid": 3, "tid": 3,
              "args": {"name": "XLA Ops"}},
+            {"ph": "M", "name": "thread_name", "pid": 3, "tid": 5,
+             "args": {"name": "XLA Modules"}},
         ]
         # two fully-overlapping 1000us ops + one disjoint 500us op
         # => union 1500us = 1.5 ms (flat sum would say 2.5)
@@ -387,6 +391,9 @@ class TestBenchHarness:
             {"ph": "X", "pid": 3, "tid": 3, "ts": 2000, "dur": 500, "name": "c"},
             # a Steps marker spanning everything must not count
             {"ph": "X", "pid": 3, "tid": 1, "ts": 0, "dur": 9000, "name": "0"},
+            # a module span covering ops AND a mid-module stall (0..3000us)
+            # must not widen the union past the op-level coverage
+            {"ph": "X", "pid": 3, "tid": 5, "ts": 0, "dur": 3000, "name": "m"},
             # host-lane work must not count
             {"ph": "X", "pid": 7, "tid": 1, "ts": 0, "dur": 9000, "name": "h"},
         ]
