@@ -249,6 +249,12 @@ def _run_trial_loop(trial, trial_params, init, mesh, verbose, ht, n_iter,
         return put_iter_batches(niter, batch_idx_np, batch_mask_np,
                                 solver._put_batch)
 
+    # NOTE: this loop intentionally mirrors the three production iteration
+    # bodies (solver.recon_loop, PtyRADSolver._canvas_loop, _lbfgs_loop) so
+    # trials see the dynamics of the run they predict, but without history
+    # side-effects and with raise-on-divergence + mid-loop prune/report
+    # semantics those loops don't have. When changing the dispatch order,
+    # constraint bridging, or timing in any of them, mirror it here.
     error = None
     pruned = False
     for niter in range(1, n_iter + 1):
@@ -409,7 +415,10 @@ def run_hypertune(params: dict, mesh=None, logger=None, jobid: Optional[str] = N
     else:
         study = builtin_tuner.create_study(
             study_name=ht.get("study_name", "ptyrad_hypertune"),
-            storage_path=ht.get("storage_path"),
+            # same default as the optuna branch (and the schema): a params
+            # dict without storage_path must mean the same persistent shared
+            # study under both engines, not in-memory under one of them
+            storage_path=ht.get("storage_path", "hypertune.db"),
             sampler_params=ht.get("sampler_params"),
             pruner_params=ht.get("pruner_params"),
             load_if_exists=True,

@@ -364,6 +364,13 @@ def recon_loop(
             )
             history.batch_terms = dict(recon_step.last_batch_terms)
         jax.block_until_ready(params.obja)
+        if constraint_fn is not None and getattr(constraint_fn, "due", None) \
+                and constraint_fn.due(niter):
+            # forced device->host fetch BEFORE the timestamp on iterations
+            # where constraint programs dispatched: block_until_ready can
+            # return at enqueue on tunneled backends (CLAUDE.md), which
+            # would push the constraint time into the NEXT iteration's iter_t
+            np.asarray(params.slice_thickness)
         iter_t = time.perf_counter() - t0
 
         total = float(sum(term_avgs.values()))
@@ -763,7 +770,22 @@ class PtyRADSolver:
         cb_takes_opt = False
         if callback is not None:
             cb_takes_opt = "opt_state" in inspect.signature(callback).parameters
-        save_iters = self.recon_params.get("SAVE_ITERS")
+        # Every callback invocation costs a full-canvas all-gather here, so a
+        # callback that only acts on save iterations (run_reconstruction's)
+        # declares its schedule via the `canvas_save_iters` attribute and is
+        # invoked ONLY then (None = never). Callbacks without the attribute
+        # keep the every-iteration contract recon_loop/_lbfgs_loop honor —
+        # they pay the gather, but they fire when the user expects.
+        _UNSET = object()
+        cb_gate = getattr(callback, "canvas_save_iters", _UNSET)
+
+        def cb_due(niter):
+            if callback is None:
+                return False
+            if cb_gate is _UNSET:
+                return True
+            return bool(cb_gate) and niter % cb_gate == 0
+
         save_optim = "optim_state" in (
             self.recon_params.get("save_result") or [])
         bsh = NamedSharding(self.mesh, P(None, "data"))
@@ -807,6 +829,10 @@ class PtyRADSolver:
                 # iterations where something is actually due
                 params = self._canvas_bridge(
                     params, self._canvas_cbuffers, jnp.asarray(niter, jnp.int32))
+                # forced fetch: block_until_ready can return at enqueue on
+                # tunneled backends (CLAUDE.md) — without it the bridge's
+                # device time leaks into the next iteration's iter_t
+                np.asarray(params.slice_thickness)
             jax.block_until_ready(params.obja)
             iter_t = time.perf_counter() - t0
 
@@ -829,11 +855,10 @@ class PtyRADSolver:
                 f"Iter: {niter}, Total Loss: {total:.4f}, {term_str}, "
                 f"in {iter_t:.3f} sec", verbose=self.verbose,
             )
-            if callback is not None and (
-                    not save_iters or niter % save_iters == 0 or niter == n_iter):
+            if cb_due(niter):
                 # savers/plotters consume whole canvases — hand them the
                 # replicated view (jitted all-gather), built only when the
-                # save gate can fire; the optimizer state is gathered ONLY
+                # callback fires; the optimizer state is gathered ONLY
                 # when the save actually writes it (for LBFGS the state is
                 # ~2m canvas copies — rematerializing it replicated on every
                 # save would be the memory wall shard_canvas removes)
@@ -918,7 +943,12 @@ class PtyRADSolver:
 
             set_force_xla(True)
             self._build()
-            if self.optimizer_name in ("LBFGS", "lbfgs"):
+            # mirror the primary dispatch: under shard_canvas _build()
+            # re-entered _build_canvas (train_step/lbfgs_step stay None) and
+            # only _canvas_loop can drive the rebuilt state
+            if self._canvas is not None:
+                self.params, self.opt_state, self.history = self._canvas_loop(n_iter, callback)
+            elif self.optimizer_name in ("LBFGS", "lbfgs"):
                 self.params, self.opt_state, self.history = self._lbfgs_loop(n_iter, callback)
             else:
                 self.params, self.opt_state, self.history = recon_loop(
@@ -951,10 +981,14 @@ class PtyRADSolver:
 
     def _lbfgs_loop(self, n_iter: int, callback=None):
         """LBFGS iteration loop over the grad-accumulated batch objective."""
-        idx_all = jnp.asarray(self.batch_idx)
-        mask_all = jnp.asarray(self.batch_mask)
         if self._put_batch is not None:
-            idx_all, mask_all = self._put_batch(idx_all, mask_all)
+            # hand _put_batch the host NumPy arrays directly — jnp.asarray
+            # first would be a device->host->device roundtrip (put_batch
+            # starts from np.asarray; see put_iter_batches)
+            idx_all, mask_all = self._put_batch(self.batch_idx, self.batch_mask)
+        else:
+            idx_all = jnp.asarray(self.batch_idx)
+            mask_all = jnp.asarray(self.batch_mask)
         params, opt_state = self.params, self.opt_state
         history = self.history
         for niter in range(1, n_iter + 1):

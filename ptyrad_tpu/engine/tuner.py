@@ -201,7 +201,12 @@ class GridSampler:
                 step = spec.get("step") or (spec["high"] - spec["low"]) / 9
                 n = int(round((spec["high"] - spec["low"]) / step)) + 1
                 vals = [spec["low"] + i * step for i in range(n)]
-                vals = [v for v in vals if v <= spec["high"] + 1e-12]
+                # RELATIVE endpoint tolerance: low + (n-1)*step can land an
+                # ulp above high for large-magnitude axes (|high| ~ 1e6 makes
+                # one ulp >> any absolute 1e-12), which would silently drop
+                # the grid's maximum; clamp near-endpoint values to high
+                tol = 1e-9 * max(abs(spec["high"]), abs(spec["low"]), 1.0)
+                vals = [min(v, spec["high"]) for v in vals if v <= spec["high"] + tol]
                 self._axes[name] = [int(round(v)) for v in vals] if spec["kind"] == "int" else vals
         return self._axes[name]
 
@@ -410,6 +415,10 @@ class Trial:
         return self._suggest(name, {"kind": "float", "low": low, "high": high, "step": step, "log": log})
 
     def suggest_int(self, name, low, high, step=1, log=False):
+        if log and low <= 0:
+            # same guard as suggest_float: without it the sampler dies in
+            # math.log and the whole study burns its budget on FAILED trials
+            raise ValueError(f"suggest_int('{name}', log=True) requires low > 0, got {low}")
         return int(self._suggest(name, {"kind": "int", "low": low, "high": high, "step": step, "log": log}))
 
     def suggest_categorical(self, name, choices):

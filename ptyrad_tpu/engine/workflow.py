@@ -53,7 +53,8 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
 
     # position-grouping figure at preparation time (reference
     # prepare_recon -> plot_pos_grouping, reconstruction.py:430-437)
-    if "group" in (recon_params.get("selected_figs") or []) and _jax.process_index() == 0:
+    _figs = recon_params.get("selected_figs") or []
+    if ("group" in _figs or "all" in _figs) and _jax.process_index() == 0:
         try:
             import matplotlib.pyplot as plt
 
@@ -68,6 +69,7 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
             vprint(f"WARNING: grouping figure failed: {e}")
 
     save_iters = recon_params.get("SAVE_ITERS")
+    last_saved = {"niter": None}
 
     def callback(niter, cur_params, history, opt_state=None):
         import jax
@@ -86,6 +88,7 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
                 lr_dict=getattr(solver, "lr_dict", None),
                 start_dict=getattr(solver, "start_dict", None),
             )
+            last_saved["niter"] = niter
             selected = recon_params.get("selected_figs") or []
             if selected:
                 try:
@@ -100,17 +103,26 @@ def run_reconstruction(params: dict, mesh=None, logger=None, verbose: Optional[b
                 except Exception as e:  # noqa: BLE001 — plotting must never kill a run
                     vprint(f"WARNING: plot_summary failed at iter {niter}: {e}")
 
+    # under shard_canvas every callback invocation costs a full-canvas
+    # all-gather; this callback only acts on save iterations, so tell the
+    # canvas loop its schedule (solver._canvas_loop honors the attribute;
+    # the replicated loops invoke every iteration regardless — the body's
+    # own save_iters gate makes that equivalent)
+    callback.canvas_save_iters = save_iters
     solver.run(callback=callback)
 
     # final save — all ranks participate (collective compute inside); writes
-    # are rank-0-gated inside save_results / save_opt_state
+    # are rank-0-gated inside save_results / save_opt_state. Skipped when
+    # the last iteration landed on a SAVE_ITERS boundary: the callback just
+    # wrote this exact checkpoint (multi-GB at production scale).
     n_final = len(solver.history.loss_iters)
-    save_results(
-        output_path, solver.params, solver.buffers, solver.geom, params,
-        solver.opt_state, solver.history, n_final, solver.indices,
-        lr_dict=getattr(solver, "lr_dict", None),
-        start_dict=getattr(solver, "start_dict", None),
-    )
+    if last_saved["niter"] != n_final or n_final == 0:
+        save_results(
+            output_path, solver.params, solver.buffers, solver.geom, params,
+            solver.opt_state, solver.history, n_final, solver.indices,
+            lr_dict=getattr(solver, "lr_dict", None),
+            start_dict=getattr(solver, "start_dict", None),
+        )
     if "optim_state" in (recon_params.get("save_result") or []):
         from ptyrad_tpu.optim import save_opt_state
 

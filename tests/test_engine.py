@@ -1887,3 +1887,102 @@ class TestCanvasSharding:
         b = np.asarray(grad.probe_pos_shifts)
         np.testing.assert_allclose(
             b, a, atol=1e-5 * max(float(np.abs(a).max()), 1e-3))
+
+    @pytest.mark.slow
+    def test_canvas_loop_callback_contract(self, rng):
+        """_canvas_loop honors the every-iteration callback contract for
+        plain callbacks (same as recon_loop/_lbfgs_loop), handing them WHOLE
+        canvases; a schedule-aware callback (run_reconstruction's) declares
+        its save iterations via the `canvas_save_iters` attribute and is
+        invoked ONLY then — skipping the full-canvas all-gather on every
+        other iteration (None = never invoked)."""
+        import copy
+
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)
+        n = init["measurements"].shape[0]
+        cfg = {
+            "model_params": {
+                "fwd_fused": False,
+                "optimizer_params": {"name": "Adam"},
+                "update_params": {"objp": {"lr": 5e-3, "start_iter": 1}},
+            },
+            "loss_params": {"loss_single": {"state": True, "weight": 1.0,
+                                            "dp_pow": 0.5}},
+            "recon_params": {"NITER": 3, "BATCH_SIZE": {"size": n},
+                             "GROUP_MODE": "random", "shard_canvas": True},
+        }
+        whole_shape = np.asarray(init["obj"]).shape  # (omode, Nz, Y, X)
+
+        calls_plain = []
+        def cb_plain(niter, params, history):
+            calls_plain.append((niter, tuple(params.objp.shape)))
+        PtyRADSolver(cfg, init_variables=copy.deepcopy(init),
+                     mesh=make_mesh(8), verbose=False).run(callback=cb_plain)
+        assert [it for it, _ in calls_plain] == [1, 2, 3]
+        # every invocation saw the WHOLE (unpadded) canvas, not a shard
+        assert all(shp == whole_shape for _, shp in calls_plain)
+
+        calls_gated = []
+        def cb_gated(niter, params, history):
+            calls_gated.append(niter)
+        cb_gated.canvas_save_iters = 2
+        PtyRADSolver(cfg, init_variables=copy.deepcopy(init),
+                     mesh=make_mesh(8), verbose=False).run(callback=cb_gated)
+        assert calls_gated == [2]
+
+        calls_never = []
+        def cb_never(niter, params, history):
+            calls_never.append(niter)
+        cb_never.canvas_save_iters = None
+        PtyRADSolver(cfg, init_variables=copy.deepcopy(init),
+                     mesh=make_mesh(8), verbose=False).run(callback=cb_never)
+        assert calls_never == []
+
+    @pytest.mark.slow
+    def test_mosaic_fallback_routes_to_canvas_loop(self, rng, monkeypatch):
+        """A Mosaic VMEM compile failure under shard_canvas must retry on
+        the kernels-off CANVAS path, not fall through to recon_loop whose
+        train_step is None in canvas mode (review r5: the fallback that
+        exists to rescue these runs crashed instead)."""
+        import copy
+
+        from ptyrad_tpu.parallel.mesh import make_mesh
+
+        init = self._setup(rng, grid=6)
+        n = init["measurements"].shape[0]
+        cfg = {
+            "model_params": {
+                "fwd_fused": False,
+                "optimizer_params": {"name": "Adam"},
+                "update_params": {"objp": {"lr": 5e-3, "start_iter": 1}},
+            },
+            "loss_params": {"loss_single": {"state": True, "weight": 1.0,
+                                            "dp_pow": 0.5}},
+            "recon_params": {"NITER": 2, "BATCH_SIZE": {"size": n},
+                             "GROUP_MODE": "random", "shard_canvas": True},
+        }
+        orig = PtyRADSolver._canvas_loop
+        state = {"n": 0}
+
+        def flaky(self_s, n_iter, callback=None):
+            state["n"] += 1
+            if state["n"] == 1:
+                raise RuntimeError(
+                    "Mosaic failed: ran out of scoped vector memory (vmem)")
+            return orig(self_s, n_iter, callback)
+
+        monkeypatch.setattr(PtyRADSolver, "_canvas_loop", flaky)
+        from ptyrad_tpu.ops.patches import set_force_xla
+        try:
+            solver = PtyRADSolver(cfg, init_variables=copy.deepcopy(init),
+                                  mesh=make_mesh(8), verbose=False)
+            p, hist = solver.run()
+        finally:
+            set_force_xla(False)  # the fallback sets it globally
+        assert state["n"] == 2, "retry did not route back to _canvas_loop"
+        assert len(hist.loss_iters) == 2
+        assert np.isfinite(hist.loss_iters[-1][1])
+        # the rebuilt run still hands back whole canvases
+        assert p.objp.shape == np.asarray(init["obj"]).shape

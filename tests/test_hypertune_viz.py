@@ -584,3 +584,35 @@ class TestOptunaBranch:
         with pytest.raises(FloatingPointError):
             for _ in range(8):
                 bare.optimize(lambda t: hypertune_objective(t, cfg, init), n_trials=1)
+
+
+class TestTunerReviewFixesR5:
+    def test_suggest_int_log_requires_positive_low(self, tmp_path):
+        """suggest_int(log=True, low=0) must raise a pointed ValueError at
+        the search-space definition — not die in math.log inside the sampler
+        and burn the whole trial budget on opaque FAILED trials (review r5;
+        suggest_float already had this guard)."""
+        study = tuner.Study(sampler=tuner.RandomSampler(seed=0))
+
+        def objective(trial):
+            return float(trial.suggest_int("n", 0, 64, log=True))
+
+        study.optimize(objective, n_trials=1)
+        (t,) = study.trials
+        assert t["state"] == "FAILED"
+        # and calling the suggest directly names the problem
+        trial = tuner.Trial(study, study.storage.create_trial())
+        with pytest.raises(ValueError, match="requires low > 0"):
+            trial.suggest_int("n", 0, 64, log=True)
+
+    def test_grid_endpoint_survives_large_magnitude_axes(self):
+        """The grid's high endpoint must not be dropped when one ulp of
+        accumulated float error exceeds an absolute 1e-12 (|high| ~ 1e6):
+        the filter tolerance is relative and near-endpoint values clamp to
+        high (review r5)."""
+        g = tuner.GridSampler()
+        ax = g._axis("x", {"kind": "float", "low": 0.0, "high": 1e6})
+        assert len(ax) == 10
+        assert ax[-1] == 1e6
+        # clamping never pushes a value past high
+        assert all(v <= 1e6 for v in ax)

@@ -806,3 +806,68 @@ class TestReviewFixesR3:
         # scalar mutation still isolated between the copies
         init.init_params["meas_Npix"] = 999
         assert init.init_params_original["meas_Npix"] != 999
+
+
+class TestWorkflowSaveSemantics:
+    def _cfg(self, rng, tmp_path, niter, save_iters, selected_figs):
+        return {
+            "init_params": base_init_params(rng),
+            "model_params": {
+                "update_params": {
+                    "objp": {"start_iter": 1, "lr": 1e-3},
+                },
+            },
+            "recon_params": {
+                "NITER": niter, "SAVE_ITERS": save_iters,
+                "BATCH_SIZE": {"size": 8},
+                "output_dir": str(tmp_path / "output"),
+                "save_result": ["model", "objp"],
+                "result_modes": {"obj_dim": [2], "FOV": ["full"], "bit": ["raw"]},
+                "selected_figs": selected_figs,
+                "prefix_time": False,
+            },
+        }
+
+    def test_final_save_skipped_when_aligned(self, rng, tmp_path, monkeypatch):
+        """When the last iteration lands on a SAVE_ITERS boundary the
+        callback already wrote that exact checkpoint — the unconditional
+        final save_results would rewrite a multi-GB HDF5 for nothing
+        (review r5). Misaligned runs still get the final save."""
+        import ptyrad_tpu.engine.workflow as wf
+
+        calls = []
+        orig = wf.save_results
+
+        def counting(*a, **k):
+            calls.append(a[7])  # niter positional arg
+            return orig(*a, **k)
+
+        monkeypatch.setattr(wf, "save_results", counting)
+
+        # aligned: NITER=4, SAVE_ITERS=2 -> callback saves at 2 and 4;
+        # NO duplicate final save at 4
+        wf.run_reconstruction(self._cfg(rng, tmp_path / "a", 4, 2, []))
+        assert calls == [2, 4]
+
+        # misaligned: NITER=3, SAVE_ITERS=2 -> callback at 2, final at 3
+        calls.clear()
+        wf.run_reconstruction(self._cfg(rng, tmp_path / "b", 3, 2, []))
+        assert calls == [2, 3]
+
+        # SAVE_ITERS=None -> only the final save
+        calls.clear()
+        wf.run_reconstruction(self._cfg(rng, tmp_path / "c", 2, None, []))
+        assert calls == [2]
+
+    def test_selected_figs_all_includes_grouping(self, rng, tmp_path):
+        """selected_figs=['all'] enables every figure (the plot_summary
+        contract) — including the position-grouping diagnostic drawn at
+        prepare time, which used to be gated on the literal 'group' only
+        (review r5)."""
+        import glob as _glob
+
+        import ptyrad_tpu.engine.workflow as wf
+
+        wf.run_reconstruction(self._cfg(rng, tmp_path, 1, None, ["all"]))
+        hits = _glob.glob(str(tmp_path / "output" / "*" / "summary_grouping.png"))
+        assert hits, "['all'] did not produce the grouping figure"
