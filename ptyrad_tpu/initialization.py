@@ -141,7 +141,16 @@ class Initializer:
                     self.cache_path, key=["object", "probe", "outputs.probe_positions"], delimiter="."
                 )
             else:
-                self.cache_contents = load_hdf5(self.cache_path, key=None)
+                # targeted read, same as the non-cached py4DSTEM loads: a
+                # full py4DSTEM results file also holds the reconstruction
+                # stack (GBs); the cache consumers only ever read these
+                # three (missing ones skipped — a shared file may carry two)
+                self.cache_contents = {}
+                for k in ("object", "probe", "positions_px"):
+                    try:
+                        self.cache_contents[k] = load_hdf5(self.cache_path, key=k)
+                    except KeyError:
+                        pass
 
     # ------------------------------------------------------------------
     # Measurements
@@ -381,7 +390,7 @@ class Initializer:
             raise ValueError("scale_factors must have two entries")
         if scale[0] != scale[1]:
             scale = [min(scale)] * 2
-        if self.init_variables.get("on_the_fly_meas_padded") is not None:
+        if padded is not None:  # same value bound above
             mode = "on_the_fly"
 
         if mode == "precompute":
@@ -555,13 +564,20 @@ class Initializer:
             )
         return probe
 
-    def _load_probe_ptyshv(self, mat_path: str) -> np.ndarray:
+    @staticmethod
+    def _mat_needs_h5py(mat_path: str) -> bool:
+        """v7.3 .mat files are HDF5 (h5py path, axes come back REVERSED);
+        an unsniffable header is treated as v7.3, matching load_mat's own
+        fallback. Shared by all three PtyShv loaders."""
         from scipy.io.matlab import matfile_version
 
         try:
-            use_h5py = matfile_version(mat_path)[0] == 2
+            return matfile_version(mat_path)[0] == 2
         except ValueError:
-            use_h5py = True
+            return True
+
+    def _load_probe_ptyshv(self, mat_path: str) -> np.ndarray:
+        use_h5py = self._mat_needs_h5py(mat_path)
         probe = self.cache_contents["probe"] if self.use_cached_probe else load_mat(mat_path, key="probe")
         # unify axes: PtyShv stores (Ny, Nx, pmode[, vp]); h5py reverses order
         if use_h5py:
@@ -651,12 +667,7 @@ class Initializer:
         )
 
     def _load_pos_ptyshv(self, mat_path: str) -> np.ndarray:
-        from scipy.io.matlab import matfile_version
-
-        try:
-            use_h5py = matfile_version(mat_path)[0] == 2
-        except ValueError:
-            use_h5py = True
+        use_h5py = self._mat_needs_h5py(mat_path)
         contents = (
             self.cache_contents
             if self.use_cached_pos
@@ -759,12 +770,7 @@ class Initializer:
         )
 
     def _load_obj_ptyshv(self, mat_path: str) -> np.ndarray:
-        from scipy.io.matlab import matfile_version
-
-        try:
-            use_h5py = matfile_version(mat_path)[0] == 2
-        except ValueError:
-            use_h5py = True
+        use_h5py = self._mat_needs_h5py(mat_path)
         obj = self.cache_contents["object"] if self.use_cached_obj else load_mat(mat_path, key="object")
         obj = np.asarray(obj)
         if use_h5py:

@@ -74,16 +74,16 @@ def load_tif(file_path: str) -> np.ndarray:
     from PIL import Image
 
     _check_exists(file_path)
-    img = Image.open(file_path)
     frames = []
-    try:
-        i = 0
-        while True:
-            img.seek(i)
-            frames.append(np.asarray(img))
-            i += 1
-    except EOFError:
-        pass
+    with Image.open(file_path) as img:  # close the fd (hypertune re-reads)
+        try:
+            i = 0
+            while True:
+                img.seek(i)
+                frames.append(np.asarray(img))
+                i += 1
+        except EOFError:
+            pass
     data = frames[0] if len(frames) == 1 else np.stack(frames)
     vprint(f"Loaded .tif '{file_path}' with shape {data.shape}")
     return data
@@ -295,13 +295,28 @@ def load_params(file_path: str, validate: bool = True) -> dict:
     elif ext == ".py":
         import importlib.util
 
+        import types
+
         spec = importlib.util.spec_from_file_location("user_params", file_path)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        params = {k: getattr(mod, k) for k in dir(mod) if not k.startswith("__")}
+        # scrape only plain values: a params.py is allowed to carry imports
+        # and helper functions ('import numpy as np' must not inject an 'np'
+        # key that the strict schema then rejects)
+        params = {
+            k: v for k in dir(mod) if not k.startswith("__")
+            for v in [getattr(mod, k)]
+            if not isinstance(v, (types.ModuleType, types.FunctionType, type))
+        }
     else:
         raise ValueError(f"Unsupported params type '{ext}'; use .yml, .yaml, .toml, .json, or .py")
 
+    if not isinstance(params, dict):
+        raise ValueError(
+            f"Params file '{file_path}' is empty or does not define a mapping "
+            f"(parsed to {type(params).__name__}); expected the six params "
+            "sections (init_params, model_params, ...)"
+        )
     if validate:
         from ptyrad_tpu.params import PtyRADParams
 

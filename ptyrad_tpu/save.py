@@ -18,6 +18,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from ptyrad_tpu.utils.common import safe_filename
 from ptyrad_tpu.utils.logging import vprint
 from ptyrad_tpu.utils.nested import NONE_SENTINEL
 
@@ -47,6 +48,10 @@ def imwrite_tif(file_path: str, data: np.ndarray) -> None:
     """Write a 2D or 3D (stack) array as TIFF via PIL (tifffile not required)."""
     from PIL import Image
 
+    # hypertune collate strings stacked on 'all'-affix folder names can push
+    # a basename past 255 bytes (ENAMETOOLONG) — the reference guards every
+    # result write with safe_filename (reference save.py:562-625)
+    file_path = safe_filename(file_path)
     data = np.asarray(data)
     if data.ndim > 3:
         data = data.reshape(-1, *data.shape[-2:])
@@ -75,7 +80,7 @@ def save_array(
         os.makedirs(file_dir, exist_ok=True)
     file_format = file_format.lower()
     # extension tracks file_format exactly, like the reference (save.py:67)
-    path = os.path.join(file_dir, f"{file_name}{shape_str}.{file_format}")
+    path = safe_filename(os.path.join(file_dir, f"{file_name}{shape_str}.{file_format}"))
     if file_format in ("tif", "tiff"):
         imwrite_tif(path, data)
     elif file_format == "npy":
@@ -117,6 +122,8 @@ def save_dict_to_hdf5(d: Dict[str, Any], output_path: str, **kwargs) -> None:
     numbers/strings/tuples/arrays -> datasets; anything else -> str().
     """
     import h5py
+
+    output_path = safe_filename(output_path)  # see imwrite_tif
 
     def _write(group, d):
         for key, value in d.items():
@@ -383,7 +390,14 @@ def copy_params_to_dir(params_path: Optional[str], output_dir: str) -> None:
 # Result saving
 # ---------------------------------------------------------------------------
 
-DEFAULT_RESULT_MODES = {"obj_dim": [2, 3], "bit": ["raw"], "FOV": ["full"]}
+def _default_result_modes() -> dict:
+    """Fallback for hand-built params dicts that skipped validation — taken
+    from the SCHEMA's ResultModes defaults so validated and unvalidated
+    configs produce the same files (the reference has no save-side default
+    at all: its schema always fills result_modes, save.py:557)."""
+    from ptyrad_tpu.params.schema import ResultModes
+
+    return ResultModes().model_dump()
 
 
 _PROP_PROBE_JIT = None
@@ -405,7 +419,7 @@ def save_results(
 
     recon_params = params_dict.get("recon_params", {})
     save_list = recon_params.get("save_result") or ["model", "obj", "probe"]
-    modes = {**DEFAULT_RESULT_MODES, **(recon_params.get("result_modes") or {})}
+    modes = {**_default_result_modes(), **(recon_params.get("result_modes") or {})}
     iter_str = "_iter" + str(niter).zfill(4)
 
     prop_amp = None

@@ -871,3 +871,67 @@ class TestWorkflowSaveSemantics:
         wf.run_reconstruction(self._cfg(rng, tmp_path, 1, None, ["all"]))
         hits = _glob.glob(str(tmp_path / "output" / "*" / "summary_grouping.png"))
         assert hits, "['all'] did not produce the grouping figure"
+
+
+class TestLoaderReviewFixesR5:
+    def test_py_params_file_with_imports_loads(self, tmp_path):
+        """A params.py may carry imports and helper functions — module and
+        callable attributes must not leak into the params dict, where the
+        strict schema (extra='forbid') would reject them (review r5)."""
+        from ptyrad_tpu.load import load_params
+
+        py = tmp_path / "params.py"
+        py.write_text(
+            "import os\n"
+            "import numpy as np\n"
+            "def _helper():\n"
+            "    return 2\n"
+            "init_params = {\n"
+            "    'probe_kv': 80.0, 'probe_conv_angle': 24.9, 'meas_Npix': 32,\n"
+            "    'pos_N_scan_slow': 4, 'pos_N_scan_fast': 4,\n"
+            "    'pos_scan_step_size': 0.43,\n"
+            "    'meas_calibration': {'mode': 'dx', 'value': 0.15},\n"
+            "    'probe_pmode_max': _helper(), 'obj_Nlayer': 1,\n"
+            "    'obj_slice_thickness': 2.0,\n"
+            "    'meas_source': 'file', 'meas_params': {'path': 'x.npy'},\n"
+            "}\n"
+        )
+        params = load_params(str(py))  # validate=True default
+        assert params["init_params"]["probe_pmode_max"] == 2
+        assert "np" not in params and "os" not in params and "_helper" not in params
+
+    def test_empty_params_file_raises_pointed_error(self, tmp_path):
+        """An empty/comment-only YAML parses to None; the loader must name
+        the real problem instead of dying in dict-unpacking (review r5)."""
+        from ptyrad_tpu.load import load_params
+
+        empty = tmp_path / "empty.yml"
+        empty.write_text("# nothing here\n")
+        with pytest.raises(ValueError, match="empty or does not define a mapping"):
+            load_params(str(empty))
+        with pytest.raises(ValueError, match="empty or does not define a mapping"):
+            load_params(str(empty), validate=False)
+
+    def test_save_paths_survive_overlong_names(self, rng, tmp_path):
+        """Result writes sanitize basenames through safe_filename (the
+        reference guards every write): a hypertune collate string stacked on
+        an 'all'-affix folder must truncate, not ENAMETOOLONG (review r5)."""
+        from ptyrad_tpu.save import save_array, save_dict_to_hdf5
+
+        long_name = "meas_" + "x" * 300
+        out = save_array(np.zeros((4, 8, 8), np.float32), str(tmp_path),
+                         file_name=long_name, file_format="npy")
+        hits = os.listdir(tmp_path)
+        assert hits and all(len(n) <= 255 for n in hits)
+
+        save_dict_to_hdf5({"a": 1}, str(tmp_path / ("model_" + "y" * 300 + ".hdf5")))
+        hits = [n for n in os.listdir(tmp_path) if n.startswith("model_")]
+        assert hits and all(len(n) <= 255 for n in hits)
+
+    def test_save_default_result_modes_match_schema(self):
+        """save_results' fallback for unvalidated dicts must be the SCHEMA's
+        ResultModes defaults — one source of default truth (review r5)."""
+        from ptyrad_tpu.params.schema import ResultModes
+        from ptyrad_tpu.save import _default_result_modes
+
+        assert _default_result_modes() == ResultModes().model_dump()
