@@ -155,20 +155,25 @@ def forward(params: PtychoParams, buffers: Buffers, geom: Geometry, indices: jnp
     use_fused = use_chain = False
     b, omode = obja_p.shape[0], obja_p.shape[1]
     if geom.fwd_fused:
-        from ptyrad_tpu.ops.pallas_chain import chain_applicable_shapes
-        from ptyrad_tpu.ops.pallas_multislice import fused_applicable_shapes
-
-        probe_b = b if geom.shift_probes else 1
-        use_fused = fused_applicable_shapes(
-            b, omode, obja_p.shape[2], obja_p.shape[3], obja_p.shape[4],
-            probe_b, params.probe.shape[0], H.shape[0], need_dh=h_differentiable,
-        )
-        # too big for the VMEM-resident chain (large Nz*pmode*N^2, e.g. the
-        # PSO regime): segmented chain with HBM psi boundaries instead
-        use_chain = not use_fused and chain_applicable_shapes(
-            b, omode, obja_p.shape[2], obja_p.shape[3], obja_p.shape[4],
-            params.probe.shape[0], H.shape[0], need_dh=h_differentiable,
-        )
+        try:
+            from ptyrad_tpu.ops.pallas_chain import chain_applicable_shapes
+            from ptyrad_tpu.ops.pallas_multislice import fused_applicable_shapes
+        except ImportError:
+            # pallas/Mosaic unavailable on this backend (same graceful
+            # fallback ops/patches.py applies): keep the XLA path
+            pass
+        else:
+            probe_b = b if geom.shift_probes else 1
+            use_fused = fused_applicable_shapes(
+                b, omode, obja_p.shape[2], obja_p.shape[3], obja_p.shape[4],
+                probe_b, params.probe.shape[0], H.shape[0], need_dh=h_differentiable,
+            )
+            # too big for the VMEM-resident chain (large Nz*pmode*N^2, e.g.
+            # the PSO regime): segmented chain with HBM psi boundaries instead
+            use_chain = not use_fused and chain_applicable_shapes(
+                b, omode, obja_p.shape[2], obja_p.shape[3], obja_p.shape[4],
+                params.probe.shape[0], H.shape[0], need_dh=h_differentiable,
+            )
 
     if use_fused:
         from ptyrad_tpu.ops.pallas_multislice import multislice_dp_fused
@@ -237,10 +242,14 @@ def fused_loss_terms(params: PtychoParams, buffers: Buffers, geom: Geometry,
     """
     from ptyrad_tpu.losses import loss_simlar, loss_sparse, merge_loss_params
     from ptyrad_tpu.ops.fourier import ifftshift2
-    from ptyrad_tpu.ops.pallas_multislice import (
-        fused_applicable_shapes,
-        multislice_loss_sums_fused,
-    )
+
+    try:
+        from ptyrad_tpu.ops.pallas_multislice import (
+            fused_applicable_shapes,
+            multislice_loss_sums_fused,
+        )
+    except ImportError:
+        return None  # pallas unavailable: caller keeps the XLA loss path
 
     cfg = merge_loss_params(loss_params)
     if (not cfg["loss_single"]["state"] or cfg["loss_poissn"]["state"]

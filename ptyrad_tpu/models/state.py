@@ -194,6 +194,20 @@ def make_model(init_variables: dict, model_params: Optional[dict] = None):
         # read below; jnp.asarray(meas) is then a no-op.
         meas = meas_in
     elif isinstance(meas_in, jax.Array):
+        if meas_dt == jnp.float16:
+            # the host path below measures max() and warns on overflow; a
+            # device-side max would cost an eager remote compile (minutes on
+            # tunneled backends), so warn statically about the same clamp
+            import warnings
+
+            warnings.warn(
+                "meas_dtype='float16' on a device-resident store: values "
+                "above 65504 are clamped without a range check (a device "
+                "max() would cost a remote compile). Use 'bfloat16' (full "
+                "f32 exponent range) or normalize if your data may exceed "
+                "it.",
+                stacklevel=2,
+            )
         # on-device dtype conversion via a module-level cached jit (one
         # program per dtype per process — a fresh lambda here would defeat
         # jit's identity cache and re-pay the remote compile on every
@@ -250,6 +264,16 @@ def make_model(init_variables: dict, model_params: Optional[dict] = None):
     meas_padded = init_variables.get("on_the_fly_meas_padded")
     meas_pad_idx = init_variables.get("on_the_fly_meas_padded_idx")
     meas_scale = init_variables.get("on_the_fly_meas_scale_factors")
+    if (meas_padded is None) != (meas_pad_idx is None):
+        # the pair travels together (Initializer writes both); half of it
+        # would surface later as an opaque trace-time TypeError deep inside
+        # get_measurements — name the problem at the API boundary instead
+        raise ValueError(
+            "init_variables must carry BOTH 'on_the_fly_meas_padded' and "
+            "'on_the_fly_meas_padded_idx' (or neither); got "
+            f"padded={'set' if meas_padded is not None else 'None'}, "
+            f"idx={'set' if meas_pad_idx is not None else 'None'}"
+        )
 
     buffers = Buffers(
         H=cplx.from_numpy(H),

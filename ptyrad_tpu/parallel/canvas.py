@@ -26,10 +26,13 @@ pre-blur and detector blur; on-the-fly measurement pad/resample (applied
 to the slab-local batch exactly as forward.get_measurements does); and
 ALL FIVE loss terms — every term reduces to masked partial sums over the
 local batch (pacbed's global batch-averaged patterns included), combined
-in one fused psum and recomposed to combined_loss's exact masked algebra.
-The one structural restriction left: a patch may span at most two slabs
-(devices <= Noy / probe_ny). The memory model is documented in
-docs/performance.md.
+in one fused psum and recomposed to combined_loss's exact masked algebra;
+and the SAME Pallas kernel dispatch as forward() (fused multislice /
+segmented chain, running per-shard inside the shard_map — see
+_dispatch_dp), so canvas sharding keeps the kernel speedup on the dominant
+forward/backward cost. The one structural restriction left: a patch may
+span at most two slabs (devices <= Noy / probe_ny). The memory model is
+documented in docs/performance.md.
 
 Gradient correctness is asserted against the replicated path in
 tests/test_engine.py::TestCanvasSharding and __graft_entry__.dryrun_multichip
@@ -39,6 +42,7 @@ tests/test_engine.py::TestCanvasSharding and __graft_entry__.dryrun_multichip
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -55,7 +59,14 @@ from ptyrad_tpu.parallel.mesh import DATA_AXIS, put_global
 try:  # moved to jax.shard_map in newer releases
     from jax import shard_map  # type: ignore[attr-defined]
 except ImportError:
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _exp_shard_map
+
+    def shard_map(*args, check_vma=None, **kwargs):
+        # the experimental signature calls the same knob check_rep — without
+        # this translation every call below would TypeError on old jax
+        if check_vma is not None:
+            kwargs["check_rep"] = check_vma
+        return _exp_shard_map(*args, **kwargs)
 
 CANVAS_SPEC = P(None, None, DATA_AXIS, None)  # (omode, Nz, rows, cols)
 
@@ -71,6 +82,85 @@ class CanvasPlan:
     b_local: int          # scan positions per device (max over slabs)
     pos_index: np.ndarray  # (n_dev*b_local,) global position index per slot
     mask: np.ndarray       # (n_dev*b_local,) f32: 1 real slot, 0 padding
+
+
+def _dispatch_dp(geom: Geometry, pa, pp, probe: Cplx, shifts_l, H: Cplx, occu):
+    """dp from slab-local patches with the SAME Pallas kernel dispatch
+    forward() applies (fused first, segmented chain for big Nz, XLA
+    fallback) — the kernels run per-shard inside this shard_map (the solver
+    clears the kernel mesh in canvas mode, so they take their single-device
+    path); out-of-regime shapes and non-TPU backends keep the XLA
+    multislice_dp exactly as before. Equality with the replicated forward is
+    pytest-gated in interpret mode (TestCanvasSharding)."""
+    from ptyrad_tpu.ops.mesh_env import get_kernel_mesh
+    from ptyrad_tpu.ops.shift import fourier_shift
+
+    b, omode = pa.shape[0], pa.shape[1]
+    need_dh = geom.change_thickness or geom.tilt_obj
+    # a registered kernel mesh means the multislice kernels would wrap
+    # themselves in a data-parallel shard_map — nested inside THIS shard_map
+    # that is an error; the solver clears it in canvas mode, direct callers
+    # with one registered get the XLA path (same guard class as
+    # extract_patches_local for the patch kernels)
+    if geom.fwd_fused and get_kernel_mesh() is None:
+        try:
+            from ptyrad_tpu.ops.pallas_chain import (
+                chain_applicable_shapes,
+                multislice_dp_chain,
+            )
+            from ptyrad_tpu.ops.pallas_multislice import (
+                fused_applicable_shapes,
+                multislice_dp_fused,
+            )
+        except ImportError:
+            pass  # pallas unavailable: XLA path below
+        else:
+            probe_b = b if geom.shift_probes else 1
+            if fused_applicable_shapes(
+                    b, omode, pa.shape[2], pa.shape[3], pa.shape[4],
+                    probe_b, probe.re.shape[0], H.re.shape[0],
+                    need_dh=need_dh):
+                from ptyrad_tpu.ops.fourier import fftshift2
+
+                if geom.shift_probes:
+                    # shifted SPECTRUM into the kernel, like forward(): the
+                    # batch-wide inverse transform runs in VMEM
+                    from ptyrad_tpu.ops.shift import fourier_shift_kspace
+
+                    pk = fourier_shift_kspace(probe, shifts_l)
+                    pr, pi, kspace = pk.re, pk.im, True
+                else:
+                    pr, pi, kspace = probe[None].re, probe[None].im, False
+                raw = None
+                for om in range(omode):
+                    dp_om = multislice_dp_fused(
+                        pa[:, om:om + 1], pp[:, om:om + 1], pr, pi,
+                        H.re, H.im, need_dh, kspace,
+                    )
+                    contrib = occu[om] * dp_om
+                    raw = contrib if raw is None else raw + contrib
+                return fftshift2(raw) + geom.eps
+            if chain_applicable_shapes(
+                    b, omode, pa.shape[2], pa.shape[3], pa.shape[4],
+                    probe.re.shape[0], H.re.shape[0], need_dh=need_dh):
+                probes = (fourier_shift(probe, shifts_l)
+                          if geom.shift_probes else probe[None])
+                return multislice_dp_chain(
+                    pa, pp, probes, H, occu, geom.eps, need_dh=need_dh)
+    probes = (fourier_shift(probe, shifts_l)
+              if geom.shift_probes else probe[None])
+    return multislice_dp(
+        pa, pp, probes, H, occu, eps=geom.eps, remat=geom.fwd_remat,
+        compute_dtype=(jnp.bfloat16 if geom.compute_dtype == "bfloat16"
+                       else jnp.float32),
+    )
+
+
+def _slab_of(crop_pos: np.ndarray, rows_local: int, n_dev: int) -> np.ndarray:
+    """Slab owning each scan position: the slab containing the patch's top
+    row (last slab clamps the ragged tail). plan_canvas_sharding rebases pos
+    rows against THIS assignment — every consumer must use the same rule."""
+    return np.minimum(crop_pos[:, 0] // rows_local, n_dev - 1)
 
 
 def plan_canvas_sharding(crop_pos: np.ndarray, noy: int, probe_ny: int, n_dev: int) -> CanvasPlan:
@@ -90,7 +180,7 @@ def plan_canvas_sharding(crop_pos: np.ndarray, noy: int, probe_ny: int, n_dev: i
             f"canvas sharding: probe height {halo} exceeds the {rows_local}-row "
             f"slab — patches would span >2 slabs; use fewer devices (<= {noy // probe_ny})"
         )
-    slab = np.minimum(crop_pos[:, 0] // rows_local, n_dev - 1)
+    slab = _slab_of(crop_pos, rows_local, n_dev)
     counts = np.bincount(slab, minlength=n_dev)
     b_local = int(counts.max())
     if b_local == 0:
@@ -267,10 +357,6 @@ def _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active,
             pa = gaussian_blur_2d(pa, kernel_size=5, sigma=pre_std)
             pp = gaussian_blur_2d(pp, kernel_size=5, sigma=pre_std)
         probe = Cplx(probe_re, probe_im)
-        if geom.shift_probes:
-            probes = fourier_shift(probe, shifts_l)  # (b_local, pmode, Ny, Nx)
-        else:
-            probes = probe[None]
         # per-position propagators, mirroring models.forward.
         # compute_propagators: base from optimizable dz (or the fixed H),
         # times per-position tilt ramps gathered in slab order. Gradients of
@@ -299,12 +385,7 @@ def _make_sharded_loss(buffers, geom, mesh, n_dev, halo, cfg, active,
             H = base[None] * tilt_factor
         else:
             H = base[None]
-        dp = multislice_dp(
-            pa, pp, probes, H, occu, eps=geom.eps,
-            remat=geom.fwd_remat,
-            compute_dtype=(jnp.bfloat16 if geom.compute_dtype == "bfloat16"
-                           else jnp.float32),
-        )
+        dp = _dispatch_dp(geom, pa, pp, probe, shifts_l, H, occu)
         det_std = geom.detector_blur_std
         if det_std is not None and det_std != 0:
             dp = gaussian_blur_2d(dp, kernel_size=5, sigma=det_std)
@@ -485,7 +566,7 @@ def plan_canvas_epoch(crop_pos: np.ndarray, noy: int, probe_ny: int,
     shuffle is per-slab by construction)."""
     base = plan_canvas_sharding(crop_pos, noy, probe_ny, n_dev)
     crop_pos = np.asarray(crop_pos)
-    slab = np.minimum(crop_pos[:, 0] // base.rows_local, n_dev - 1)
+    slab = _slab_of(crop_pos, base.rows_local, n_dev)
     rng = np.random.default_rng(seed)
     groups = {}
     b_local = 1
@@ -603,6 +684,17 @@ class CanvasStore:
     gid_store: jax.Array      # (n_dev*cap,) int32 global position ids, replicated
 
 
+@functools.lru_cache(maxsize=8)
+def _store_gather(mesh: Mesh):
+    """Jitted slab-major gather with sharded output, cached per mesh —
+    hypertune rebuilds the store per trial and a fresh lambda would re-pay
+    the remote compile every time (same reasoning as state._convert_meas)."""
+    return jax.jit(
+        lambda m, i: jnp.take(m, i, axis=0),
+        out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+    )
+
+
 def build_canvas_store(buffers: Buffers, geom: Geometry, mesh: Mesh,
                        plan: CanvasPlan) -> CanvasStore:
     """Lay the measurements out slab-major on the mesh (one transfer).
@@ -612,13 +704,23 @@ def build_canvas_store(buffers: Buffers, geom: Geometry, mesh: Mesh,
     n_dev, cap = plan.n_dev, plan.b_local
     pos_local = slab_local_positions(
         buffers.crop_pos, plan.pos_index, plan.rows_local, n_dev, cap)
-    meas = np.asarray(buffers.measurements)[plan.pos_index]
     rep = NamedSharding(mesh, P())
+    if isinstance(buffers.measurements, jax.Array):
+        # already device-resident (e.g. simulated there): gather slab-major
+        # ON DEVICE — np.asarray would fetch the whole store to host and
+        # re-upload it, minutes per GB on tunneled backends (the cost
+        # make_model's device branch exists to avoid)
+        idx = put_global(plan.pos_index.astype(np.int32),
+                         NamedSharding(mesh, P(DATA_AXIS)))
+        meas_store = _store_gather(mesh)(buffers.measurements, idx)
+    else:
+        meas = np.asarray(buffers.measurements)[plan.pos_index]
+        meas_store = put_global(meas, NamedSharding(mesh, P(DATA_AXIS)))
     return CanvasStore(
         plan=plan,
         cap=cap,
         store_valid=plan.mask.copy(),
-        meas_store=put_global(meas, NamedSharding(mesh, P(DATA_AXIS))),
+        meas_store=meas_store,
         pos_store=put_global(pos_local, rep),
         gid_store=put_global(plan.pos_index.astype(np.int32), rep),
     )

@@ -16,6 +16,7 @@ dataset resident on every GPU, models.py:109 — its memory ceiling).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -25,6 +26,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ptyrad_tpu.models.state import Buffers, PtychoParams
 
 DATA_AXIS = "data"
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _pad_store(m, pad: int):
+    """Device-side zero-pad of the measurement store's scan axis — one
+    cached program per pad per process (a fresh traced pad per shard_model
+    call would re-pay the remote compile, e.g. across hypertune trials)."""
+    import jax.numpy as jnp
+
+    return jnp.pad(m, ((0, pad), (0, 0), (0, 0)))
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -120,13 +131,19 @@ def shard_model(
         n = buffers.measurements.shape[0]
         n_dev = mesh.devices.size
         if n % n_dev:
-            # np.pad, not jnp.pad: this runs eagerly on the host at setup,
-            # and an eager jnp op costs a remote compile on tunneled
-            # backends (CLAUDE.md); the array is device_put just below
             pad = n_dev - (n % n_dev)
-            padded = np.pad(
-                np.asarray(buffers.measurements), ((0, pad), (0, 0), (0, 0))
-            )
+            if isinstance(buffers.measurements, jax.Array):
+                # device-resident: pad ON DEVICE via a cached jit —
+                # np.asarray would fetch the whole dataset to host and
+                # re-upload it (minutes per GB on tunneled backends)
+                padded = _pad_store(buffers.measurements, pad)
+            else:
+                # np.pad, not eager jnp.pad: this runs on the host at setup,
+                # and an eager jnp op costs a remote compile on tunneled
+                # backends (CLAUDE.md); the array is device_put just below
+                padded = np.pad(
+                    np.asarray(buffers.measurements), ((0, pad), (0, 0), (0, 0))
+                )
             buffers = dataclasses.replace(buffers, measurements=padded)
 
     buffers = dataclasses.replace(
