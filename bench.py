@@ -712,7 +712,7 @@ def run_bf16_leg(result, init):
     from ptyrad_tpu.optim import create_optimizer
     from ptyrad_tpu.ops.fourier import set_matmul_dtype
 
-    set_matmul_dtype("bfloat16")
+    set_matmul_dtype("bfloat16", silent=True)  # leg builds fresh closures
     try:
         mp = {"update_params": UPDATE_PARAMS, "compute_dtype": "bfloat16"}
         params, buffers, geom = make_model(init, mp)
@@ -747,7 +747,7 @@ def run_bf16_leg(result, init):
                     (N_SCANS / best) / result["value"], 3)
         result["bf16_loss_finite"] = bool(total is not None and np.isfinite(float(total)))
     finally:
-        set_matmul_dtype("float32")
+        set_matmul_dtype("float32", silent=True)
 
 
 def run_trace_leg(result, params, opt_state, one_iter):

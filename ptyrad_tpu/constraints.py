@@ -313,7 +313,16 @@ class ConstraintScheduler:
         for key, val in (constraint_params or {}).items():
             if key not in cfg:
                 raise ValueError(f"Unknown constraint '{key}'")
-            cfg[key].update(val or {})
+            val = val or {}
+            # the pydantic schema guards the params-file path only; direct-API
+            # typos ('raduis') would otherwise be merged and silently ignored
+            bad = set(val) - set(cfg[key])
+            if bad:
+                raise ValueError(
+                    f"Unknown option(s) {sorted(bad)} for constraint '{key}'; "
+                    f"expected {sorted(cfg[key])}"
+                )
+            cfg[key].update(val)
         self.cfg = cfg
         self.verbose = verbose
         self._active: List[Tuple[str, int, Callable]] = []
@@ -321,6 +330,11 @@ class ConstraintScheduler:
             freq = cfg[name].get("freq")
             if freq is None:
                 continue
+            if int(freq) < 1:
+                raise ValueError(
+                    f"Constraint '{name}' freq must be >= 1 (got {freq}); "
+                    "use freq=None to disable it"
+                )
             fn = _FNS[name]
             c = dict(cfg[name])
             c.pop("freq")
@@ -363,6 +377,11 @@ class ConstraintScheduler:
     def __call__(self, params: PtychoParams, buffers: Buffers, niter: int) -> PtychoParams:
         if not self.due(niter):
             return params
+        if self.verbose:
+            from ptyrad_tpu.utils.logging import vprint
+
+            due = [n for n, freq, _ in self._active if niter % freq == 0]
+            vprint(f"iter {niter}: applying constraints {due}")
         return self._composite()(params, buffers, jnp.asarray(niter, jnp.int32))
 
     @property

@@ -445,7 +445,9 @@ class PtyRADSolver:
             matmul_dtype = ("bfloat16"
                             if model_params.get("compute_dtype") == "bfloat16"
                             else "float32")
-        set_matmul_dtype(matmul_dtype)
+        # silent: every solver builds fresh jitted closures, so the toggle
+        # always reaches the programs this instance runs
+        set_matmul_dtype(matmul_dtype, silent=True)
         # a previous run's Mosaic-OOM fallback may have forced the XLA patch
         # path; every fresh solver starts with the kernels enabled again
         from ptyrad_tpu.ops.patches import set_force_xla

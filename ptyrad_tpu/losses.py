@@ -48,8 +48,16 @@ DEFAULT_LOSS_PARAMS = {
 def merge_loss_params(loss_params):
     """Per-term deep merge over DEFAULT_LOSS_PARAMS: a partial term dict
     (e.g. {'loss_sparse': {'state': True}}) inherits the remaining term
-    fields instead of replacing the whole term and KeyError-ing later."""
+    fields instead of replacing the whole term and KeyError-ing later.
+    Unknown term names raise (a typo like 'loss_sparce' would otherwise be
+    silently dropped and the run would proceed without the term)."""
     user = loss_params or {}
+    unknown = set(user) - set(DEFAULT_LOSS_PARAMS)
+    if unknown:
+        raise ValueError(
+            f"Unknown loss term(s) {sorted(unknown)}; "
+            f"expected {sorted(DEFAULT_LOSS_PARAMS)}"
+        )
     return {
         k: {**DEFAULT_LOSS_PARAMS[k], **(user.get(k) or {})}
         for k in DEFAULT_LOSS_PARAMS

@@ -65,12 +65,21 @@ class Cplx:
     def __add__(self, other):
         if isinstance(other, Cplx):
             return Cplx(self.re + other.re, self.im + other.im)
-        return Cplx(self.re + other, self.im)
+        re = self.re + other
+        # keep the re/im-equally-shaped invariant when `other` broadcasts
+        return Cplx(re, jnp.broadcast_to(self.im, re.shape))
+
+    def __radd__(self, other):
+        return self.__add__(other)
 
     def __sub__(self, other):
         if isinstance(other, Cplx):
             return Cplx(self.re - other.re, self.im - other.im)
-        return Cplx(self.re - other, self.im)
+        re = self.re - other
+        return Cplx(re, jnp.broadcast_to(self.im, re.shape))
+
+    def __rsub__(self, other):
+        return (-self).__add__(other)
 
     def __mul__(self, other):
         if isinstance(other, Cplx):
@@ -91,6 +100,11 @@ class Cplx:
                 (self.im * other.re - self.re * other.im) / denom,
             )
         return Cplx(self.re / other, self.im / other)
+
+    def __rtruediv__(self, other):
+        # real / z = real * conj(z) / |z|^2
+        denom = self.abs2()
+        return Cplx(other * self.re / denom, -other * self.im / denom)
 
     def __neg__(self):
         return Cplx(-self.re, -self.im)

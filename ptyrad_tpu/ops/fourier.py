@@ -36,14 +36,38 @@ _MAX_DFT_N = 4096  # guard against accidentally huge dense DFTs
 # v5e at ~0.4% relative error per transform). Read at trace time; set before
 # building jitted functions.
 _MATMUL_DTYPE = "float32"
+_MM_TRACED = False  # set when a jitted program reads _MATMUL_DTYPE at trace time
 
 
-def set_matmul_dtype(dtype: str) -> None:
-    """Select DFT matmul input precision: 'float32' or 'bfloat16'."""
+def set_matmul_dtype(dtype: str, silent: bool = False) -> None:
+    """Select DFT matmul input precision: 'float32' or 'bfloat16'.
+
+    Read at TRACE time only (same contract as pallas_chain.set_far_field):
+    jitted programs built before the toggle keep the dtype they were traced
+    with. Toggling after a program consumed the setting warns — rebuild the
+    jitted closures or jax.clear_caches() for it to take effect. A/B
+    harnesses that DO rebuild per toggle pass silent=True."""
     global _MATMUL_DTYPE
     if dtype not in ("float32", "bfloat16"):
         raise ValueError(f"Unsupported matmul dtype '{dtype}'")
+    if dtype != _MATMUL_DTYPE and _MM_TRACED and not silent:
+        import warnings
+
+        warnings.warn(
+            f"set_matmul_dtype('{dtype}') after a DFT program was already "
+            f"traced: existing jitted programs keep '{_MATMUL_DTYPE}' — "
+            "rebuild them (fresh closure) or jax.clear_caches() for the "
+            "toggle to take effect",
+            stacklevel=2,
+        )
     _MATMUL_DTYPE = dtype
+
+
+def mark_matmul_dtype_traced() -> None:
+    """Record that a jitted program consumed the matmul-dtype switch (called
+    from the trace-time read sites here and in ops.kernel_util)."""
+    global _MM_TRACED
+    _MM_TRACED = True
 
 
 def get_matmul_dtype() -> str:
@@ -87,6 +111,7 @@ def _gemm_and_out_dtype(x: Cplx, exact: bool = False):
         return jnp.bfloat16, jnp.bfloat16
     if exact:
         return jnp.float32, jnp.float32
+    mark_matmul_dtype_traced()
     return (jnp.bfloat16 if _MATMUL_DTYPE == "bfloat16" else jnp.float32), jnp.float32
 
 

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ptyrad_tpu.ops.fourier import get_matmul_dtype
+from ptyrad_tpu.ops.fourier import get_matmul_dtype, mark_matmul_dtype_traced
 
 # Per-kernel VMEM ceiling passed to Mosaic. XLA's default *scoped* vmem limit
 # is 16 MiB — well under the physical VMEM of current TPUs (v5e/v6e:
@@ -40,6 +40,7 @@ def compiler_params(need_bytes: int | None = None):
 def gemm_dtype():
     """DFT-GEMM operand dtype at trace time (ops.fourier.set_matmul_dtype):
     bf16 operands with f32 accumulation, or plain f32."""
+    mark_matmul_dtype_traced()
     return jnp.bfloat16 if get_matmul_dtype() == "bfloat16" else jnp.float32
 
 

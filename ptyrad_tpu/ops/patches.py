@@ -173,16 +173,14 @@ def pallas_gather(
     h, w = canvas.shape[-2], canvas.shape[-1]
     wy, wx = _window_dims(ny, nx)
     hp, wp = h + (wy - ny), w + (wx - nx)
-    lpad = _round_up(l, lc)
-    canvas3 = jnp.pad(
-        canvas.reshape(l, h, w), ((0, lpad - l), (0, hp - h), (0, wp - w))
-    )
+    assert l % lc == 0, "_lead_chunk returns divisors of the lead dim"
+    canvas3 = jnp.pad(canvas.reshape(l, h, w), ((0, 0), (0, hp - h), (0, wp - w)))
 
     out = pl.pallas_call(
         _gather_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(lpad // lc, b),
+            grid=(l // lc, b),
             in_specs=[
                 pl.BlockSpec((lc, hp, wp), lambda j, i, pos: (j, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -193,11 +191,11 @@ def pallas_gather(
                 pltpu.VMEM((lc, wy, wx), canvas.dtype),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, lpad, ny, nx), canvas.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, l, ny, nx), canvas.dtype),
         interpret=interpret,
         compiler_params=_compiler_params(_chunk_need_bytes(canvas.shape, ny, nx, lc)),
     )(crop_pos.astype(jnp.int32), canvas3)
-    return out[:, :l].reshape((b,) + lead + (ny, nx))
+    return out.reshape((b,) + lead + (ny, nx))
 
 
 def pallas_scatter_add(
@@ -220,16 +218,14 @@ def pallas_scatter_add(
     # (h - ny, w - nx) stays in range: hp - wy == h - ny exactly reproduces
     # lax.dynamic_slice's start clamp
     hp, wp = h + (wy - ny), w + (wx - nx)
-    lpad = _round_up(l, lc)
+    assert l % lc == 0, "_lead_chunk returns divisors of the lead dim"
     patches4 = patches.reshape(b, l, ny, nx)
-    if lpad != l:
-        patches4 = jnp.pad(patches4, ((0, 0), (0, lpad - l), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
         _scatter_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(lpad // lc, b),
+            grid=(l // lc, b),
             in_specs=[
                 pl.BlockSpec((1, lc, ny, nx), lambda j, i, pos: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -240,11 +236,11 @@ def pallas_scatter_add(
                 pltpu.VMEM((lc, wy, wx), patches.dtype),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((lpad, hp, wp), patches.dtype),
+        out_shape=jax.ShapeDtypeStruct((l, hp, wp), patches.dtype),
         interpret=interpret,
         compiler_params=_compiler_params(_chunk_need_bytes(canvas_shape, ny, nx, lc)),
     )(crop_pos.astype(jnp.int32), patches4)
-    return out[:l, :h, :w].reshape(canvas_shape)
+    return out[:, :h, :w].reshape(canvas_shape)
 
 
 def _lead_chunk(canvas_shape: tuple[int, ...], ny: int, nx: int,

@@ -25,7 +25,8 @@ def make_stem_probe(probe_params: dict, verbose: bool = False) -> np.ndarray:
       kv [kV], conv_angle [mrad], Npix, dx [Ang],
       df (defocus, + = underfocus) [Ang], c3, c5, c7 [Ang],
       f_a2, f_a3, f_c3 [Ang] with azimuths theta_a2, theta_a3, theta_c3 [rad],
-      shifts [Ang, (y-ish, x-ish) applied as plane-phase ramps].
+      shifts [Ang, (x, y): shifts[0] ramps along kX, shifts[1] along kY —
+      reference ordering, utils/physics.py:287].
 
     Returns (Npix, Npix) complex64 normalized so sum(|probe|^2) = 1.
     """

@@ -220,6 +220,21 @@ class TestScheduler:
         with pytest.raises(ValueError):
             C.ConstraintScheduler({"bogus": {"freq": 1}}, geom)
 
+    def test_unknown_option_rejected(self, rng):
+        """A misspelled per-term option ('raduis') must raise, not merge in
+        and silently leave the real option at its default — the pydantic
+        schema only guards the params-file path."""
+        _, _, geom = make_state(rng)
+        with pytest.raises(ValueError, match="raduis"):
+            C.ConstraintScheduler({"probe_mask_k": {"freq": 5, "raduis": 0.35}}, geom)
+
+    def test_freq_zero_rejected(self, rng):
+        """freq=0 must be rejected at construction (niter % 0 would raise an
+        opaque ZeroDivisionError at the first iteration); None disables."""
+        _, _, geom = make_state(rng)
+        with pytest.raises(ValueError, match="freq"):
+            C.ConstraintScheduler({"ortho_pmode": {"freq": 0}}, geom)
+
     def test_defaults_all_disabled(self, rng):
         params, buffers, geom = make_state(rng)
         sched = C.ConstraintScheduler(None, geom)

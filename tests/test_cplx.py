@@ -36,6 +36,26 @@ class TestArithmetic:
         r = rng.standard_normal((4, 4)).astype(np.float32)
         np.testing.assert_allclose(cplx.to_numpy(za * jnp.asarray(r)), a * r, atol=1e-5)
 
+    def test_reflected_scalar_ops(self, rng):
+        """Scalar-on-the-left add/sub/div must work like scalar multiply
+        (Cplx defines the full reflected-operator set)."""
+        a = rand_c(rng, (4, 4))
+        za = cplx.from_numpy(a)
+        np.testing.assert_allclose(cplx.to_numpy(1.5 + za), 1.5 + a, atol=1e-5)
+        np.testing.assert_allclose(cplx.to_numpy(1.5 - za), 1.5 - a, atol=1e-5)
+        np.testing.assert_allclose(cplx.to_numpy(1.5 / za), 1.5 / a, atol=1e-4)
+        np.testing.assert_allclose(cplx.to_numpy(1.5 * za), 1.5 * a, atol=1e-5)
+
+    def test_real_broadcast_keeps_pair_invariant(self, rng):
+        """Adding a broadcasting REAL array must broadcast both components —
+        re and im of a Cplx always have identical shapes."""
+        a = rand_c(rng, (4, 4))
+        za = cplx.from_numpy(a)
+        r = rng.standard_normal((3, 1, 1)).astype(np.float32)
+        for out, want in [(za + jnp.asarray(r), a + r), (za - jnp.asarray(r), a - r)]:
+            assert out.re.shape == out.im.shape == (3, 4, 4)
+            np.testing.assert_allclose(cplx.to_numpy(out), want, atol=1e-5)
+
     def test_conj_abs_angle(self, rng):
         a = rand_c(rng, (5,))
         za = cplx.from_numpy(a)

@@ -496,7 +496,7 @@ class TestMixedPrecisionWiring:
             solver._build()
             assert get_matmul_dtype() == "bfloat16"
         finally:
-            set_matmul_dtype("float32")
+            set_matmul_dtype("float32", silent=True)
 
     def test_cli_mixed_precision_flag_sets_dtype(self):
         """--mixed_precision overrides model_params.matmul_dtype (reference
@@ -527,7 +527,7 @@ class TestMixedPrecisionWiring:
             assert get_matmul_dtype() == "bfloat16"
             assert solver.geom.compute_dtype == "bfloat16"
         finally:
-            set_matmul_dtype("float32")
+            set_matmul_dtype("float32", silent=True)
 
 
 class TestMeasDtype:

@@ -737,6 +737,23 @@ class TestPallasChainPath:
             pch.set_far_field(False)  # no-op toggle never warns
         assert not pch._FAR_FIELD
 
+    def test_set_matmul_dtype_warns_after_trace(self, monkeypatch):
+        """Same trace-time contract for the DFT-GEMM dtype switch: toggling
+        after a program consumed it warns; silent/no-op toggles do not."""
+        import warnings
+
+        from ptyrad_tpu.ops import fourier as F
+
+        monkeypatch.setattr(F, "_MM_TRACED", True)
+        monkeypatch.setattr(F, "_MATMUL_DTYPE", "float32")
+        with pytest.warns(UserWarning, match="already traced"):
+            F.set_matmul_dtype("bfloat16")
+        monkeypatch.setattr(F, "_MATMUL_DTYPE", "bfloat16")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            F.set_matmul_dtype("float32", silent=True)  # fresh-closure caller
+            F.set_matmul_dtype("float32")  # no-op toggle never warns
+
     @pytest.mark.slow
     @pytest.mark.parametrize("nz", [4, 6])  # carved mega S=1 and S=2
     def test_chain_far_field_mega_boundary_matches_jnp(self, rng, nz, monkeypatch):
@@ -1267,7 +1284,7 @@ class TestComputeDtypePolicy:
         for cd in ("float32", "bfloat16"):
             # full policy: compute_dtype implies bf16 GEMM operands too
             # (solver does this wiring; replicated here for the raw loop)
-            set_matmul_dtype(cd)
+            set_matmul_dtype(cd, silent=True)  # fresh closures per toggle
             try:
                 mp = {"update_params": upd, "compute_dtype": cd, "fwd_fused": False}
                 params, buffers, geom = make_model(init, mp)
@@ -1279,7 +1296,7 @@ class TestComputeDtypePolicy:
                     params, opt_state, total, _ = train_epoch(
                         params, opt_state, idx, mask, jnp.asarray(it, jnp.int32))
             finally:
-                set_matmul_dtype("float32")
+                set_matmul_dtype("float32", silent=True)
             results[cd] = params
 
         # evaluate BOTH final states with the same f32 forward+loss

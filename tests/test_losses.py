@@ -125,3 +125,11 @@ class TestLossParamsMerge:
         assert np.isfinite(float(total2))
         # weight given but state inherited (False): sparse contributes zero
         assert float(terms2["loss_sparse"]) == 0.0
+
+    def test_unknown_term_rejected(self):
+        """A misspelled loss-term key must raise, not be silently dropped
+        (the run would otherwise proceed without the intended term)."""
+        from ptyrad_tpu.losses import merge_loss_params
+
+        with pytest.raises(ValueError, match="loss_sparce"):
+            merge_loss_params({"loss_sparce": {"state": True, "weight": 0.5}})
