@@ -60,9 +60,16 @@ def cmd_run(args):
         resolve_devices,
     )
 
+    given = [f"--{k}" for k in ("coordinator_address", "num_processes", "process_id")
+             if getattr(args, k, None) is not None]
+    if given and not getattr(args, "multihost", False):
+        # these flags only take effect under --multihost; silently discarding
+        # them (and skipping the hang guard below) would be a footgun
+        raise SystemExit(
+            f"{', '.join(given)} requires --multihost (flags are only read "
+            "when jax.distributed is initialized)")
     _maybe_init_multihost(args)
-    if not getattr(args, "multihost", False) and not getattr(
-            args, "coordinator_address", None):
+    if not getattr(args, "multihost", False):
         # fail fast (with a check-tpu pointer) when the tunnel chip is dead:
         # backend init hangs in native code and would freeze the run forever.
         # Skipped under multihost, where blocking for peer ranks is correct.
@@ -146,10 +153,12 @@ def cmd_validate_params(args):
     try:
         load_params(args.params_path, validate=True)
     except Exception as e:  # noqa: BLE001 — reference contract (cli.py:86-92):
-        # a handled one-line message, not a traceback
+        # a handled one-line message, not a traceback — but a nonzero exit so
+        # scripted use (`validate-params … && deploy`) sees the failure
         print(f"Invalid parameters: {e}")
-        return
+        return 1
     print(f"Params file '{args.params_path}' is valid.")
+    return 0
 
 
 def cmd_bench(args):
@@ -227,8 +236,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    args.func(args)
-    return 0
+    return int(args.func(args) or 0)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,6 @@ import optax
 
 from ptyrad_tpu.models.state import PtychoParams
 
-# torch.optim names (used by reference configs) -> optax constructors
 class OptStateMismatchError(ValueError):
     """A checkpointed optimizer state is structurally incompatible with the
     current optimizer (different optimizer family / grad_accumulation).
@@ -69,6 +68,7 @@ def _asgd(learning_rate: float, lambd: float = 1e-4, alpha: float = 0.75,
     return optax.GradientTransformation(init, update)
 
 
+# torch.optim names (used by reference configs) -> optax constructors
 OPTIMIZER_REGISTRY = {
     "Adam": optax.adam,
     "AdamW": optax.adamw,
@@ -255,10 +255,11 @@ def mask_unstarted_grads(grads: PtychoParams, niter, start_dict: Dict[str, int])
 
     niter may be a traced scalar; start_iter == -1 means 'never optimize'
     (reference toggle_grad_requires, reconstruction.py:783-790). A name
-    absent from start_dict is active from iteration 0.
+    absent from start_dict is active from the first iteration (niter is
+    1-based; same fallback as freeze_unstarted_params).
     """
     def gate(name):
-        si = start_dict.get(name, 0)
+        si = start_dict.get(name, 1)
         if si < 0:
             return jnp.float32(0.0)
         return (niter >= si).astype(jnp.float32)

@@ -53,6 +53,8 @@ def trees_to_ndarrays(tree):
         return to_numpy(tree)
     if isinstance(tree, dict):
         return {k: trees_to_ndarrays(v) for k, v in tree.items()}
+    if isinstance(tree, tuple) and hasattr(tree, "_fields"):  # NamedTuple
+        return type(tree)(*(trees_to_ndarrays(v) for v in tree))
     if isinstance(tree, (list, tuple)):
         return type(tree)(trees_to_ndarrays(v) for v in tree)
     if hasattr(tree, "__array__") and not isinstance(tree, np.ndarray):

@@ -197,7 +197,7 @@ def get_local_obj_tilts(
         raise ValueError("No atomic columns detected; adjust blob_params")
 
     half = window_size // 2
-    coord_t, coord_b, keep = [], [], []
+    coord_t, coord_b = [], []
     for y, x, _s in blobs:
         r0, r1 = int(y) - half, int(y) + half + 1
         c0, c1 = int(x) - half, int(x) + half + 1
@@ -207,6 +207,12 @@ def get_local_obj_tilts(
         cb = np.asarray(ndi_com(np.clip(bot[r0:r1, c0:c1], 0, None))) + [r0, c0]
         coord_t.append(ct)
         coord_b.append(cb)
+    if not coord_t:
+        raise ValueError(
+            f"All {len(blobs)} detected columns fall within window_size//2 = "
+            f"{half} px of the image edge; shrink window_size or adjust "
+            "blob_params"
+        )
     coord_t = np.asarray(coord_t)
     coord_b = np.asarray(coord_b)
     shift = coord_b - coord_t  # px, (dy, dx) per column

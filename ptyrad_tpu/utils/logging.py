@@ -46,12 +46,17 @@ def _is_main_process() -> bool:
 
 
 def vprint(*args, verbose: bool = True, **kwargs) -> None:
-    """Verbosity- and rank-gated print."""
+    """Verbosity- and rank-gated print.
+
+    Once CustomLogger has installed handlers, output goes through logging:
+    `sep` is honored, but `end`/`file`/`flush` cannot map onto a log record
+    (every call becomes one line) and are dropped."""
     if not verbose or not _is_main_process():
         return
     logger = logging.getLogger(_LOGGER_NAME)
     if logger.handlers:
-        logger.info(" ".join(str(a) for a in args))
+        sep = kwargs.get("sep", " ")
+        logger.info(sep.join(str(a) for a in args))
     else:
         print(*args, **kwargs)
 

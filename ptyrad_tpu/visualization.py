@@ -268,7 +268,9 @@ def plot_summary(
     """Dispatch and save the selected figures as PNGs (reference 423-526).
 
     selected_figs options: 'loss', 'forward', 'probe_r_amp', 'probe_r_phase',
-    'probe_k_amp', 'probe_k_phase', 'pos', 'tilt', 'tilt_avg', 'dz', 'group'.
+    'probe_k_amp', 'probe_k_phase', 'pos', 'tilt', 'tilt_avg', 'dz'.
+    ('group' is a preparation-time figure saved once by the workflow, not a
+    per-iteration summary — engine/workflow.py.)
     """
     from ptyrad_tpu.ops.cplx import to_numpy as cplx_to_numpy
 
@@ -285,10 +287,13 @@ def plot_summary(
     probe_np = cplx_to_numpy(params.probe)
     pos_now = np.asarray(buffers.crop_pos) + np.asarray(params.probe_pos_shifts)
 
+    saved = []
+
     def save(fig, name):
         if save_fig:
             fig.savefig(os.path.join(output_path, f"summary_{name}{collate_str}{iter_str}.png"), dpi=100)
         plt.close(fig)
+        saved.append(name)
 
     if "loss" in selected and history.loss_iters:
         save(plot_loss_curves(history.loss_iters), "loss")
@@ -312,4 +317,6 @@ def plot_summary(
         save(plot_obj_tilts_avg(history.avg_tilt_iters), "tilt_avg")
     if "dz" in selected and history.dz_iters:
         save(plot_slice_thickness(history.dz_iters), "dz")
-    vprint(f"Saved summary figures {selected} at iter {niter}")
+    skipped = [s for s in selected if s not in saved]
+    vprint(f"Saved summary figures {saved} at iter {niter}"
+           + (f" (no data / not applicable: {skipped})" if skipped else ""))

@@ -935,3 +935,29 @@ class TestLoaderReviewFixesR5:
         from ptyrad_tpu.save import _default_result_modes
 
         assert _default_result_modes() == ResultModes().model_dump()
+
+
+class TestCLIExitCodes:
+    def test_validate_params_invalid_file_exits_nonzero(self, tmp_path):
+        """Scripted use (`validate-params … && deploy`) must see a failure
+        exit code, not a printed message with status 0 (review r5)."""
+        import yaml
+
+        from ptyrad_tpu.cli import main
+
+        bad = str(tmp_path / "bad.yml")
+        with open(bad, "w") as f:
+            yaml.safe_dump({"init_params": {"bogus_field": 1}}, f)
+        assert main(["validate-params", "--params_path", bad]) != 0
+
+    def test_run_multihost_flags_require_multihost(self, tmp_path, capsys):
+        """--coordinator_address without --multihost must fail fast: silently
+        dropping the flags (and skipping the backend hang guard with them)
+        would leave a misconfigured launch running single-process (review r5)."""
+        import pytest
+
+        from ptyrad_tpu.cli import main
+
+        with pytest.raises(SystemExit, match="--multihost"):
+            main(["run", "--params_path", str(tmp_path / "p.yml"),
+                  "--coordinator_address", "localhost:1234"])

@@ -153,6 +153,22 @@ class TestCommonUtils:
         assert out["c"].dtype == np.complex64
         assert out["s"] == "str"
 
+    def test_trees_to_ndarrays_namedtuple(self):
+        """NamedTuple containers (the codebase's core pytrees) must convert
+        field-wise, not be fed one generator as the first field."""
+        import typing
+
+        import jax.numpy as jnp
+
+        class Pair(typing.NamedTuple):
+            a: object
+            b: object
+
+        out = trees_to_ndarrays(Pair(a=jnp.ones(3), b=[jnp.zeros(2)]))
+        assert isinstance(out, Pair)
+        assert isinstance(out.a, np.ndarray)
+        assert isinstance(out.b[0], np.ndarray)
+
 
 import os  # noqa: E402
 
